@@ -1,0 +1,130 @@
+"""Unicode tokenizer reproducing the reference's text->terms semantics.
+
+The reference tokenizes through xapian-core's TermGenerator
+(xapian-core-1.4.17/queryparser/termgenerator_internal.cc:140-247). The rules,
+re-implemented here from that public source's behavior:
+
+- word characters are Unicode categories L*, M*, N*, Pc
+  (include/xapian/unicode.h:343-358); terms are lowercased per codepoint.
+- acronym rule: >=2 uppercase ASCII letters separated by '.', with a trailing
+  '.' consumed if present, failing when followed by a word char
+  (``U.N.C.L.E`` -> ``uncle``; termgenerator_internal.cc:155-174).
+- infix joins between letters: ``'`` ``&`` U+00B7 U+05F4 U+2027 (and U+2019 /
+  U+201B normalized to ``'``) when both neighbours are word chars and not both
+  digits (``AT&T`` -> ``at&t``, ``it's`` -> ``it's``;
+  termgenerator_internal.cc:80-96, 213-219).
+- infix joins between digits: ``, . ;`` U+037E U+0589 U+060D U+07F8 U+2044
+  U+FE10 U+FE13 U+FE14 (``1,000`` -> ``1,000``;
+  termgenerator_internal.cc:98-119).
+- zero-width chars U+200B..U+200D, U+2060, U+FEFF are joined over and dropped
+  (termgenerator_internal.cc:93-94).
+- suffix rule: up to 3 trailing ``+``/``#`` kept unless followed by a word
+  char or a 4th suffix char (``c++``, ``c#``, but ``fish+chips`` -> ``fish``,
+  ``chips``; termgenerator_internal.cc:227-241).
+- terms longer than 64 UTF-8 bytes are dropped entirely
+  (termgenerator_internal.h:48-49, check at termgenerator_internal.cc:264).
+- NO stopwords: the reference never sets a stopper (STOP_NONE effective).
+
+Implemented as one compiled ``regex`` pattern (the ``regex`` module supports
+Unicode property classes and atomic groups) plus a small post-pass — the hot
+path is regex-engine C code, not a Python char loop.
+
+Known deliberate divergence: lowercasing uses Python's full Unicode case map
+rather than xapian's single-codepoint delta table; they differ only for a
+handful of codepoints (e.g. U+0130) irrelevant to web text.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import regex
+
+# Word characters: letters, marks, numbers, connector punctuation.
+_WC = r"[\p{L}\p{M}\p{N}\p{Pc}]"
+# Letter-context infix joiners (U+2019/U+201B normalized to ' in post-pass).
+_LSEP = "['&·״‧’‛]"
+# Digit-context infix joiners.
+_DSEP = "[,.;;։؍߸⁄︐︓︔]"
+# Zero-width "ignore" characters, joined over and stripped from the term.
+_ZW = "[​‌‍⁠﻿]"
+
+# An infix join: digit-sep between two digits, letter-sep when the neighbours
+# are not both digits, or a zero-width char between word chars.
+_SEP = (
+    rf"(?:(?<=\p{{Nd}}){_DSEP}(?=\p{{Nd}})"
+    rf"|(?<!\p{{Nd}}){_LSEP}(?={_WC})"          # prev not digit
+    rf"|{_LSEP}(?=(?!\p{{Nd}}){_WC})"           # next not digit
+    rf"|{_ZW}(?={_WC}))"
+)
+
+# Acronym. The (?>...) atomic group mirrors xapian's no-backtracking consume:
+# on failure the whole alternative fails and the general term is tried at the
+# same position (e.g. ``A.B.CD`` -> terms a, b, cd — not ``ab``). A '.'
+# directly after the pairs is always consumed (p advances past it in the C
+# loop) and the acronym then fails if a word char follows.
+_ACRONYM = rf"(?P<acr>[A-Z](?>\.[A-Z])+)(?:\.(?!{_WC})|(?![.])(?!{_WC}))"
+
+# General term: word-char runs joined by infixes, with optional +/# suffix.
+_TERM = rf"(?P<term>{_WC}+(?:{_SEP}{_WC}+)*(?:[+#]{{1,3}}(?![+#]|{_WC}))?)"
+
+_TOKEN_RE = regex.compile(rf"(?:{_ACRONYM}|{_TERM})", regex.V1)
+
+_POST_CHARS = "’‛​‌‍⁠﻿"
+_POST_TABLE = {0x2019: "'", 0x201b: "'", 0x200b: None, 0x200c: None,
+               0x200d: None, 0x2060: None, 0xfeff: None}
+
+
+def tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
+    """Return the term stream for ``text`` (lowercased, in document order)."""
+    out = []
+    for m in _TOKEN_RE.finditer(text):
+        acr = m.group("acr")
+        if acr is not None:
+            term = acr.replace(".", "").lower()
+        else:
+            term = m.group("term").lower()
+            for ch in _POST_CHARS:
+                if ch in term:
+                    term = term.translate(_POST_TABLE)
+                    break
+        if term.isascii():
+            if len(term) <= max_term_bytes:
+                out.append(term)
+        elif len(term.encode("utf-8")) <= max_term_bytes:
+            out.append(term)
+    return out
+
+
+def simple_tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
+    """Lowercase whitespace tokenizer ("simple" mode) — exactly reproducible
+    in ANSI SQL (string_split on space), used for the DuckDB-oracle-checked
+    end-to-end index pipelines."""
+    return [t for t in text.lower().split() if len(t) <= max_term_bytes]
+
+
+def should_stem(term: str) -> bool:
+    """STEM_SOME gate: stem only terms starting with a lower/title/modifier/
+    other-case letter (digits and symbols are not stemmed;
+    termgenerator_internal.cc:63-73)."""
+    if not term:
+        return False
+    import unicodedata
+
+    return unicodedata.category(term[0]) in ("Ll", "Lt", "Lm", "Lo")
+
+
+def term_counts(tokens: list[str], stemmer=None) -> Counter:
+    """(term -> wdf) map for one document, STEM_SOME style: every unstemmed
+    token counts 1, and each stemmable token also adds 1 to its ``Z``-prefixed
+    stem (termgenerator_internal.cc:269-312). Document length is the sum of
+    all wdf values including the Z-duplicates — the Xapian doclen definition
+    (glass_database.cc:1121-1131) that BM25 rank-identity depends on."""
+    counts: Counter = Counter(tokens)
+    if stemmer is not None:
+        zcounts: Counter = Counter()
+        for term, n in counts.items():
+            if should_stem(term):
+                zcounts["Z" + stemmer(term)] += n
+        counts.update(zcounts)
+    return counts

@@ -1,0 +1,131 @@
+"""Conformance tests for the Xapian-semantics tokenizer (SURVEY.md §2.3 T1-T5).
+
+Each rule of xapian-core-1.4.17/queryparser/termgenerator_internal.cc:140-247
+gets a case; expected outputs derived by tracing the C source.
+"""
+
+from markdown_query_ray.functions.snowball import CachingStemmer
+from markdown_query_ray.functions.xapian_tokenizer import (
+    simple_tokenize,
+    term_counts,
+    tokenize,
+)
+
+
+def test_basic_words():
+    assert tokenize("Hello World") == ["hello", "world"]
+    assert tokenize("foo bar baz") == ["foo", "bar", "baz"]
+
+
+def test_acronym_rule():
+    assert tokenize("U.N.C.L.E") == ["uncle"]
+    assert tokenize("U.N.C.L.E.") == ["uncle"]
+    assert tokenize("P.T.O") == ["pto"]
+    assert tokenize("see M&S today") == ["see", "m&s", "today"]
+    # acronym followed by a word char fails and falls back to single letters
+    assert tokenize("A.B.CD") == ["a", "b", "cd"]
+    assert tokenize("A.B.C.d") == ["a", "b", "c", "d"]
+    assert tokenize("A.B.C-x") == ["abc", "x"]
+    assert tokenize("A.B..") == ["ab"]
+    # single uppercase letter is not an acronym
+    assert tokenize("A. line") == ["a", "line"]
+    # mid-word uppercase does not trigger the acronym path
+    assert tokenize("xU.N.C") == ["xu", "nc"]
+
+
+def test_infix_letters():
+    assert tokenize("AT&T") == ["at&t"]
+    assert tokenize("it's") == ["it's"]
+    assert tokenize("l'école") == ["l'école"]
+    # Unicode apostrophes normalize to ASCII '
+    assert tokenize("don’t") == ["don't"]
+    assert tokenize("don‛t") == ["don't"]
+    # separator at end of word run does not join
+    assert tokenize("a'' b") == ["a", "b"]
+    assert tokenize("ab' cd") == ["ab", "cd"]
+    # apostrophe does not join two digits
+    assert tokenize("1'2") == ["1", "2"]
+    # but does join digit-letter and letter-digit
+    assert tokenize("a'1") == ["a'1"]
+    assert tokenize("1'a") == ["1'a"]
+
+
+def test_infix_digits():
+    assert tokenize("1,000,000") == ["1,000,000"]
+    assert tokenize("3.14") == ["3.14"]
+    assert tokenize("1.a") == ["1", "a"]
+    assert tokenize("a.1") == ["a", "1"]
+    assert tokenize("a.b") == ["a", "b"]
+    assert tokenize("1;2") == ["1;2"]
+
+
+def test_zero_width_joins():
+    assert tokenize("ab​cd") == ["abcd"]
+    assert tokenize("ab‍cd") == ["abcd"]
+    assert tokenize("1​2") == ["12"]
+    # two zero-width chars in a row break the term
+    assert tokenize("ab​​cd") == ["ab", "cd"]
+    # trailing zero-width char is dropped
+    assert tokenize("ab​") == ["ab"]
+
+
+def test_suffix_rule():
+    assert tokenize("C++") == ["c++"]
+    assert tokenize("C#") == ["c#"]
+    assert tokenize("c+++") == ["c+++"]
+    assert tokenize("c++++") == ["c"]
+    assert tokenize("fish+chips") == ["fish", "chips"]
+    assert tokenize("1+2") == ["1", "2"]
+    assert tokenize("C++ rocks") == ["c++", "rocks"]
+
+
+def test_max_term_length():
+    long_tok = "x" * 70
+    assert tokenize(f"keep {long_tok} kept") == ["keep", "kept"]
+    assert tokenize("y" * 64) == ["y" * 64]
+    assert tokenize("y" * 65) == []
+    # byte length, not char length: 33 two-byte chars = 66 bytes
+    assert tokenize("é" * 33) == []
+    assert tokenize("é" * 32) == ["é" * 32]
+
+
+def test_unicode_words():
+    assert tokenize("naïve café") == ["naïve", "café"]
+    assert tokenize("Größe") == ["größe"]
+    assert tokenize("под_черк") == ["под_черк"]  # Pc joins
+    assert tokenize("²³ squared") == ["²³", "squared"]  # No category
+
+
+def test_no_stopwords():
+    # the reference sets no stopper: "the" and friends are real terms
+    assert tokenize("the a an of") == ["the", "a", "an", "of"]
+
+
+def test_term_counts_with_stems():
+    st = CachingStemmer()
+    counts = term_counts(tokenize("running runs run the"), stemmer=st)
+    # surface forms
+    assert counts["running"] == 1 and counts["runs"] == 1 and counts["run"] == 1
+    assert counts["the"] == 1
+    # Z-stems: running->run, runs->run, run->run merge into Zrun with wdf 3
+    assert counts["Zrun"] == 3
+    assert counts["Zthe"] == 1
+    # doclen = sum of all wdf including Z duplicates
+    assert sum(counts.values()) == 8
+
+
+def test_digit_terms_not_stemmed():
+    st = CachingStemmer()
+    counts = term_counts(tokenize("123 abc"), stemmer=st)
+    assert "Z123" not in counts
+    assert counts["Zabc"] == 1
+
+
+def test_simple_tokenize():
+    assert simple_tokenize("The Fast fox") == ["the", "fast", "fox"]
+    assert simple_tokenize("a  b\tc\n") == ["a", "b", "c"]
+
+
+def test_empty_and_punct_only():
+    assert tokenize("") == []
+    assert tokenize("!!! --- ...") == []
