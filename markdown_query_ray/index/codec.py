@@ -1,0 +1,208 @@
+"""Delta-encoded varint block posting-list codec, numpy-vectorized.
+
+The reference's glass backend stores posting lists as B-tree chunks keyed
+(term, first_did_of_chunk) with docids delta-encoded as LEB128-style varints
+(gap-1; xapian-core-1.4.17/common/pack.h:380-391, chunk headers at
+backends/glass/glass_postlist.cc:131-147). This codec reproduces that shape
+columnar: fixed-size blocks (default 128 docs) of
+
+    (term, block_id, first_doc_id, last_doc_id, n,
+     ids_enc, tfs_enc, dls_enc,            # varint payloads
+     max_wdf, min_doclen, sum_wdf)
+
+- ``ids_enc``: varint(gap-1) for docs 1..n-1 (the first docid lives in the
+  column, so salted sub-lists concatenate without re-encoding).
+- ``tfs_enc`` / ``dls_enc``: varint wdf and doclen per doc. Storing doclen in
+  the posting block makes scoring self-contained (no doc-table join in the
+  scorer) — the per-block (max_wdf, min_doclen) pair is the max-score
+  metadata: score_ub(block) = w_t * sumpart(max_wdf, min_doclen), a per-block
+  refinement of BM25Weight::get_maxpart (weight/bm25weight.cc:176-201).
+
+Everything encodes/decodes in whole-partition numpy passes: per-value byte
+lengths -> exclusive prefix sum -> one byte buffer, then per-block binary
+slices come from offset arithmetic (an Arrow BinaryArray over the same
+buffer). No per-row Python in either direction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+BLOCK_SIZE_DEFAULT = 128
+
+
+def encode_varints(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array. Returns (bytes:uint8[], end_offsets) where
+    end_offsets[i] is the exclusive end of value i's bytes."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    nbytes = np.ones(n, np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        nbytes += v > 0
+        v >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    out = np.zeros(ends[-1], np.uint8)
+    starts = ends - nbytes
+    v = vals.copy()
+    remaining = nbytes.copy()
+    layer = 0
+    while True:
+        mask = remaining > 0
+        if not mask.any():
+            break
+        b = (v[mask] & np.uint64(0x7F)).astype(np.uint8)
+        b |= (remaining[mask] > 1).astype(np.uint8) << 7
+        out[starts[mask] + layer] = b
+        v >>= np.uint64(7)
+        remaining -= 1
+        layer += 1
+    return out, ends
+
+
+def decode_varints(buf: np.ndarray | bytes) -> np.ndarray:
+    """Decode a packed LEB128 stream into a uint64 array."""
+    data = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) \
+        else buf
+    if len(data) == 0:
+        return np.empty(0, np.uint64)
+    ends = np.nonzero((data & 0x80) == 0)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals = np.zeros(len(ends), np.uint64)
+    span = ends - starts + 1
+    for k in range(int(span.max())):
+        mask = span > k
+        vals[mask] |= (data[starts[mask] + k].astype(np.uint64)
+                       & np.uint64(0x7F)) << np.uint64(7 * k)
+    return vals
+
+
+def _segment_binary(payload: np.ndarray, value_ends: np.ndarray,
+                    seg_value_counts: np.ndarray) -> pa.BinaryArray:
+    """Split a packed varint stream into per-segment binary values, where
+    segment i holds seg_value_counts[i] consecutive varints. Zero-copy over
+    the payload buffer."""
+    cum_vals = np.cumsum(seg_value_counts)
+    byte_ends = np.zeros(len(seg_value_counts) + 1, np.int32)
+    nz = cum_vals > 0
+    byte_ends[1:][nz] = value_ends[cum_vals[nz] - 1]
+    # segments with zero values share the previous offset
+    np.maximum.accumulate(byte_ends, out=byte_ends)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), len(seg_value_counts),
+        [None, pa.py_buffer(byte_ends.tobytes()),
+         pa.py_buffer(payload.tobytes())])
+
+
+def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
+                     tfs: np.ndarray, doclens: np.ndarray,
+                     block_size: int = BLOCK_SIZE_DEFAULT) -> pa.Table:
+    """Encode one shuffle partition — rows sorted by (term, doc_id) — into
+    posting-block rows. ``terms`` is an object/str numpy array aligned with
+    the numeric columns."""
+    n = len(doc_ids)
+    if n == 0:
+        return _empty_blocks_table()
+    doc_ids = np.ascontiguousarray(doc_ids, np.uint64)
+    tfs = np.ascontiguousarray(tfs, np.uint64)
+    doclens = np.ascontiguousarray(doclens, np.uint64)
+
+    term_change = np.ones(n, bool)
+    term_change[1:] = terms[1:] != terms[:-1]
+    term_start_idx = np.nonzero(term_change)[0]
+    # index of each row within its term's posting list
+    within = np.arange(n) - np.repeat(
+        term_start_idx, np.diff(np.append(term_start_idx, n)))
+    block_id = within // block_size
+    block_start = within % block_size == 0
+    bstart_idx = np.nonzero(block_start)[0]
+    bcounts = np.diff(np.append(bstart_idx, n))
+    nblocks = len(bstart_idx)
+
+    # doc-id gaps (gap-1) for non-first entries of each block
+    gaps = np.empty(n, np.uint64)
+    gaps[0] = 0
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1] - 1
+    ids_payload, ids_ends = encode_varints(gaps[~block_start])
+    ids_enc = _segment_binary(ids_payload, ids_ends, bcounts - 1)
+
+    tf_payload, tf_ends = encode_varints(tfs)
+    tfs_enc = _segment_binary(tf_payload, tf_ends, bcounts)
+    dl_payload, dl_ends = encode_varints(doclens)
+    dls_enc = _segment_binary(dl_payload, dl_ends, bcounts)
+
+    bend_idx = np.append(bstart_idx[1:], n) - 1
+    max_wdf = np.maximum.reduceat(tfs, bstart_idx)
+    min_dl = np.minimum.reduceat(doclens, bstart_idx)
+    sum_wdf = np.add.reduceat(tfs, bstart_idx)
+
+    return pa.table({
+        "term": pa.array(terms[bstart_idx].tolist(), pa.string()),
+        "block_id": pa.array(block_id[bstart_idx].astype(np.uint32)),
+        "first_doc_id": pa.array(doc_ids[bstart_idx]),
+        "last_doc_id": pa.array(doc_ids[bend_idx]),
+        "n": pa.array(bcounts.astype(np.uint32)),
+        "ids_enc": ids_enc,
+        "tfs_enc": tfs_enc,
+        "dls_enc": dls_enc,
+        "max_wdf": pa.array(max_wdf.astype(np.uint32)),
+        "min_doclen": pa.array(min_dl.astype(np.uint32)),
+        "sum_wdf": pa.array(sum_wdf.astype(np.uint64)),
+    })
+
+
+def _empty_blocks_table() -> pa.Table:
+    return pa.table({
+        "term": pa.array([], pa.string()),
+        "block_id": pa.array([], pa.uint32()),
+        "first_doc_id": pa.array([], pa.uint64()),
+        "last_doc_id": pa.array([], pa.uint64()),
+        "n": pa.array([], pa.uint32()),
+        "ids_enc": pa.array([], pa.binary()),
+        "tfs_enc": pa.array([], pa.binary()),
+        "dls_enc": pa.array([], pa.binary()),
+        "max_wdf": pa.array([], pa.uint32()),
+        "min_doclen": pa.array([], pa.uint32()),
+        "sum_wdf": pa.array([], pa.uint64()),
+    })
+
+
+def decode_blocks(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray, np.ndarray]:
+    """Decode posting-block rows (any subset, in (term, block_id) order) into
+    flat (doc_ids, tfs, doclens, block_row_index) arrays."""
+    nb = len(blocks)
+    if nb == 0:
+        e = np.empty(0, np.uint64)
+        return e, e.copy(), e.copy(), np.empty(0, np.int64)
+    ns = blocks.column("n").to_numpy().astype(np.int64)
+    firsts = blocks.column("first_doc_id").to_numpy().astype(np.uint64)
+
+    def cat(col) -> np.ndarray:
+        chunks = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        joined = b"".join(v.as_py() for v in chunks)
+        return decode_varints(np.frombuffer(joined, np.uint8))
+
+    gaps = cat(blocks.column("ids_enc"))
+    tfs = cat(blocks.column("tfs_enc"))
+    dls = cat(blocks.column("dls_enc"))
+
+    total = int(ns.sum())
+    starts = np.zeros(nb, np.int64)
+    starts[1:] = np.cumsum(ns)[:-1]
+    mask = np.ones(total, bool)
+    mask[starts] = False
+    # segmented cumsum: within-block running sum of (gap+1), zero at starts
+    x = np.zeros(total, np.uint64)
+    x[mask] = gaps + np.uint64(1)
+    cs = np.cumsum(x, dtype=np.uint64)
+    within = cs - np.repeat(cs[starts], ns)
+    doc_ids = np.repeat(firsts, ns) + within
+
+    block_of = np.repeat(np.arange(nb, dtype=np.int64), ns)
+    return doc_ids, tfs, dls, block_of

@@ -1,0 +1,94 @@
+"""Parquet pages source with deterministic, parallelism-invariant doc_ids.
+
+The reference assigns docids by arrival order in a single-threaded walk
+(last_docid+1 per insert; xapian-core backends/database.cc:193-208). A
+distributed build reproduces "insertion order" without a serial bottleneck by
+an exclusive prefix-sum over per-file row counts (SURVEY.md §1.2):
+
+    doc_id = file_base[f] + row_offset_within_file
+
+- file order = sorted file path (the canonical corpus order);
+- row counts come from parquet footer metadata only (no data read) — at
+  10^12 docs this is a metadata scan of the file listing, parallelized
+  below with a thread pool (footer reads are I/O bound);
+- identical ids at any parallelism level, so the BM25 tie-break
+  (score desc, doc_id asc; matcher/msetcmp.cc:51-59) is stable.
+
+The reader itself is ``ray.data.read_parquet`` per file-shard via
+``map_batches`` over a tiny control dataset of (path, base) rows: each task
+streams its file's row groups, attaching ``doc_id``. One task per file is the
+right granularity for 100 MB-1 GB web-crawl shards; row-group-sized output
+chunks keep blocks within ``target_max_block_size``.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def file_row_counts(paths: list[str], max_threads: int = 16) -> list[int]:
+    """Row count per file from parquet footers (metadata-only reads)."""
+    def count(p: str) -> int:
+        return pq.ParquetFile(p).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=min(max_threads, len(paths))) as ex:
+        return list(ex.map(count, paths))
+
+
+def doc_id_bases(paths: list[str]) -> dict[str, int]:
+    """Exclusive prefix-sum of row counts over sorted paths."""
+    paths = sorted(paths)
+    counts = file_row_counts(paths)
+    bases: dict[str, int] = {}
+    acc = 0
+    for p, c in zip(paths, counts):
+        bases[p] = acc
+        acc += c
+    return bases
+
+
+class _ReadShard:
+    """map_batches task body: (path, base) control row -> page batches with
+    doc_id. Yields one output batch per row group so the streaming executor
+    can split/spill instead of holding whole files."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        for path, base in zip(batch.column("path").to_pylist(),
+                              batch.column("base").to_pylist()):
+            pf = pq.ParquetFile(path)
+            offset = 0
+            for rg in range(pf.metadata.num_row_groups):
+                t = pf.read_row_group(rg, columns=self.columns)
+                ids = pa.array(
+                    np.arange(base + offset, base + offset + len(t),
+                              dtype=np.uint64))
+                yield t.append_column("doc_id", ids)
+                offset += len(t)
+
+
+def read_pages(paths: list[str], columns: list[str] | None = None,
+               parallelism: int | None = None):
+    """Dataset of pages with deterministic ``doc_id:uint64`` attached.
+
+    ``columns`` prunes at the read (pass only what the stage needs — e.g.
+    ``["url", "html"]`` for the index build).
+    """
+    import ray.data
+
+    bases = doc_id_bases(paths)
+    control = [{"path": p, "base": b} for p, b in sorted(bases.items())]
+    ctrl_ds = ray.data.from_items(control)
+    if parallelism:
+        ctrl_ds = ctrl_ds.repartition(min(parallelism, len(control)))
+    else:
+        ctrl_ds = ctrl_ds.repartition(len(control))
+    return ctrl_ds.map_batches(
+        _ReadShard(columns), batch_format="pyarrow", batch_size=1)

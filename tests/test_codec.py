@@ -1,0 +1,108 @@
+"""Property-based round-trip tests for the varint/delta block codec."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from markdown_query_ray.index.codec import (
+    decode_blocks,
+    decode_varints,
+    encode_partition,
+    encode_varints,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    payload, ends = encode_varints(arr)
+    out = decode_varints(payload)
+    assert out.tolist() == vals
+    if vals:
+        assert ends[-1] == len(payload)
+
+
+def test_varint_known_bytes():
+    payload, _ = encode_varints(np.array([0, 1, 127, 128, 300], np.uint64))
+    assert payload.tobytes() == bytes([0x00, 0x01, 0x7F, 0x80, 0x01,
+                                       0xAC, 0x02])
+
+
+def _roundtrip(terms, ids, tfs, dls, block_size):
+    t = np.array(terms, dtype=object)
+    blocks = encode_partition(t, np.array(ids, np.uint64),
+                              np.array(tfs, np.uint64),
+                              np.array(dls, np.uint64),
+                              block_size=block_size)
+    d_ids, d_tfs, d_dls, block_of = decode_blocks(blocks)
+    assert d_ids.tolist() == list(ids)
+    assert d_tfs.tolist() == list(tfs)
+    assert d_dls.tolist() == list(dls)
+    # block-level metadata
+    bt = blocks.to_pydict()
+    for b in range(len(blocks)):
+        sel = block_of == b
+        assert bt["first_doc_id"][b] == d_ids[sel][0]
+        assert bt["last_doc_id"][b] == d_ids[sel][-1]
+        assert bt["n"][b] == sel.sum()
+        assert bt["max_wdf"][b] == d_tfs[sel].max()
+        assert bt["min_doclen"][b] == d_dls[sel].min()
+        assert bt["sum_wdf"][b] == d_tfs[sel].sum()
+    return blocks
+
+
+def test_single_term_multi_block():
+    n = 300
+    ids = np.cumsum(np.arange(n) % 7 + 1)
+    blocks = _roundtrip(["t"] * n, ids, (np.arange(n) % 5 + 1),
+                        (np.arange(n) % 90 + 10), block_size=128)
+    assert blocks.column("term").to_pylist() == ["t", "t", "t"]
+    assert blocks.column("block_id").to_pylist() == [0, 1, 2]
+    assert blocks.column("n").to_pylist() == [128, 128, 44]
+
+
+def test_multi_term_partition():
+    terms = ["alpha"] * 5 + ["beta"] * 1 + ["gamma"] * 130
+    ids = list(range(10, 15)) + [3] + list(range(1000, 1130))
+    tfs = [1, 2, 3, 4, 5] + [9] + [1] * 130
+    dls = [50] * 5 + [20] + [70] * 130
+    blocks = _roundtrip(terms, ids, tfs, dls, block_size=128)
+    assert blocks.column("term").to_pylist() == ["alpha", "beta", "gamma",
+                                                "gamma"]
+
+
+@given(st.data())
+@settings(max_examples=50, deadline=None)
+def test_random_partitions(data):
+    n_terms = data.draw(st.integers(1, 5))
+    terms, ids, tfs, dls = [], [], [], []
+    for ti in range(n_terms):
+        n_docs = data.draw(st.integers(1, 40))
+        docs = sorted(data.draw(st.sets(
+            st.integers(0, 10**12), min_size=n_docs, max_size=n_docs)))
+        for d in docs:
+            terms.append(f"term{ti:03d}")
+            ids.append(d)
+            tfs.append(data.draw(st.integers(1, 1000)))
+            dls.append(data.draw(st.integers(1, 10**6)))
+    _roundtrip(terms, ids, tfs, dls,
+               block_size=data.draw(st.sampled_from([4, 16, 128])))
+
+
+def test_empty_partition():
+    blocks = encode_partition(np.array([], dtype=object),
+                              np.array([], np.uint64),
+                              np.array([], np.uint64),
+                              np.array([], np.uint64))
+    assert len(blocks) == 0
+    d_ids, d_tfs, d_dls, block_of = decode_blocks(blocks)
+    assert len(d_ids) == 0
+
+
+def test_blocks_table_schema_stable():
+    blocks = _roundtrip(["x"], [7], [3], [11], 128)
+    assert blocks.schema.names == [
+        "term", "block_id", "first_doc_id", "last_doc_id", "n",
+        "ids_enc", "tfs_enc", "dls_enc", "max_wdf", "min_doclen", "sum_wdf"]
