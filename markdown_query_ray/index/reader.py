@@ -1,0 +1,117 @@
+"""Read-side access to a built index directory.
+
+The analog of the reference's read-only ``Database::new_with_path``
+(src/main.rs:115,130), but columnar: global stats from JSON, per-term stats
+and posting blocks from parquet with predicate pushdown (terms are
+dictionary-encoded and files are sorted by term, so row-group statistics
+prune reads to the query's terms).
+
+Partition pruning: a query touching terms T and doc-bucket b needs only the
+files ``part-{crc32(t) % P * S + b}`` — the scorer never lists, let alone
+reads, unrelated partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .build import term_part
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "global_stats.json")) as f:
+            self.gstats = json.load(f)
+        self.P = int(self.gstats["num_term_parts"])
+        self.S = int(self.gstats["num_doc_buckets"])
+
+    # -- stats ---------------------------------------------------------------
+    @property
+    def n_docs(self) -> int:
+        return self.gstats["n_docs"]
+
+    @property
+    def avg_doclen(self) -> float:
+        return self.gstats["avg_doclen"]
+
+    @property
+    def doclen_lb(self) -> int:
+        return self.gstats["doclen_lb"]
+
+    def term_stats(self, terms: list[str]) -> dict[str, dict]:
+        """{term: {termfreq, collfreq, wdf_ub}} for the given terms (absent
+        terms omitted). Predicate-pushdown read of the term_stats dataset."""
+        if not terms:
+            return {}
+        ds = pads.dataset(os.path.join(self.index_dir, "term_stats"))
+        t = ds.to_table(filter=pc.field("term").isin(list(set(terms))))
+        return {r["term"]: {"termfreq": int(r["termfreq"]),
+                            "collfreq": int(r["collfreq"]),
+                            "wdf_ub": int(r["wdf_ub"])}
+                for r in t.to_pylist()}
+
+    def expand_wildcard(self, prefix: str, limit: int = 0) -> list[str]:
+        """Right-truncation expansion over the term dictionary
+        (OP_WILDCARD, api/queryinternal.cc:1019-1126; limit 0 = unlimited).
+        A prefix range scan: term >= prefix AND term < prefix+MAXCHAR."""
+        ds = pads.dataset(os.path.join(self.index_dir, "term_stats"))
+        hi = prefix + "\U0010ffff"
+        flt = (pc.field("term") >= prefix) & (pc.field("term") <= hi)
+        t = ds.to_table(filter=flt, columns=["term"])
+        terms = sorted(t.column("term").to_pylist())
+        if limit and len(terms) > limit:
+            terms = terms[:limit]
+        return terms
+
+    # -- postings ------------------------------------------------------------
+    def posting_paths(self, terms: list[str], bucket: int | None = None
+                      ) -> list[str]:
+        parts = sorted({term_part(t, self.P) for t in terms})
+        buckets = range(self.S) if bucket is None else [bucket]
+        paths = []
+        for p in parts:
+            for b in buckets:
+                f = os.path.join(self.index_dir, "postings",
+                                 f"part-{p * self.S + b:06d}.parquet")
+                if os.path.exists(f):
+                    paths.append(f)
+        return paths
+
+    def load_blocks(self, terms: list[str], bucket: int | None = None):
+        """Posting-block rows for the given terms, in (term, doc order)."""
+        import pyarrow as pa
+
+        paths = self.posting_paths(terms, bucket)
+        if not paths:
+            from .codec import _empty_blocks_table
+            return _empty_blocks_table()
+        tabs = []
+        tset = list(set(terms))
+        for p in paths:
+            t = pq.read_table(p, filters=[("term", "in", tset)])
+            if len(t):
+                tabs.append(t)
+        if not tabs:
+            from .codec import _empty_blocks_table
+            return _empty_blocks_table()
+        out = pa.concat_tables(tabs)
+        # term, then doc order (bucket files may interleave doc ranges)
+        return out.take(pc.sort_indices(
+            out, sort_keys=[("term", "ascending"),
+                            ("first_doc_id", "ascending")]))
+
+    # -- docs ----------------------------------------------------------------
+    def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
+        if not doc_ids:
+            return {}
+        ds = pads.dataset(os.path.join(self.index_dir, "docs"))
+        t = ds.to_table(filter=pc.field("doc_id").isin(
+            [int(d) for d in doc_ids]), columns=["doc_id", "url"])
+        return dict(zip(t.column("doc_id").to_pylist(),
+                        t.column("url").to_pylist()))

@@ -1,0 +1,131 @@
+"""Query AST node types (the rebuild of the reference's query algebra).
+
+Mirrors the operator inventory of SURVEY.md §2.5 (Xapian matcher postlist
+combinators L1-L9) as plain dataclasses; the executor gives them Ray-side
+semantics. Scoring semantics follow the reference: weights sum across
+matching weighted subtrees; FILTER/AND_NOT right sides contribute no weight;
+SYNONYM scores its subtree as one pseudo-term.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+    wqf: int = 1
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    prefix: str
+    limit: int = 0  # 0 = unlimited (api/queryinternal.cc:1019-1126)
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class AndNot:
+    left: object = None
+    right: object = None
+
+
+@dataclass(frozen=True)
+class AndMaybe:
+    left: object = None
+    right: object = None
+
+
+@dataclass(frozen=True)
+class Xor:
+    children: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Filter:
+    left: object = None
+    right: object = None  # boolean filter: no weight contribution
+
+
+@dataclass(frozen=True)
+class Synonym:
+    children: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Phrase:
+    """Positional window op. Positions are not indexed in round 1, so the
+    executor evaluates this as AND of the unstemmed terms (a documented
+    superset of the reference's OP_PHRASE; SURVEY.md §2.5 L7 gates true
+    positional support on fixture scope)."""
+    terms: tuple = field(default_factory=tuple)
+    window: int = 0
+
+
+@dataclass(frozen=True)
+class ScaleWeight:
+    child: object = None
+    factor: float = 1.0
+
+
+def query_terms(node) -> list[str]:
+    """All concrete term texts in the tree (wildcards excluded)."""
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, Term):
+            out.append(n.text)
+        elif isinstance(n, Phrase):
+            out.extend(n.terms)
+        elif isinstance(n, Wildcard):
+            pass
+        elif isinstance(n, (Or, And, Xor, Synonym)):
+            for c in n.children:
+                walk(c)
+        elif isinstance(n, (AndNot, AndMaybe, Filter)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, ScaleWeight):
+            walk(n.child)
+
+    walk(node)
+    return out
+
+
+def describe(node) -> str:
+    """Stable description string (the analog of Xapian's get_description
+    golden strings used by the reference's expression_tests,
+    src/interactive/xapian_utils.rs:481-549)."""
+    if isinstance(node, Term):
+        return node.text if node.wqf == 1 else f"{node.text}#{node.wqf}"
+    if isinstance(node, Wildcard):
+        return f"WILDCARD {node.prefix}*"
+    if isinstance(node, Or):
+        return "(" + " OR ".join(describe(c) for c in node.children) + ")"
+    if isinstance(node, And):
+        return "(" + " AND ".join(describe(c) for c in node.children) + ")"
+    if isinstance(node, Xor):
+        return "(" + " XOR ".join(describe(c) for c in node.children) + ")"
+    if isinstance(node, Synonym):
+        return "(SYNONYM " + " ".join(describe(c) for c in node.children) + ")"
+    if isinstance(node, AndNot):
+        return f"({describe(node.left)} AND_NOT {describe(node.right)})"
+    if isinstance(node, AndMaybe):
+        return f"({describe(node.left)} AND_MAYBE {describe(node.right)})"
+    if isinstance(node, Filter):
+        return f"({describe(node.left)} FILTER {describe(node.right)})"
+    if isinstance(node, Phrase):
+        return "(PHRASE " + " ".join(node.terms) + ")"
+    if isinstance(node, ScaleWeight):
+        return f"({node.factor} * {describe(node.child)})"
+    return repr(node)

@@ -1,0 +1,473 @@
+"""Query execution: posting decode -> boolean algebra -> BM25 top-k.
+
+Two scoring engines, both correctness-tested against each other and the
+sequential oracle:
+
+- **exhaustive**: fully vectorized numpy evaluation of the query tree over
+  the decoded postings of one doc-bucket. At test scale this is usually
+  faster than any pruning (every op is a C kernel); it is also the semantics
+  oracle.
+- **block-max WAND** (flat weighted-OR queries): document-at-a-time pruning
+  with a k-item min-heap, per-term global upper bounds for pivot selection
+  and per-block (max_wdf, min_doclen) upper bounds for block skipping —
+  the scale path for heavy terms, mirroring the reference's maxweight
+  matcher loop (matcher/multimatch.cc:560-720) with the per-block
+  refinement the north star asks for.
+
+Distribution model: doc-buckets partition the doc-id space, so per-bucket
+top-k heaps merge into the global top-k by concatenation (no re-scoring) —
+scorer tasks run as a ``map_batches`` over a control dataset of bucket ids,
+each reading only the partitions ``part-{hash(term) % P * S + bucket}``.
+The driver-side final merge is the reference's MSet fill-then-displace heap
+(matcher/msetcmp.cc:51-59 tie-break: score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import BM25Params, QueryConfig
+from ..index.codec import decode_blocks
+from ..index.reader import IndexReader
+from .ast import (
+    And,
+    AndMaybe,
+    AndNot,
+    Filter,
+    Or,
+    Phrase,
+    ScaleWeight,
+    Synonym,
+    Term,
+    Wildcard,
+    Xor,
+    query_terms,
+)
+from .scorer import TermWeight, synonym_termfreq_estimate
+
+
+class Postings:
+    """Decoded postings of one term within one bucket: parallel arrays
+    sorted by doc_id."""
+
+    __slots__ = ("ids", "tfs", "dls", "block_of", "blocks")
+
+    def __init__(self, ids, tfs, dls, block_of=None, blocks=None):
+        self.ids = ids
+        self.tfs = tfs
+        self.dls = dls
+        self.block_of = block_of
+        self.blocks = blocks
+
+    @staticmethod
+    def empty() -> "Postings":
+        e = np.empty(0, np.uint64)
+        return Postings(e, e.copy(), e.copy())
+
+
+class ScoredSet:
+    """Sorted doc_ids with accumulated scores (an evaluated subtree)."""
+
+    __slots__ = ("ids", "scores")
+
+    def __init__(self, ids: np.ndarray, scores: np.ndarray):
+        self.ids = ids
+        self.scores = scores
+
+    @staticmethod
+    def empty() -> "ScoredSet":
+        return ScoredSet(np.empty(0, np.uint64), np.empty(0, np.float64))
+
+
+def _accumulate(ids_list, scores_list) -> ScoredSet:
+    """Union with score summation. np.add.at accumulates in input order, so
+    the per-doc float summation order is the fixed term order — bit-stable
+    across partitionings (SURVEY.md §7.3 item 6)."""
+    if not ids_list:
+        return ScoredSet.empty()
+    all_ids = np.concatenate(ids_list)
+    all_scores = np.concatenate(scores_list)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    out = np.zeros(len(uniq), np.float64)
+    np.add.at(out, inv, all_scores)
+    return ScoredSet(uniq, out)
+
+
+def _lookup_scores(s: ScoredSet, ids: np.ndarray) -> np.ndarray:
+    """Scores of ``ids`` (must all be present in s.ids)."""
+    idx = np.searchsorted(s.ids, ids)
+    return s.scores[idx]
+
+
+class Evaluator:
+    """Evaluates a query AST over one bucket's postings (exhaustive path)."""
+
+    def __init__(self, reader: IndexReader, params: BM25Params,
+                 bucket: int | None = None):
+        self.reader = reader
+        self.params = params
+        self.bucket = bucket
+        self._postings_cache: dict[str, Postings] = {}
+
+    # -- postings access -----------------------------------------------------
+    def _load_terms(self, terms: list[str]) -> None:
+        missing = [t for t in set(terms) if t not in self._postings_cache]
+        if not missing:
+            return
+        blocks = self.reader.load_blocks(missing, self.bucket)
+        ids, tfs, dls, block_of = decode_blocks(blocks)
+        bterms = np.asarray(blocks.column("term").to_pylist(), dtype=object)
+        row_terms = bterms[block_of] if len(block_of) else bterms[:0]
+        for t in missing:
+            sel = row_terms == t
+            if sel.any():
+                bsel = bterms == t
+                self._postings_cache[t] = Postings(
+                    ids[sel], tfs[sel], dls[sel],
+                    block_of[sel], blocks.filter(pa.array(bsel)))
+            else:
+                self._postings_cache[t] = Postings.empty()
+
+    def postings(self, term: str) -> Postings:
+        self._load_terms([term])
+        return self._postings_cache[term]
+
+    def weight(self, term: str, wqf: int = 1,
+               termfreq: int | None = None) -> TermWeight:
+        if termfreq is None:
+            st = self.reader.term_stats([term]).get(term)
+            termfreq = st["termfreq"] if st else 0
+        return TermWeight(self.params, self.reader.n_docs,
+                          self.reader.avg_doclen, termfreq, wqf)
+
+    # -- tree evaluation -----------------------------------------------------
+    def evaluate(self, node) -> ScoredSet:
+        if isinstance(node, Term):
+            p = self.postings(node.text)
+            if len(p.ids) == 0:
+                return ScoredSet.empty()
+            w = self.weight(node.text, node.wqf)
+            return ScoredSet(p.ids.copy(), w.sumpart(p.tfs, p.dls))
+
+        if isinstance(node, Wildcard):
+            # parser wraps WILDCARD in SYNONYM; a bare wildcard scores the
+            # same way (combiner OR inside a synonym pseudo-term)
+            return self.evaluate(Synonym((node,)))
+
+        if isinstance(node, Synonym):
+            return self._eval_synonym(node)
+
+        if isinstance(node, Or):
+            parts = [self.evaluate(c) for c in node.children]
+            return _accumulate([p.ids for p in parts if len(p.ids)],
+                               [p.scores for p in parts if len(p.ids)])
+
+        if isinstance(node, And):
+            parts = [self.evaluate(c) for c in node.children]
+            if not parts or any(len(p.ids) == 0 for p in parts):
+                return ScoredSet.empty()
+            ids = parts[0].ids
+            for p in parts[1:]:
+                ids = ids[np.isin(ids, p.ids, assume_unique=True)]
+            if len(ids) == 0:
+                return ScoredSet.empty()
+            scores = np.zeros(len(ids), np.float64)
+            for p in parts:  # fixed child order: stable summation
+                scores += _lookup_scores(p, ids)
+            return ScoredSet(ids, scores)
+
+        if isinstance(node, Phrase):
+            # positions not indexed: AND over unstemmed terms (documented
+            # superset of OP_PHRASE)
+            return self.evaluate(And(tuple(Term(t) for t in node.terms)))
+
+        if isinstance(node, AndNot):
+            left = self.evaluate(node.left)
+            right = self.evaluate(node.right)
+            keep = ~np.isin(left.ids, right.ids, assume_unique=True)
+            return ScoredSet(left.ids[keep], left.scores[keep])
+
+        if isinstance(node, AndMaybe):
+            left = self.evaluate(node.left)
+            right = self.evaluate(node.right)
+            if len(left.ids) == 0:
+                return left
+            boost = np.zeros(len(left.ids), np.float64)
+            hit = np.isin(left.ids, right.ids, assume_unique=True)
+            if hit.any():
+                boost[hit] = _lookup_scores(right, left.ids[hit])
+            return ScoredSet(left.ids, left.scores + boost)
+
+        if isinstance(node, Xor):
+            parts = [self.evaluate(c) for c in node.children]
+            ids_all = np.concatenate([p.ids for p in parts]) if parts \
+                else np.empty(0, np.uint64)
+            uniq, counts = np.unique(ids_all, return_counts=True)
+            keep = uniq[counts % 2 == 1]
+            scores = np.zeros(len(keep), np.float64)
+            for p in parts:
+                hit = np.isin(keep, p.ids, assume_unique=True)
+                if hit.any():
+                    scores[hit] += _lookup_scores(p, keep[hit])
+            return ScoredSet(keep, scores)
+
+        if isinstance(node, Filter):
+            left = self.evaluate(node.left)
+            rterms = query_terms(node.right)
+            self._load_terms(rterms)
+            right = self.evaluate(node.right)
+            keep = np.isin(left.ids, right.ids, assume_unique=True)
+            # right side is a pure boolean filter: no weight contribution
+            return ScoredSet(left.ids[keep], left.scores[keep])
+
+        if isinstance(node, ScaleWeight):
+            s = self.evaluate(node.child)
+            return ScoredSet(s.ids, s.scores * node.factor)
+
+        raise TypeError(f"unknown query node {node!r}")
+
+    def _eval_synonym(self, node: Synonym) -> ScoredSet:
+        """OP_SYNONYM: subtree as one pseudo-term — wdf = sum of child wdf
+        clamped to doclen (matcher/synonympostlist.cc:66-98), termfreq from
+        the pairwise independence estimate (orpostlist.cc:290-301)."""
+        terms: list[str] = []
+        for c in node.children:
+            if isinstance(c, Term):
+                terms.append(c.text)
+            elif isinstance(c, Wildcard):
+                terms.extend(self.reader.expand_wildcard(c.prefix, c.limit))
+            else:
+                raise TypeError("SYNONYM supports term/wildcard children")
+        terms = list(dict.fromkeys(terms))  # stable dedup
+        if not terms:
+            return ScoredSet.empty()
+        self._load_terms(terms)
+        stats = self.reader.term_stats(terms)
+        freqs = [stats[t]["termfreq"] for t in terms if t in stats]
+        est_tf = synonym_termfreq_estimate(freqs, self.reader.n_docs)
+        w = self.weight("", wqf=1, termfreq=est_tf)
+
+        plist = [self._postings_cache[t] for t in terms]
+        plist = [p for p in plist if len(p.ids)]
+        if not plist:
+            return ScoredSet.empty()
+        all_ids = np.concatenate([p.ids for p in plist])
+        all_tfs = np.concatenate([p.tfs for p in plist])
+        all_dls = np.concatenate([p.dls for p in plist])
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        wdf = np.zeros(len(uniq), np.uint64)
+        np.add.at(wdf, inv, all_tfs)
+        dls = np.zeros(len(uniq), np.uint64)
+        np.maximum.at(dls, inv, all_dls)  # doclen identical across terms
+        wdf = np.minimum(wdf, dls)  # clamp to doclen
+        return ScoredSet(uniq, w.sumpart(wdf, dls))
+
+
+# ---------------------------------------------------------------------------
+# top-k
+# ---------------------------------------------------------------------------
+
+def topk_from_scored(s: ScoredSet, k: int) -> list[tuple[float, int]]:
+    """[(score, doc_id)] sorted by (score desc, doc_id asc) — the MSet order
+    (matcher/msetcmp.cc:51-59)."""
+    if len(s.ids) == 0:
+        return []
+    order = np.lexsort((s.ids, -s.scores))
+    take = order[:k]
+    return [(float(s.scores[i]), int(s.ids[i])) for i in take]
+
+
+def merge_topk(parts: list[list[tuple[float, int]]], k: int
+               ) -> list[tuple[float, int]]:
+    """Driver-side heap merge of per-bucket top-k lists."""
+    allhits = [h for part in parts for h in part]
+    allhits.sort(key=lambda t: (-t[0], t[1]))
+    return allhits[:k]
+
+
+# ---------------------------------------------------------------------------
+# block-max WAND (flat weighted-OR fast path)
+# ---------------------------------------------------------------------------
+
+def flat_or_terms(node) -> list[Term] | None:
+    """If the tree is a flat OR of plain terms, return them, else None."""
+    if isinstance(node, Term):
+        return [node]
+    if isinstance(node, Or) and all(isinstance(c, Term)
+                                    for c in node.children):
+        return list(node.children)
+    return None
+
+
+def wand_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
+              ) -> list[tuple[float, int]]:
+    """Document-at-a-time block-max WAND over decoded postings.
+
+    term_entries: [(weight, postings)] in the original query-term order (the
+    per-doc summation order, kept identical to the exhaustive path).
+    Returns [(score, doc_id)] in MSet order.
+    """
+    entries = []
+    for qorder, (w, p) in enumerate(term_entries):
+        if len(p.ids) == 0 or w.termweight <= 0:
+            continue
+        ub_global = float(np.max(w.maxpart_block(
+            p.blocks.column("max_wdf").to_numpy(),
+            p.blocks.column("min_doclen").to_numpy()))) \
+            if p.blocks is not None and len(p.blocks) else \
+            float(w.sumpart(p.tfs.max(), max(1, int(p.dls.min()))))
+        block_ub = w.maxpart_block(
+            p.blocks.column("max_wdf").to_numpy(),
+            p.blocks.column("min_doclen").to_numpy()) \
+            if p.blocks is not None and len(p.blocks) else None
+        entries.append({
+            "qorder": qorder, "w": w, "p": p, "pos": 0,
+            "ub": ub_global, "block_ub": block_ub,
+        })
+    if not entries:
+        return []
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def cur_doc(e):
+        return e["p"].ids[e["pos"]] if e["pos"] < len(e["p"].ids) else INF
+
+    while True:
+        entries.sort(key=cur_doc)
+        if cur_doc(entries[0]) == INF:
+            break
+        theta = heap[0][0] if len(heap) >= k else -1.0
+        # pivot: first index where cumulative ub exceeds theta
+        acc = 0.0
+        pivot = None
+        for i, e in enumerate(entries):
+            if cur_doc(e) == INF:
+                break
+            acc += e["ub"]
+            if acc > theta:
+                pivot = i
+                break
+        if pivot is None:
+            break  # even all terms together cannot beat theta
+        pivot_doc = cur_doc(entries[pivot])
+
+        if cur_doc(entries[0]) == pivot_doc:
+            # block-max refinement: cumulative per-block bound at pivot_doc
+            bacc = 0.0
+            for e in entries[: pivot + 1]:
+                if cur_doc(e) == pivot_doc and e["block_ub"] is not None:
+                    b = e["p"].block_of[e["pos"]]
+                    bacc += float(e["block_ub"][b])
+                else:
+                    bacc += e["ub"]
+            if bacc <= theta:
+                # cannot qualify: advance the leading terms past pivot_doc
+                for e in entries:
+                    if cur_doc(e) == pivot_doc:
+                        e["pos"] += 1
+                continue
+            # score pivot_doc fully, summing in original query-term order
+            matchers = [e for e in entries if cur_doc(e) == pivot_doc]
+            matchers.sort(key=lambda e: e["qorder"])
+            score = 0.0
+            for e in matchers:
+                p = e["p"]
+                score += float(e["w"].sumpart(p.tfs[e["pos"]],
+                                              p.dls[e["pos"]]))
+                e["pos"] += 1
+            item = (score, -int(pivot_doc))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        else:
+            # advance all pre-pivot terms to >= pivot_doc (galloping)
+            for e in entries[:pivot]:
+                p = e["p"]
+                e["pos"] += int(np.searchsorted(p.ids[e["pos"]:], pivot_doc))
+
+    hits = [(s, -nd) for s, nd in heap]
+    hits.sort(key=lambda t: (-t[0], t[1]))
+    return hits
+
+
+# ---------------------------------------------------------------------------
+# public search entry points
+# ---------------------------------------------------------------------------
+
+def search_bucket(index_dir: str, node, qcfg: QueryConfig,
+                  bucket: int | None) -> list[tuple[float, int]]:
+    reader = IndexReader(index_dir)
+    ev = Evaluator(reader, qcfg.params, bucket)
+    terms = flat_or_terms(node)
+    if qcfg.use_wand and terms is not None and len(terms) > 1:
+        entries = []
+        for t in terms:
+            p = ev.postings(t.text)
+            entries.append((ev.weight(t.text, t.wqf), p))
+        return wand_topk(entries, qcfg.k)
+    return topk_from_scored(ev.evaluate(node), qcfg.k)
+
+
+class _ScoreBuckets:
+    """map_batches body over a control dataset of bucket ids."""
+
+    def __init__(self, index_dir: str, node, qcfg: QueryConfig):
+        self.index_dir = index_dir
+        self.node = node
+        self.qcfg = qcfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scores, ids = [], []
+        for b in batch.column("bucket").to_pylist():
+            for s, d in search_bucket(self.index_dir, self.node,
+                                      self.qcfg, int(b)):
+                scores.append(s)
+                ids.append(d)
+        return pa.table({"score": pa.array(scores, pa.float64()),
+                         "doc_id": pa.array(ids, pa.uint64())})
+
+
+def search(index_dir: str, node, qcfg: QueryConfig | None = None,
+           with_urls: bool = False, distributed: bool | None = None
+           ) -> pa.Table:
+    """Top-k search over a built index. Returns (rank, doc_id, score[, url]).
+
+    With S doc-buckets the per-bucket scorers run as Ray tasks (buckets
+    partition the doc space; their top-k lists merge loss-free). A
+    single-bucket index scores in-process — the driver is already the merge
+    point, and for one bucket the task round-trip is pure overhead.
+    """
+    qcfg = qcfg or QueryConfig()
+    reader = IndexReader(index_dir)
+    S = reader.S
+    if distributed is None:
+        distributed = S > 1
+    if distributed and S > 1:
+        import ray.data
+
+        ctrl = ray.data.from_items([{"bucket": b} for b in range(S)])
+        res = ctrl.repartition(S).map_batches(
+            _ScoreBuckets(index_dir, node, qcfg),
+            batch_format="pyarrow", batch_size=1)
+        t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+        parts = [list(zip(t.column("score").to_pylist(),
+                          t.column("doc_id").to_pylist()))]
+        hits = merge_topk(parts, qcfg.k)
+    else:
+        hits = search_bucket(index_dir, node, qcfg, None)
+
+    doc_ids = [d for _, d in hits]
+    cols = {
+        "rank": pa.array(range(1, len(hits) + 1), pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.uint64()),
+        "score": pa.array([s for s, _ in hits], pa.float64()),
+    }
+    if with_urls:
+        urls = reader.urls_for(doc_ids)
+        cols["url"] = pa.array([urls.get(d, "") for d in doc_ids])
+    return pa.table(cols)
