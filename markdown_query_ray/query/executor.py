@@ -312,8 +312,8 @@ def wand_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
     """
     entries = []
     for qorder, (w, p) in enumerate(term_entries):
-        if len(p.ids) == 0 or w.termweight <= 0:
-            continue
+        if len(p.ids) == 0:
+            continue  # zero-weight terms stay: they still contribute docs
         ub_global = float(np.max(w.maxpart_block(
             p.blocks.column("max_wdf").to_numpy(),
             p.blocks.column("min_doclen").to_numpy()))) \
@@ -341,14 +341,16 @@ def wand_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
         if cur_doc(entries[0]) == INF:
             break
         theta = heap[0][0] if len(heap) >= k else -1.0
-        # pivot: first index where cumulative ub exceeds theta
+        # pivot: first index where cumulative ub reaches theta. ">=" (not ">")
+        # because a doc whose score exactly ties theta can still displace the
+        # heap top via the ascending-doc_id tie-break (msetcmp.cc:51-59).
         acc = 0.0
         pivot = None
         for i, e in enumerate(entries):
             if cur_doc(e) == INF:
                 break
             acc += e["ub"]
-            if acc > theta:
+            if acc >= theta:
                 pivot = i
                 break
         if pivot is None:
@@ -356,15 +358,23 @@ def wand_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
         pivot_doc = cur_doc(entries[pivot])
 
         if cur_doc(entries[0]) == pivot_doc:
-            # block-max refinement: cumulative per-block bound at pivot_doc
+            # block-max refinement: upper bound on pivot_doc's score. Must
+            # cover EVERY entry whose cursor sits at pivot_doc — including
+            # entries beyond the pivot index (cursor ties) — else the bound
+            # under-counts and docs are wrongly skipped.
             bacc = 0.0
-            for e in entries[: pivot + 1]:
-                if cur_doc(e) == pivot_doc and e["block_ub"] is not None:
-                    b = e["p"].block_of[e["pos"]]
-                    bacc += float(e["block_ub"][b])
-                else:
+            for e in entries:
+                cd = cur_doc(e)
+                if cd == pivot_doc:
+                    if e["block_ub"] is not None:
+                        b = e["p"].block_of[e["pos"]]
+                        bacc += float(e["block_ub"][b])
+                    else:
+                        bacc += e["ub"]
+                elif cd < pivot_doc:
                     bacc += e["ub"]
-            if bacc <= theta:
+                # cd > pivot_doc: term cannot match pivot_doc
+            if bacc < theta:  # strict: ties must still be evaluated
                 # cannot qualify: advance the leading terms past pivot_doc
                 for e in entries:
                     if cur_doc(e) == pivot_doc:

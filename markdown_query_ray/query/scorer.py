@@ -37,11 +37,11 @@ class TermWeight:
             return
         tw = (n_docs - termfreq + 0.5) / (termfreq + 0.5)
         if params.idf_floor and tw < 2.0:
-            tw = tw * 0.5 + 1.0
-        if tw <= 0:
-            w = 0.0  # classic profile can go negative-idf; clamp at 0 weight
-        else:
-            w = math.log(tw)
+            tw = tw * 0.5 + 1.0  # xapian negative-idf floor (bm25weight.cc:106)
+        w = math.log(tw)
+        if not params.idf_floor and w < 0.0:
+            w = 0.0  # classic profile: clamp negative idf (standard practice,
+            #          keeps WAND bounds nonnegative; mirrored in oracle SQL)
         if params.wqf_factor and params.k3 != 0:
             w *= (params.k3 + 1.0) * wqf / (params.k3 + wqf)
         if params.k1_plus_1_factor:

@@ -48,7 +48,9 @@ class OracleIndex:
         tw = (self.n_docs - df + 0.5) / (df + 0.5)
         if params.idf_floor and tw < 2:
             tw = tw * 0.5 + 1
-        w = math.log(tw) if tw > 0 else 0.0
+        w = math.log(tw)
+        if not params.idf_floor and w < 0:
+            w = 0.0  # classic profile clamps negative idf (matches engine)
         if params.wqf_factor and params.k3 != 0:
             w *= (params.k3 + 1) * wqf / (params.k3 + wqf)
         if params.k1_plus_1_factor:
