@@ -1,0 +1,237 @@
+"""Query compiler: reference query strings -> AST.
+
+Rebuilds the reference's two-layer parse (SURVEY.md §2.4):
+
+1. Operator splitter (src/interactive/xapian_utils.rs:578-654): the query is
+   case-sensitively split on the FIRST occurrence of an operator keyword
+   (in the reference's alternation order), the left chunk is parsed, and the
+   fold continues on the remainder — strictly left-associative, no
+   precedence, depth capped at 50 (xapian_utils.rs:648-650).
+2. Chunk parser (xapian_utils.rs:434-479 + the exercised Xapian QueryParser
+   subset): tokens are ``quoted | tagged | word``; with no operator context
+   each token is parsed individually and OR-joined, and — because each token
+   is then the "final word" of its mini-query under FLAG_PARTIAL — every
+   term wildcard-expands: ``tok`` compiles to
+   ``OR(SYNONYM(WILDCARD tok*), Z<stem(tok)>)``
+   (queryparser_internal.cc:506-530, 3434-3446).
+
+Field tags map to the reference's prefixes (xapian_utils.rs:360-394):
+fullpath->U subtitle->XS author->A title->S date->D tag->K; unknown tags
+fall through as a phrase-join on ':' (queryparser_internal.cc:560-566).
+
+Known divergences (documented; positions are not indexed in round 1):
+PHRASE/NEAR evaluate as AND of unstemmed terms; RANGE/``>``/``<`` parse but
+match nothing (the reference sets no value slots, so Xapian's value ops match
+nothing there too — SURVEY.md §2.5 L10); SCALED applies scale 1.0; ELITE
+evaluates as OR.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..functions.snowball import stem as snowball_stem
+from ..functions.xapian_tokenizer import tokenize
+from .ast import (
+    And,
+    AndMaybe,
+    AndNot,
+    Filter,
+    Or,
+    Phrase,
+    ScaleWeight,
+    Synonym,
+    Term,
+    Wildcard,
+    Xor,
+)
+
+
+class QueryError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNothing:
+    """Matches no documents (Xapian's Query::MatchNothing)."""
+
+
+# Reference alternation order (xapian_utils.rs:588-633): longest first where
+# prefixes overlap; matched case-sensitively as standalone uppercase words.
+_OPERATORS = ["AND MAYBE", "AND NOT", "SYNONYM", "FILTER", "PHRASE",
+              "SCALED", "ELITE", "RANGE", "NEAR", "AND", "XOR", "OR"]
+_OP_RE = re.compile(
+    r"(?<![A-Za-z0-9_])(" + "|".join(re.escape(o) for o in _OPERATORS)
+    + r")(?![A-Za-z0-9_])")
+
+_FIELD_PREFIXES = {
+    "fullpath": "U", "subtitle": "XS", "author": "A",
+    "title": "S", "date": "D", "tag": "K",
+}
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_TOKEN_RE = re.compile(
+    r"\"(?P<dq>[^\"]*)\""          # "quoted"
+    r"|'(?P<sq>[^']*)'"            # 'quoted'
+    r"|(?P<tagged>[A-Za-z0-9_]+):(?:\"(?P<tdq>[^\"]*)\"|'(?P<tsq>[^']*)'"
+    r"|(?P<tval>[A-Za-z0-9_]+))"   # word:(quoted|word)
+    r"|(?P<word>[A-Za-z0-9_]+)"    # bare word
+)
+
+DEPTH_CAP = 50
+
+
+def _partial_term(tok: str, prefix: str = ""):
+    """FLAG_PARTIAL compile of one token:
+    OR(SYNONYM(WILDCARD prefix+tok*), Z+prefix+stem(tok))."""
+    tok = tok.lower()
+    stemmed = snowball_stem(tok)
+    return Or((Synonym((Wildcard(prefix + tok),)),
+               Term("Z" + prefix + stemmed)))
+
+
+def _phrase_node(text: str, prefix: str = ""):
+    terms = [prefix + t for t in tokenize(text)]
+    if not terms:
+        return MatchNothing()
+    if len(terms) == 1:
+        # single quoted word: unstemmed exact term
+        return Term(terms[0])
+    return Phrase(tuple(terms), window=len(terms))
+
+
+def parse_chunk(chunk: str):
+    """Operator-free chunk: tokens parsed individually and OR-joined
+    (xapian_utils.rs:455-479)."""
+    parts = []
+    for m in _TOKEN_RE.finditer(chunk):
+        if m.group("dq") is not None:
+            parts.append(_phrase_node(m.group("dq")))
+        elif m.group("sq") is not None:
+            parts.append(_phrase_node(m.group("sq")))
+        elif m.group("tagged") is not None:
+            field = m.group("tagged").lower()
+            value = m.group("tdq") or m.group("tsq") or m.group("tval") or ""
+            prefix = _FIELD_PREFIXES.get(field)
+            if prefix is None:
+                # unknown field: Xapian phrase-joins on ':'
+                # (queryparser_internal.cc:560-566)
+                parts.append(_phrase_node(f"{field} {value}"))
+            elif m.group("tval") is not None:
+                parts.append(_partial_term(value, prefix))
+            else:
+                parts.append(_phrase_node(value, prefix))
+        elif m.group("word") is not None:
+            parts.append(_partial_term(m.group("word")))
+    parts = [p for p in parts if not isinstance(p, MatchNothing)]
+    if not parts:
+        return MatchNothing()
+    if len(parts) == 1:
+        return parts[0]
+    return Or(tuple(parts))
+
+
+def _fold(left, op: str, right):
+    """Left-associative fold step (Query::add_right, xapian_utils.rs:688-703).
+    MatchNothing propagation follows Xapian: OR/XOR drop the empty side, AND-
+    like ops annihilate, AND_NOT/AND_MAYBE/FILTER keep the left."""
+    lempty = isinstance(left, MatchNothing)
+    rempty = isinstance(right, MatchNothing)
+    if op == "OR" or op == "ELITE":
+        if lempty:
+            return right
+        if rempty:
+            return left
+        return Or((left, right))
+    if op == "XOR":
+        if lempty:
+            return right
+        if rempty:
+            return left
+        return Xor((left, right))
+    if op == "AND":
+        if lempty or rempty:
+            return MatchNothing()
+        return And((left, right))
+    if op == "AND NOT":
+        if lempty:
+            return MatchNothing()
+        if rempty:
+            return left
+        return AndNot(left, right)
+    if op == "AND MAYBE":
+        if lempty:
+            return MatchNothing()
+        if rempty:
+            return left
+        return AndMaybe(left, right)
+    if op == "FILTER":
+        if lempty or rempty:
+            return MatchNothing()
+        return Filter(left, right)
+    if op == "SYNONYM":
+        # synonym over the concrete terms of both sides
+        terms = tuple(Term(t) for t in _synonym_terms(left)
+                      + _synonym_terms(right))
+        return Synonym(terms) if terms else MatchNothing()
+    if op == "PHRASE" or op == "NEAR":
+        # positional window ops; positions not indexed -> AND semantics
+        if lempty or rempty:
+            return MatchNothing()
+        return And((left, right))
+    if op == "SCALED":
+        if lempty:
+            return MatchNothing()
+        return ScaleWeight(left if rempty else And((left, right)), 1.0)
+    if op == "RANGE":
+        # the reference sets no value slots: value ranges match nothing
+        return MatchNothing()
+    raise QueryError(f"unknown operator {op!r}")
+
+
+def _synonym_terms(node) -> list[str]:
+    from .ast import query_terms
+
+    if isinstance(node, MatchNothing):
+        return []
+    terms = query_terms(node)
+    # include wildcard prefixes' stems too? keep concrete terms only
+    if not terms and isinstance(node, Or):
+        # partial-compiled single token: take the Z-stem term
+        pass
+    return terms
+
+
+def parse_user_query(q: str):
+    """Full parse: operator split + left fold (xapian_utils.rs:578-654)."""
+    q = q.strip()
+    if not q:
+        return MatchNothing()
+    node = None
+    depth = 0
+    rest = q
+    pending_op = None
+    while True:
+        m = _OP_RE.search(rest)
+        if m is None:
+            chunk = rest
+            trailing = None
+        else:
+            chunk = rest[: m.start()]
+            trailing = m.group(1)
+            rest = rest[m.end():]
+        sub = parse_chunk(chunk)
+        if node is None:
+            node = sub
+        else:
+            node = _fold(node, pending_op, sub)
+        if trailing is None:
+            break
+        pending_op = trailing
+        depth += 1
+        if depth > DEPTH_CAP:
+            raise QueryError(
+                f"operator chain deeper than {DEPTH_CAP} (reference cap, "
+                "xapian_utils.rs:648-650)")
+    return node if node is not None else MatchNothing()

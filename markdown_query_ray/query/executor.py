@@ -145,6 +145,11 @@ class Evaluator:
 
     # -- tree evaluation -----------------------------------------------------
     def evaluate(self, node) -> ScoredSet:
+        from .compiler import MatchNothing
+
+        if isinstance(node, MatchNothing):
+            return ScoredSet.empty()
+
         if isinstance(node, Term):
             p = self.postings(node.text)
             if len(p.ids) == 0:
