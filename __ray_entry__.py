@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in markdown_query_ray) calls ``ray.init`` / ``ray.shutdown``.
+
+The BM25/boolean entries run the REAL inverted-index engine end to end
+(build -> salted merge shuffle -> varint posting blocks -> WAND top-k) in
+"simple" tokenizer mode whose semantics are exactly reproducible in ANSI SQL,
+so the DuckDB match validates the whole pipeline, not a reimplementation.
 """
 
 from __future__ import annotations
@@ -18,27 +19,163 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STOPWORDS_SQL = "('the','and','for','was','with','that','this','are'," \
+    "'from','have','a','an','of','to','in','is','it','on')"
+
+# tokens CTE for BM25 entries (matches simple_tokenize: lowercase,
+# single-space split, empties dropped)
+_TOKS = ("WITH toks AS (SELECT doc_id, unnest(list_filter("
+         "string_split(lower(text), ' '), x -> x <> '')) AS term "
+         "FROM documents), "
+         "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks "
+         "GROUP BY doc_id), "
+         "st AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) "
+         "AS n_docs, (SELECT sum(dl) FROM dl) / CAST((SELECT count(*) "
+         "FROM documents) AS DOUBLE) AS avgdl) ")
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    """Classic-profile BM25 (k1=1.2, b=0.75, idf clamped at 0) over the
+    simple-tokenized documents table; mirrors TermWeight/sumpart exactly
+    (markdown_query_ray/query/scorer.py)."""
+    per_term = " UNION ALL ".join(
+        f"SELECT tf.doc_id, "
+        f"greatest(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5)), 0.0) * "
+        f"(tf.tf / (1.2 * ((dl.dl * (1.0 / st.avgdl)) * 0.75 + 0.25) "
+        f"+ tf.tf)) AS s "
+        f"FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM toks "
+        f"WHERE term = '{t}' GROUP BY doc_id) tf, "
+        f"(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+        f"WHERE term = '{t}') df, st, dl WHERE dl.doc_id = tf.doc_id"
+        for t in terms)
+    return (
+        _TOKS +
+        f", scored AS (SELECT doc_id, sum(s) AS score FROM ({per_term}) "
+        f"GROUP BY doc_id) "
+        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) "
+        f"AS BIGINT) AS rank, doc_id, round(score, 6) AS score "
+        f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
+
+
+def _bool_sql(op: str, t1: str, t2: str) -> str:
+    base = ("WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(lower(text), ' '), x -> x <> '')) AS term "
+            "FROM documents), "
+            f"a AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{t1}'), "
+            f"b AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{t2}') ")
+    body = {
+        "and": "SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b",
+        "and_not": "SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b",
+        "xor": ("SELECT doc_id FROM ((SELECT doc_id FROM a UNION "
+                "SELECT doc_id FROM b) EXCEPT (SELECT doc_id FROM a "
+                "INTERSECT SELECT doc_id FROM b))"),
+    }[op]
+    return base + f"SELECT doc_id FROM ({body}) ORDER BY doc_id"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize Common-Crawl
+    pages from the documents table, build the full xapian-mode index
+    (extract -> tokenize+stem -> salted shuffle -> varint blocks), run a
+    compiled natural-language query through block-max WAND."""
+    from markdown_query_ray.pipelines.driver_api import flagship_search
+
+    return flagship_search("/root/testdata/sf0.001",
+                           query="the fast merge", k=20)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from markdown_query_ray.pipelines import driver_api as d
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- inverted index + BM25 (engine end to end, SQL-checked) ----------
+        "bm25_single_term": lambda sf: d.bm25_topk(sf, ["merge"], k=20),
+        "bm25_or3": lambda sf: d.bm25_topk(sf, ["merge", "sort", "window"],
+                                           k=20),
+        "bool_and": lambda sf: d.boolean_docs(sf, "and", "merge", "sort"),
+        "bool_and_not": lambda sf: d.boolean_docs(sf, "and_not", "merge",
+                                                  "sort"),
+        "bool_xor": lambda sf: d.boolean_docs(sf, "xor", "merge", "sort"),
+        # -- text analysis ---------------------------------------------------
+        "doc_token_counts": d.doc_token_counts,
+        "term_df_top50": lambda sf: d.term_df_top(sf, 50),
+        "lang_doc_stats": d.lang_doc_stats,
+        "quality_features": d.quality_features,
+        # -- dedup -----------------------------------------------------------
+        "dedup_exact": d.dedup_exact_ids,
+        # -- similarity ------------------------------------------------------
+        "knn_cosine_top10": lambda sf: d.knn_cosine(sf, 0, 10),
+        # -- stream-shaped ---------------------------------------------------
+        "events_tumbling_1h": d.events_tumbling,
+        "events_sessions_30m": d.events_sessions,
+        # -- relational smoke ------------------------------------------------
+        "tpch_q1ish": d.tpch_q1ish,
+        # -- rows-only (non-SQL-expressible; driver records weaker check) ----
+        "flagship_xapian_search": lambda sf: d.flagship_search(sf),
+        "minhash_dedup_pairs": d.minhash_pairs,
+        "simhash_pairs": d.simhash_near_pairs,
+        "lsh_ann_top10": d.lsh_ann_topk,
+        "langid": d.langid_preds,
+        "doc_fingerprints": d.fingerprints,
+        "multimodal_features": d.multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_single_term": _bm25_sql(["merge"], 20),
+        "bm25_or3": _bm25_sql(["merge", "sort", "window"], 20),
+        "bool_and": _bool_sql("and", "merge", "sort"),
+        "bool_and_not": _bool_sql("and_not", "merge", "sort"),
+        "bool_xor": _bool_sql("xor", "merge", "sort"),
+        "doc_token_counts": (
+            "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents "
+            "ORDER BY doc_id"),
+        "term_df_top50": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS term FROM documents) "
+            "SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+            "CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term "
+            "ORDER BY df DESC, term LIMIT 50"),
+        "lang_doc_stats": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents "
+            "GROUP BY lang ORDER BY lang"),
+        "quality_features": (
+            "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_filter(string_split(text, ' '), "
+            f"x -> x IN {_STOPWORDS_SQL})) AS BIGINT) AS n_stopwords, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM documents "
+            "ORDER BY doc_id"),
+        "dedup_exact": (
+            "SELECT doc_id FROM (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY text) ORDER BY doc_id"),
+        "knn_cosine_top10": (
+            "SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) "
+            "AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim FROM "
+            "(SELECT vec_id, list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS "
+            "DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS sim "
+            "FROM embeddings) ORDER BY sim DESC, vec_id LIMIT 10"),
+        "events_tumbling_1h": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 6) AS sum_value FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "events_sessions_30m": (
+            "WITH l AS (SELECT event_id, user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events) SELECT event_id, user_id, CAST(sum(CASE WHEN "
+            "prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes' "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+            "FROM l ORDER BY event_id"),
+        "tpch_q1ish": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+    }

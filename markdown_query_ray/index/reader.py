@@ -38,7 +38,10 @@ class IndexReader:
 
     @property
     def avg_doclen(self) -> float:
-        return self.gstats["avg_doclen"]
+        # exact int/int division (not the stored float mean): bit-identical
+        # to the oracle SQL's sum(dl)/count(*) and stable across block orders
+        n = self.gstats["n_docs"]
+        return (self.gstats["total_doclen"] / n) if n else 0.0
 
     @property
     def doclen_lb(self) -> int:

@@ -1,0 +1,338 @@
+"""Driver-contract pipelines: the callables behind ``__ray_entry__.queries()``.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+pyarrow Table whose column names/values match the corresponding
+``oracle_sql()`` entry exactly (the driver hashes values after sorting columns
+by name).
+
+The BM25 entries run the REAL engine end to end — build (or reuse) an index
+over the documents table in "simple" tokenizer mode (lowercase
+single-space split, no stems: exactly reproducible in SQL), then score
+through the posting-list executor — so a DuckDB match validates the whole
+pipeline: docids, shuffle, codec, stats, scoring, top-k.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .. import __version__
+from ..config import BM25Params, IndexConfig, QueryConfig
+from ..index.build import build_index
+from ..index.reader import IndexReader
+from ..query import executor as qx
+from ..query.ast import And, AndNot, Or, Term, Xor
+
+_CACHE_ROOT = "/tmp/mdq_ray_cache"
+
+
+def _docs_dataset(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        urls = [f"doc://{d}" for d in batch.column("doc_id").to_pylist()]
+        return batch.append_column("url", pa.array(urls, pa.string()))
+
+    return ds.map_batches(add_url, batch_format="pyarrow")
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (once, cached+resumable) a simple-mode index over the documents
+    table; doc_ids are the table's own doc_id column."""
+    key = hashlib.md5(f"{sf_dir}|v{__version__}|simple".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"docs-{key}")
+    done = os.path.join(out, "_INDEX_DONE")
+    if not os.path.exists(done):
+        cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=8,
+                          num_doc_buckets=1, block_size=128)
+        build_index(out, dataset=_docs_dataset(sf_dir), cfg=cfg)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+ROUND = 6
+
+
+def _round_col(t: pa.Table, col: str, digits: int = ROUND) -> pa.Table:
+    vals = [None if v is None else round(float(v), digits)
+            for v in t.column(col).to_pylist()]
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pa.array(vals, pa.float64()))
+
+
+def bm25_topk(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    """(rank, doc_id, score) for a weighted-OR query, classic BM25 profile."""
+    idx = documents_index(sf_dir)
+    node = Term(terms[0]) if len(terms) == 1 \
+        else Or(tuple(Term(t) for t in terms))
+    qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)
+    out = qx.search(idx, node, qcfg)
+    out = out.select(["rank", "doc_id", "score"])
+    out = out.set_column(1, "doc_id",
+                         out.column("doc_id").cast(pa.int64()))
+    return _round_col(out, "score")
+
+
+def boolean_docs(sf_dir: str, kind: str, t1: str, t2: str) -> pa.Table:
+    """Full (not top-k) doc_id result of a boolean op over two terms."""
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    ev = qx.Evaluator(reader, BM25Params.classic())
+    node = {"and": And((Term(t1), Term(t2))),
+            "and_not": AndNot(Term(t1), Term(t2)),
+            "xor": Xor((Term(t1), Term(t2)))}[kind]
+    res = ev.evaluate(node)
+    ids = np.sort(res.ids.astype(np.int64))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def doc_token_counts(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .textstats import token_count_batch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = _collect(ds.map_batches(token_count_batch, batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
+def term_df_top(sf_dir: str, n: int = 50) -> pa.Table:
+    import ray.data
+
+    from .textstats import term_df
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = _collect(term_df(ds, top_n=n))
+    return pa.table({
+        "term": t.column("term"),
+        "df": t.column("df").cast(pa.int64()),
+        "cf": t.column("cf").cast(pa.int64()),
+    })
+
+
+def lang_doc_stats(sf_dir: str) -> pa.Table:
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"))
+    t = _collect(agg).sort_by("lang")
+    return pa.table({
+        "lang": t.column("lang"),
+        "n_docs": t.column("n_docs").cast(pa.int64()),
+        "sum_chars": t.column("sum_chars").cast(pa.int64()),
+    })
+
+
+def quality_features(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .textstats import quality_batch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(quality_batch, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def dedup_exact_ids(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .dedup import exact_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = _collect(exact_dedup(ds)).sort_by("doc_id")
+    return pa.table({"doc_id": t.column("doc_id").cast(pa.int64())})
+
+
+def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .similarity import knn_bruteforce
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qrow = emb.filter(
+        pa.compute.equal(emb.column("vec_id"), query_vec_id))
+    q = np.array(qrow.column("embedding").to_pylist()[0], np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    t = knn_bruteforce(ds, q[None, :], k=k)
+    t = t.select(["rank", "vec_id", "sim"])
+    return _round_col(t, "sim")
+
+
+def events_tumbling(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .windows import tumbling_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    t = _collect(tumbling_counts(ds, minutes=60))
+    t = t.sort_by([("event_type", "ascending"), ("window_start", "ascending")])
+    out = pa.table({
+        "event_type": t.column("event_type"),
+        "window_start": t.column("window_start").cast(pa.timestamp("us")),
+        "n_events": t.column("n_events").cast(pa.int64()),
+        "sum_value": t.column("sum_value").cast(pa.float64()),
+    })
+    return _round_col(out, "sum_value")
+
+
+def events_sessions(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .windows import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+    t = _collect(sessionize(ds, gap_minutes=30)).sort_by("event_id")
+    return pa.table({
+        "event_id": t.column("event_id").cast(pa.int64()),
+        "user_id": t.column("user_id").cast(pa.int64()),
+        "session_id": t.column("session_id").cast(pa.int64()),
+    })
+
+
+def tpch_q1ish(sf_dir: str) -> pa.Table:
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Count(alias_name="n_rows"))
+    t = _collect(agg).sort_by([("l_returnflag", "ascending"),
+                               ("l_linestatus", "ascending")])
+    out = pa.table({
+        "l_returnflag": t.column("l_returnflag"),
+        "l_linestatus": t.column("l_linestatus"),
+        "sum_qty": t.column("sum_qty").cast(pa.int64()),
+        "sum_price": t.column("sum_price").cast(pa.float64()),
+        "n_rows": t.column("n_rows").cast(pa.int64()),
+    })
+    return _round_col(out, "sum_price", 2)
+
+
+# ---- rows-only (non-SQL-expressible) pipelines ----------------------------
+
+def flagship_search(sf_dir: str, query: str = "the fast merge",
+                    k: int = 20) -> pa.Table:
+    """Full xapian-mode pipeline over pages synthesized from the documents
+    table: html wrap -> extract -> tokenize+stem -> salted shuffle ->
+    varint blocks -> compile query -> WAND top-k."""
+    import ray.data
+
+    from ..fixtures import pages_from_documents
+    from ..query.compiler import parse_user_query
+
+    key = hashlib.md5(
+        f"{sf_dir}|v{__version__}|xapian".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"pages-{key}")
+    done = os.path.join(out, "_INDEX_DONE")
+    if not os.path.exists(done):
+        pages = pages_from_documents(sf_dir)
+        ids = pages.column("url").to_pylist()
+        pages = pages.append_column(
+            "doc_id", pa.array(np.arange(len(ids), dtype=np.uint64)))
+        ds = ray.data.from_arrow(pages).map_batches(
+            lambda b: b, batch_format="pyarrow")
+        cfg = IndexConfig(tokenizer="xapian", stem=True, num_term_parts=8,
+                          num_doc_buckets=2, block_size=128)
+        build_index(out, dataset=ds, cfg=cfg, total_docs=len(ids))
+        with open(done, "w") as f:
+            f.write("ok")
+    node = parse_user_query(query)
+    return qx.search(out, node, QueryConfig(k=k, params=BM25Params.xapian()),
+                     with_urls=True)
+
+
+def minhash_pairs(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .dedup import minhash_dedup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def simhash_near_pairs(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=6)
+
+
+def lsh_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .similarity import lsh_ann
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.column("embedding").to_pylist()[:3], np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return lsh_ann(ds, q, k=k)
+
+
+def langid_preds(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .textstats import LangIdStage
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return _collect(ds.map_batches(LangIdStage, batch_format="pyarrow",
+                                   concurrency=2)).sort_by("doc_id")
+
+
+def fingerprints(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .textstats import fingerprint_batch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return _collect(ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def multimodal_features(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .multimodal import make_media_table, media_features
+
+    media = make_media_table(200)
+    ds = ray.data.from_arrow(media)
+    return _collect(media_features(ds)).sort_by("media_id")
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a (small, aggregated) Dataset result to one Table."""
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return t

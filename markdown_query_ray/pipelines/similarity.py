@@ -1,0 +1,232 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — one numpy matmul per batch against
+  a broadcast query matrix (``ray.put`` once, read in every task), per-batch
+  partial top-k, driver merge. The baseline and the oracle.
+- ``lsh_ann``: random-hyperplane LSH buckets -> candidate set -> exact
+  rerank. The scale path: the bucketing is a map-side hash, the rerank only
+  touches candidate buckets.
+- ``ivf_ann``: IVF with a deterministic k-means-lite coarse quantizer;
+  probes ``nprobe`` nearest centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy-ish)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _cosine(queries: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """(q, n) cosine similarities as dot/(|a|*|b|) — the same formula shape
+    DuckDB's list_cosine_similarity uses, so oracle comparisons agree to the
+    rounding digit. Zero vectors get similarity 0."""
+    qn = np.linalg.norm(queries, axis=1)[:, None]
+    mn = np.linalg.norm(mat, axis=1)[None, :]
+    denom = qn * mn
+    denom[denom == 0] = 1.0
+    return (queries @ mat.T) / denom
+
+
+class _BruteForceScore:
+    """map_batches body: broadcast query matrix via ray.put (fetched once per
+    task from the object store, zero-copy)."""
+
+    def __init__(self, queries_ref, k: int):
+        self.queries_ref = queries_ref
+        self.k = k
+        self._queries = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._queries is None:
+            self._queries = ray.get(self.queries_ref)
+        sims = _cosine(self._queries, _to_matrix(batch.column("embedding")))
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # partial top-k within the batch (argpartition, then exact sort)
+            idx = np.argpartition(-row, k - 1)[:k] if k < len(row) \
+                else np.arange(len(row))
+            order = idx[np.lexsort((vec_ids[idx], -row[idx]))]
+            out_q.extend([qi] * len(order))
+            out_v.extend(vec_ids[order].tolist())
+            out_s.extend(row[order].tolist())
+        return pa.table({
+            "query_idx": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+
+def knn_bruteforce(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
+    """Exact cosine top-k for each query row. Returns
+    (query_idx, rank, vec_id, sim) with ties broken by vec_id asc."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, np.float64))
+    partials = ds.map_batches(_BruteForceScore(qref, k),
+                              batch_format="pyarrow", batch_size=8192)
+    pdf = partials.to_pandas()
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qi, grp in pdf.groupby("query_idx"):
+        grp = grp.sort_values(["sim", "vec_id"],
+                              ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(grp.iterrows(), start=1):
+            out_q.append(int(qi))
+            out_r.append(r)
+            out_v.append(int(row["vec_id"]))
+            out_s.append(float(row["sim"]))
+    return pa.table({
+        "query_idx": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "sim": pa.array(out_s, pa.float64()),
+    })
+
+
+class LshBucketStage:
+    """Random-hyperplane signature per vector (planes fixed by seed)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column("embedding"))
+        bits = (mat @ self.planes.T) > 0
+        sig = np.zeros(len(mat), np.int64)
+        for i in range(self.planes.shape[0]):
+            sig |= bits[:, i].astype(np.int64) << i
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "bucket": pa.array(sig, pa.int64()),
+        })
+
+
+def lsh_ann(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
+            seed: int = 11, multiprobe: int = 1) -> pa.Table:
+    """ANN via hyperplane LSH: candidates = vectors in the query's bucket
+    (plus buckets within Hamming distance ``multiprobe``), exact cosine
+    rerank. Returns (query_idx, rank, vec_id, sim)."""
+    dim = queries.shape[1]
+    stage = LshBucketStage(dim, n_planes, seed)
+    buckets = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    qbits = (np.asarray(queries, np.float64) @ stage.planes.T) > 0
+    qsig = np.zeros(len(queries), np.int64)
+    for i in range(n_planes):
+        qsig |= qbits[:, i].astype(np.int64) << i
+
+    # candidate buckets per query (multiprobe by flipping <= multiprobe bits)
+    def probes(sig: int):
+        yield sig
+        if multiprobe >= 1:
+            for i in range(n_planes):
+                yield sig ^ (1 << i)
+
+    by_bucket = buckets.groupby("bucket")["vec_id"].apply(list).to_dict()
+    # rerank: fetch candidate embeddings once
+    need = sorted({v for s in qsig for b in probes(int(s))
+                   for v in by_bucket.get(b, [])})
+    emb = {}
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids = b.column("vec_id").to_pylist()
+        mat = _to_matrix(b.column("embedding"))
+        for i, v in enumerate(ids):
+            if v in set(need):
+                emb[v] = mat[i]
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qi in range(len(queries)):
+        cand = sorted({v for b in probes(int(qsig[qi]))
+                       for v in by_bucket.get(b, [])})
+        if not cand:
+            continue
+        mat = np.stack([emb[v] for v in cand])
+        sims = _cosine(queries[qi:qi + 1], mat)[0]
+        order = np.lexsort((cand, -sims))[:k]
+        for r, oi in enumerate(order, start=1):
+            out_q.append(qi)
+            out_r.append(r)
+            out_v.append(int(cand[oi]))
+            out_s.append(float(sims[oi]))
+    return pa.table({
+        "query_idx": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "sim": pa.array(out_s, pa.float64()),
+    })
+
+
+def kmeans_lite(mat: np.ndarray, k: int, iters: int = 5,
+                seed: int = 13) -> np.ndarray:
+    """Deterministic small k-means (random init from seed, fixed iters) —
+    the IVF coarse quantizer."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)),
+                               replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(centroids)):
+            sel = assign == c
+            if sel.any():
+                centroids[c] = mat[sel].mean(0)
+    return centroids
+
+
+def ivf_ann(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
+            nprobe: int = 4, seed: int = 13) -> pa.Table:
+    """IVF ANN: coarse k-means partition (trained on a driver-side sample),
+    probe the ``nprobe`` nearest lists, exact rerank within them."""
+    sample = ds.limit(2048).to_pandas()
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    centroids = kmeans_lite(smat, n_lists, seed=seed)
+
+    import ray
+
+    cref = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _to_matrix(batch.column("embedding"))
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "list_id": pa.array(d.argmin(1), pa.int64()),
+            "embedding": batch.column("embedding"),
+        })
+
+    assigned = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
+    qd = ((np.asarray(queries)[:, None, :] - centroids[None, :, :]) ** 2
+          ).sum(-1)
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qi in range(len(queries)):
+        lists = np.argsort(qd[qi])[:nprobe]
+        cand = assigned[assigned["list_id"].isin(lists)]
+        if not len(cand):
+            continue
+        mat = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+        sims = _cosine(queries[qi:qi + 1], mat)[0]
+        ids = cand["vec_id"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        for r, oi in enumerate(order, start=1):
+            out_q.append(qi)
+            out_r.append(r)
+            out_v.append(int(ids[oi]))
+            out_s.append(float(sims[oi]))
+    return pa.table({
+        "query_idx": pa.array(out_q, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "sim": pa.array(out_s, pa.float64()),
+    })
