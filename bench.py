@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Headline benchmark for the Ray-Data-native index+query engine.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the SAME index build twice in fresh subprocesses
+(num_cpus=8 then num_cpus=32) over an identical deterministic corpus and
+reports docs/s at both plus scaling efficiency = (tput32/tput8)/4 — the
+single-node evidence for the north rule's N -> 4N cluster criterion
+(BASELINE.json: scaling efficiency >= 0.8). Numbers are recorded in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR_DEFAULT = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS_DEFAULT = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "24000"))
+SCRATCH = "/tmp/mdq_ray_bench"
+
+
+def _fresh(path: str) -> str:
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _build_pages_index(pages_paths: list[str], out_dir: str,
+                       num_doc_buckets: int = 2) -> dict:
+    from markdown_query_ray.config import IndexConfig
+    from markdown_query_ray.index.build import build_index
+
+    cfg = IndexConfig(tokenizer="xapian", stem=True, num_term_parts=16,
+                      num_doc_buckets=num_doc_buckets, block_size=128)
+    return build_index(out_dir, paths=pages_paths, cfg=cfg)
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+
+    import pyarrow.parquet as pq
+
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.fixtures import pages_from_documents
+    from markdown_query_ray.pipelines import driver_api as d
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.compiler import parse_user_query
+
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *exc):
+                timings[name] = round(time.perf_counter() - self.t0, 4)
+                return False
+        return _T()
+
+    # ---- headline: full xapian-mode index build (fresh, uncached) ----------
+    scratch = _fresh(os.path.join(SCRATCH, "main"))
+    pages_path = os.path.join(scratch, "pages.parquet")
+    pages = pages_from_documents(sf_dir)
+    pq.write_table(pages, pages_path, row_group_size=512)
+    n_docs = len(pages)
+    del pages
+    idx_dir = os.path.join(scratch, "index")
+    with timed("index_build"):
+        _build_pages_index([pages_path], idx_dir)
+
+    # ---- queries over the built index --------------------------------------
+    qc_wand = QueryConfig(k=100, params=BM25Params.xapian(), use_wand=True)
+    with timed("search_nl_wand"):
+        qx.search(idx_dir, parse_user_query("the fast merge sort"), qc_wand)
+    with timed("search_boolean"):
+        qx.search(idx_dir, parse_user_query("merge AND sort"), qc_wand)
+    with timed("search_wildcard"):
+        qx.search(idx_dir, parse_user_query("mer"), qc_wand)
+
+    # ---- training-data pipelines over the sf tables ------------------------
+    with timed("dedup_exact"):
+        d.dedup_exact_ids(sf_dir)
+    with timed("dedup_minhash"):
+        d.minhash_pairs(sf_dir)
+    with timed("knn_cosine"):
+        d.knn_cosine(sf_dir, 0, 10)
+    with timed("quality_features"):
+        d.quality_features(sf_dir)
+    with timed("events_sessions"):
+        d.events_sessions(sf_dir)
+    with timed("tpch_q1ish"):
+        d.tpch_q1ish(sf_dir)
+
+    total = round(sum(timings.values()), 4)
+    return {
+        "metric": "index_build_plus_pipelines_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "num_cpus": num_cpus,
+        "index_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 2),
+    }
+
+
+# ---------------------------------------------------------------------------
+# scaling mode
+# ---------------------------------------------------------------------------
+
+def _ensure_scaling_corpus(n_docs: int) -> str:
+    """Deterministic pages corpus shared by both scaling runs (generate
+    once; content is a pure function of (seed, row))."""
+    corpus = os.path.join(SCRATCH, f"corpus-{n_docs}")
+    done = os.path.join(corpus, "_DONE")
+    if not os.path.exists(done):
+        from markdown_query_ray.fixtures import write_pages_corpus
+        shutil.rmtree(corpus, ignore_errors=True)
+        write_pages_corpus(corpus, n_docs, n_files=32)
+        with open(done, "w") as f:
+            f.write("ok")
+    return corpus
+
+
+def index_worker(corpus: str, num_cpus: int) -> None:
+    """Subprocess body: fresh Ray session, fresh output dir, one timed
+    index build. Prints one JSON line."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(corpus, "pages-*.parquet")))
+    out = _fresh(os.path.join(SCRATCH, f"scale-idx-{num_cpus}"))
+    t0 = time.perf_counter()
+    gstats = _build_pages_index(paths, out, num_doc_buckets=4)
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    print(json.dumps({
+        "num_cpus": num_cpus,
+        "wall_sec": round(wall, 3),
+        "n_docs": gstats["n_docs"],
+        "docs_per_sec": round(gstats["n_docs"] / wall, 2),
+    }))
+
+
+def run_scaling(n_docs: int, low: int = 8, high: int = 32) -> dict:
+    corpus = _ensure_scaling_corpus(n_docs)
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_index-worker",
+             "--corpus", corpus, "--cpus", str(cpus)],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout + proc.stderr)
+            raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tput_lo = results[low]["docs_per_sec"]
+    tput_hi = results[high]["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (high / low)
+    return {
+        "metric": "indexing_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "queries": {
+            f"build_{low}cpu_sec": results[low]["wall_sec"],
+            f"build_{high}cpu_sec": results[high]["wall_sec"],
+        },
+        "sf": f"synthetic-{n_docs}docs",
+        "num_cpus": high,
+        "docs_per_sec_low": tput_lo,
+        "docs_per_sec_high": tput_hi,
+        "cpus_low": low,
+        "cpus_high": high,
+        "n_docs": n_docs,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf-dir", default=SF_DIR_DEFAULT)
+    ap.add_argument("--cpus", type=int, default=CPUS_DEFAULT)
+    ap.add_argument("--scale-docs", type=int, default=SCALING_DOCS)
+    ap.add_argument("--_index-worker", dest="index_worker",
+                    action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.index_worker:
+        index_worker(args.corpus, args.cpus)
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling(args.scale_docs)))
+        return
+
+    import ray
+
+    out = run_bench(args.sf_dir, args.cpus)
+    print(json.dumps(out))
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,10 @@ class IndexConfig:
     tokenize_concurrency: int | tuple[int, int] | None = None  # actor pool size
     docs_per_bucket: int = 1 << 32   # doc_id -> doc_bucket divisor; at 10^12
                                      # docs set so S buckets cover the id space
+    term_stats_driver_rows: int = 2_000_000
+                                     # term-stat partial rows merged driver-side
+                                     # (one Arrow groupby); above this the merge
+                                     # runs as a distributed Ray groupby
 
     def doc_bucket_of(self, doc_id):
         if self.num_doc_buckets <= 1:

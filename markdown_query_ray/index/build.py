@@ -56,8 +56,9 @@ class ExplodeStage:
     """tokenized doc rows -> flat posting rows with shuffle key.
 
     Stateful actor: the term->part map is cached across batches (Zipf => ~100%
-    hit rate), so the per-posting cost is one dict lookup, with the list
-    flatten/repeat done by Arrow kernels."""
+    hit rate). Per batch, the flat term column is dictionary-encoded so the
+    crc32 partition hash runs once per UNIQUE term; the per-posting expansion
+    is a single numpy gather. List flatten/repeat are Arrow kernels."""
 
     def __init__(self, cfg: IndexConfig, docs_per_bucket: int):
         self.cfg = cfg
@@ -77,13 +78,17 @@ class ExplodeStage:
 
         cache = self._part_cache
         P = cfg.num_term_parts
-        parts = np.empty(len(flat_terms), np.uint32)
-        for i, t in enumerate(flat_terms.to_pylist()):
+        denc = flat_terms.combine_chunks().dictionary_encode()
+        uniq = denc.dictionary.to_pylist()
+        uniq_parts = np.empty(len(uniq), np.uint32)
+        for j, t in enumerate(uniq):
             p = cache.get(t)
             if p is None:
                 p = term_part(t, P)
                 cache[t] = p
-            parts[i] = p
+            uniq_parts[j] = p
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        parts = uniq_parts[idx] if len(idx) else uniq_parts[:0]
         bucket = ((doc_ids // np.uint64(self.docs_per_bucket))
                   % np.uint64(cfg.num_doc_buckets)).astype(np.uint32)
         skey = parts * np.uint32(cfg.num_doc_buckets) + bucket
@@ -109,16 +114,45 @@ def _manifest_row(skey: int, path: str, n_blocks: int, n_postings: int,
     })
 
 
+def _write_atomic(table: pa.Table, path: str, **kw) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, **kw)
+    os.replace(tmp, path)
+
+
+def _stats_partial_from_blocks(blocks: pa.Table) -> pa.Table:
+    """Exact per-term stats for one shuffle group, from its block metadata
+    (the group holds ALL postings of its (term-part, doc-bucket) slice):
+    termfreq = sum n, collfreq = sum wdf, wdf_ub = max wdf."""
+    agg = pa.TableGroupBy(
+        blocks.select(["term", "n", "sum_wdf", "max_wdf"]), "term"
+    ).aggregate([("n", "sum"), ("sum_wdf", "sum"), ("max_wdf", "max")])
+    return pa.table({
+        "term": agg.column("term"),
+        "termfreq": agg.column("n_sum").cast(pa.int64()),
+        "collfreq": agg.column("sum_wdf_sum").cast(pa.int64()),
+        "wdf_ub": agg.column("max_wdf_max").cast(pa.int64()),
+    })
+
+
 def encode_write_group(group: pa.Table, out_dir: str,
                        cfg: IndexConfig) -> pa.Table:
     """map_groups body for one shuffle group: sort by (term, doc_id), encode
-    varint blocks, write one parquet file atomically, return a manifest row.
-    Skips work (resume) when the output file already exists."""
+    varint blocks, write one parquet file atomically (plus the group's exact
+    per-term stats partial), return a manifest row. Skips work (resume) when
+    the output file already exists."""
     t0 = time.perf_counter()
     skey = int(group.column("skey")[0].as_py())
     path = os.path.join(out_dir, "postings", f"part-{skey:06d}.parquet")
+    spath = os.path.join(out_dir, "term_stats_parts",
+                         f"part-{skey:06d}.parquet")
     n_rows = len(group)
     if os.path.exists(path):
+        if not os.path.exists(spath):  # resume across the partial write
+            blocks = pq.read_table(
+                path, columns=["term", "n", "sum_wdf", "max_wdf"])
+            _write_atomic(_stats_partial_from_blocks(blocks), spath)
         meta = pq.ParquetFile(path).metadata
         return _manifest_row(skey, path, meta.num_rows, n_rows, 0,
                              resumed=True, seconds=0.0)
@@ -132,11 +166,9 @@ def encode_write_group(group: pa.Table, out_dir: str,
         g.column("tf").to_numpy().astype(np.uint64),
         g.column("doclen").to_numpy().astype(np.uint64),
         block_size=cfg.block_size)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(blocks, tmp, row_group_size=4096,
-                   use_dictionary=["term"])
-    os.replace(tmp, path)  # atomic commit of this partition
+    _write_atomic(_stats_partial_from_blocks(blocks), spath)
+    _write_atomic(blocks, path, row_group_size=4096,
+                  use_dictionary=["term"])  # postings last: the resume marker
     return _manifest_row(skey, path, len(blocks), n_rows,
                          os.path.getsize(path), resumed=False,
                          seconds=time.perf_counter() - t0)
@@ -159,6 +191,11 @@ def build_index(out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     tok_dir = os.path.join(out_dir, "tokenized")
     tok_done = os.path.join(tok_dir, "_SUCCESS")
+    metrics: dict[str, float] = {}
+    t_start = time.perf_counter()
+
+    def _mark(stage: str, t0: float) -> None:
+        metrics[stage] = round(time.perf_counter() - t0, 3)
 
     if paths is not None and total_docs is None:
         total_docs = sum(file_row_counts(sorted(paths)))
@@ -167,6 +204,7 @@ def build_index(out_dir: str,
         if total_docs else cfg.docs_per_bucket)
 
     # ---- stage 1: extract + tokenize -> staging checkpoint -----------------
+    t0 = time.perf_counter()
     if not os.path.exists(tok_done):
         if dataset is None:
             ds = read_pages(sorted(paths), columns=["url", "html"])
@@ -181,33 +219,50 @@ def build_index(out_dir: str,
         tok.write_parquet(tok_dir)
         with open(tok_done, "w") as f:
             f.write("ok")
+    _mark("extract_tokenize", t0)
 
     tokds = ray.data.read_parquet(tok_dir,
                                   file_extensions=["parquet"])
 
-    # ---- stage 2: docs table + global stats (tiny aggregates) --------------
-    docs_dir = os.path.join(out_dir, "docs")
-    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
-        tokds.select_columns(["doc_id", "url", "doclen"]) \
-             .write_parquet(docs_dir)
-        with open(os.path.join(docs_dir, "_SUCCESS"), "w") as f:
-            f.write("ok")
+    # ---- stage 2: global stats (per-file partials, driver reduce) ----------
+    # The docs table (doc_id, url, doclen) is NOT re-written: tokenized/ IS
+    # the docs table — parquet column pruning makes reading just those three
+    # columns cheap. The doclen aggregate is algebraic (count/sum/min/max),
+    # so it runs as a task-pool map over files (one tiny partial row per
+    # file) + an O(files) driver fold — an all-to-all ``Dataset.aggregate``
+    # here would shuffle for no reason.
+    from ray.data.aggregate import Max, Sum
 
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    t0 = time.perf_counter()
+    tok_files = sorted(
+        os.path.join(tok_dir, f) for f in os.listdir(tok_dir)
+        if f.endswith(".parquet"))
 
-    agg = ray.data.read_parquet(docs_dir, columns=["doclen"]).aggregate(
-        Count(alias_name="n_docs"),
-        Sum("doclen", alias_name="total_doclen"),
-        Min("doclen", alias_name="doclen_lb"),
-        Max("doclen", alias_name="doclen_ub"),
-        Mean("doclen", alias_name="avg_doclen"),
-    )
+    def doclen_partial(batch: pa.Table) -> pa.Table:
+        rows = {"n": [], "s": [], "lo": [], "hi": []}
+        for p in batch.column("path").to_pylist():
+            a = pq.read_table(p, columns=["doclen"]).column("doclen")
+            n = len(a)
+            rows["n"].append(n)
+            rows["s"].append(int(pc.sum(a).as_py() or 0))
+            rows["lo"].append(int(pc.min(a).as_py()) if n else None)
+            rows["hi"].append(int(pc.max(a).as_py()) if n else None)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    partials = ray.data.from_items(
+        [{"path": p} for p in tok_files]).map_batches(
+        doclen_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in partials)
+    total_doclen = sum(r["s"] for r in partials)
+    los = [r["lo"] for r in partials if r["lo"] is not None]
+    his = [r["hi"] for r in partials if r["hi"] is not None]
     gstats = {
-        "n_docs": int(agg["n_docs"]),
-        "total_doclen": int(agg["total_doclen"] or 0),
-        "doclen_lb": int(agg["doclen_lb"] or 0),
-        "doclen_ub": int(agg["doclen_ub"] or 0),
-        "avg_doclen": float(agg["avg_doclen"] or 0.0),
+        "n_docs": n_docs,
+        "total_doclen": total_doclen,
+        "doclen_lb": min(los) if los else 0,
+        "doclen_ub": max(his) if his else 0,
+        "avg_doclen": (total_doclen / n_docs) if n_docs else 0.0,
         "num_term_parts": cfg.num_term_parts,
         "num_doc_buckets": cfg.num_doc_buckets,
         "docs_per_bucket": docs_per_bucket,
@@ -215,10 +270,10 @@ def build_index(out_dir: str,
         "tokenizer": cfg.tokenizer,
         "stem": cfg.stem,
     }
-    with open(os.path.join(out_dir, "global_stats.json"), "w") as f:
-        json.dump(gstats, f, indent=1)
+    _mark("global_stats", t0)
 
     # ---- stage 3: the merge shuffle -> encoded posting partitions ----------
+    t0 = time.perf_counter()
     posts = tokds.map_batches(
         ExplodeStage(cfg, docs_per_bucket), batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size)
@@ -232,16 +287,50 @@ def build_index(out_dir: str,
     with open(man_path, "w") as f:
         for row in man_table.to_pylist():
             f.write(json.dumps(row) + "\n")
+    _mark("merge_shuffle_encode", t0)
 
-    # ---- stage 4: per-term stats from posting-block metadata ---------------
+    # ---- stage 4: merge per-group term-stat partials -----------------------
+    # Each shuffle group wrote exact partials for its (term-part, doc-bucket)
+    # slice; the final merge sums S partials per (term, part). Small merges
+    # (test/bench scale) run driver-side as one Arrow groupby; past the row
+    # threshold it becomes a Ray groupby over the partials dataset — same
+    # semantics, distributed — so a trillion-doc term dictionary never has to
+    # fit on the driver.
     ts_dir = os.path.join(out_dir, "term_stats")
-    stats_ds = ray.data.read_parquet(
-        os.path.join(out_dir, "postings"),
-        columns=["term", "n", "sum_wdf", "max_wdf"])
-    term_stats = stats_ds.groupby("term").aggregate(
-        Sum("n", alias_name="termfreq"),
-        Sum("sum_wdf", alias_name="collfreq"),
-        Max("max_wdf", alias_name="wdf_ub"),
-    )
-    term_stats.write_parquet(ts_dir)
+    tsp_dir = os.path.join(out_dir, "term_stats_parts")
+    t0 = time.perf_counter()
+    partial_rows = sum(
+        pq.ParquetFile(os.path.join(tsp_dir, f)).metadata.num_rows
+        for f in os.listdir(tsp_dir) if f.endswith(".parquet"))
+    if partial_rows <= cfg.term_stats_driver_rows:
+        parts_tbl = pq.ParquetDataset(tsp_dir).read()
+        agg = pa.TableGroupBy(parts_tbl, "term").aggregate(
+            [("termfreq", "sum"), ("collfreq", "sum"), ("wdf_ub", "max")])
+        merged = pa.table({
+            "term": agg.column("term"),
+            "termfreq": agg.column("termfreq_sum").cast(pa.int64()),
+            "collfreq": agg.column("collfreq_sum").cast(pa.int64()),
+            "wdf_ub": agg.column("wdf_ub_max").cast(pa.int64()),
+        })
+        merged = merged.take(pc.sort_indices(
+            merged, sort_keys=[("term", "ascending")]))
+        _write_atomic(merged, os.path.join(ts_dir, "part-000000.parquet"),
+                      row_group_size=1 << 16)
+    else:
+        term_stats = ray.data.read_parquet(
+            tsp_dir, file_extensions=["parquet"]).groupby("term").aggregate(
+            Sum("termfreq", alias_name="termfreq"),
+            Sum("collfreq", alias_name="collfreq"),
+            Max("wdf_ub", alias_name="wdf_ub"),
+        )
+        term_stats.write_parquet(ts_dir)
+    _mark("term_stats", t0)
+    metrics["total"] = round(time.perf_counter() - t_start, 3)
+    if gstats["n_docs"]:
+        metrics["docs_per_sec"] = round(gstats["n_docs"] / metrics["total"], 2)
+    gstats["stage_metrics"] = metrics
+    with open(os.path.join(out_dir, "global_stats.json"), "w") as f:
+        json.dump(gstats, f, indent=1)
+    with open(os.path.join(out_dir, "_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
     return gstats

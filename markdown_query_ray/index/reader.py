@@ -111,9 +111,12 @@ class IndexReader:
 
     # -- docs ----------------------------------------------------------------
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id -> url lookup. tokenized/ doubles as the docs table — the
+        parquet read prunes to the (doc_id, url) columns, so the fat
+        terms/tfs list columns are never touched."""
         if not doc_ids:
             return {}
-        ds = pads.dataset(os.path.join(self.index_dir, "docs"))
+        ds = pads.dataset(os.path.join(self.index_dir, "tokenized"))
         t = ds.to_table(filter=pc.field("doc_id").isin(
             [int(d) for d in doc_ids]), columns=["doc_id", "url"])
         return dict(zip(t.column("doc_id").to_pylist(),

@@ -39,19 +39,20 @@ def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     })
 
 
-def _keep_first(group, id_col: str = "doc_id"):
-    import pandas as pd
-
-    return pd.DataFrame({id_col: [group[id_col].min()]})
-
-
 def exact_dedup(ds):
     """Keep the minimum doc_id per identical text (the reference's
     first-docid-wins upsert semantics, backends/database.cc:193-208).
-    Returns a Dataset with a single ``doc_id`` column of survivors."""
+    Returns a Dataset with a single ``doc_id`` column of survivors.
+
+    Shape: vectorized ``Min`` aggregate (map-side combine + hash shuffle of
+    16-byte hashes) — NOT ``map_groups``, which pays a per-group Python call
+    and collapses at web scale where nearly every group has size 1."""
+    from ray.data.aggregate import Min
+
     hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
-    return hashed.groupby("content_hash").map_groups(
-        _keep_first, batch_format="pandas")
+    agg = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"))
+    return agg.select_columns(["doc_id"])
 
 
 # ---------------------------------------------------------------------------

@@ -31,8 +31,10 @@ def test_global_stats(built_index, oracle):
 
 
 def test_doclens_match_oracle(built_index, oracle):
+    # tokenized/ doubles as the docs table (column-pruned reads)
     index_dir, _, _ = built_index
-    docs = pq.read_table(os.path.join(index_dir, "docs"))
+    docs = pq.read_table(os.path.join(index_dir, "tokenized"),
+                         columns=["doc_id", "doclen"])
     got = dict(zip(docs.column("doc_id").to_pylist(),
                    docs.column("doclen").to_pylist()))
     assert got == oracle.doclen
