@@ -57,6 +57,62 @@ def _bm25_sql(terms: list[str], k: int) -> str:
         f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
 
 
+_POS = ("pos AS (SELECT doc_id, unnest(l) AS term, "
+        "generate_subscripts(l, 1) AS i FROM (SELECT doc_id, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS l "
+        "FROM documents) dd), ")
+
+
+def _phrase_match_cte(terms: list[str], ordered: bool, window: int) -> str:
+    """pm CTE: doc_ids where the terms co-occur in a window-wide position
+    span — in order (PHRASE) or any order (NEAR). Mirrors
+    executor._ordered_within/_unordered_within over the simple tokenizer."""
+    aliases = [f"p{i}" for i in range(len(terms))]
+    joins = " JOIN ".join(
+        f"pos {a}" + ("" if i == 0 else f" ON {a}.doc_id = p0.doc_id")
+        for i, a in enumerate(aliases))
+    conds = [f"{a}.term = '{t}'" for a, t in zip(aliases, terms)]
+    if ordered:
+        conds += [f"{aliases[i]}.i < {aliases[i + 1]}.i"
+                  for i in range(len(terms) - 1)]
+        span = (f"{aliases[-1]}.i - {aliases[0]}.i <= {window - 1}")
+    else:
+        ilist = ", ".join(f"{a}.i" for a in aliases)
+        span = (f"greatest({ilist}) - least({ilist}) <= {window - 1}")
+    return (f"pm AS (SELECT DISTINCT p0.doc_id FROM {joins} "
+            f"WHERE {' AND '.join(conds)} AND {span}) ")
+
+
+def _phrase_bm25_sql(terms: list[str], k: int, ordered: bool = True,
+                     window: int = 0) -> str:
+    """BM25 (XAPIAN profile: k1=1, b=0.5, min_normlen=0.5, negative-idf
+    floor tw<2 -> tw*0.5+1, x(k1+1); wqf factor = 1 at wqf=1) of the member
+    terms, restricted to docs where the phrase/near window matches. The
+    xapian profile is used because the synthetic vocabulary is so common
+    (df ~ 0.8N) that the classic clamped idf is 0 for every term."""
+    window = window or len(terms)
+    tw = "((st.n_docs - df.df + 0.5) / (df.df + 0.5))"
+    tw_floored = f"(CASE WHEN {tw} < 2 THEN {tw} * 0.5 + 1 ELSE {tw} END)"
+    per_term = " UNION ALL ".join(
+        f"SELECT tf.doc_id, "
+        f"ln({tw_floored}) * 2.0 * "
+        f"(tf.tf / ((greatest(dl.dl * (1.0 / st.avgdl), 0.5) * 0.5 + 0.5) "
+        f"+ tf.tf)) AS s "
+        f"FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM toks "
+        f"WHERE term = '{t}' GROUP BY doc_id) tf, "
+        f"(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+        f"WHERE term = '{t}') df, st, dl WHERE dl.doc_id = tf.doc_id "
+        f"AND tf.doc_id IN (SELECT doc_id FROM pm)"
+        for t in terms)
+    return (
+        _TOKS + ", " + _POS + _phrase_match_cte(terms, ordered, window) +
+        f", scored AS (SELECT doc_id, sum(s) AS score FROM ({per_term}) "
+        f"GROUP BY doc_id) "
+        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) "
+        f"AS BIGINT) AS rank, doc_id, round(score, 6) AS score "
+        f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
+
+
 def _bool_sql(op: str, t1: str, t2: str) -> str:
     base = ("WITH toks AS (SELECT doc_id, unnest(list_filter("
             "string_split(lower(text), ' '), x -> x <> '')) AS term "
@@ -92,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_single_term": lambda sf: d.bm25_topk(sf, ["merge"], k=20),
         "bm25_or3": lambda sf: d.bm25_topk(sf, ["merge", "sort", "window"],
                                            k=20),
+        "phrase_merge_sort": lambda sf: d.phrase_bm25(sf, ["merge", "sort"],
+                                                      k=20),
+        "near_merge_sort_w5": lambda sf: d.phrase_bm25(
+            sf, ["merge", "sort"], k=20, ordered=False, window=5),
         "bool_and": lambda sf: d.boolean_docs(sf, "and", "merge", "sort"),
         "bool_and_not": lambda sf: d.boolean_docs(sf, "and_not", "merge",
                                                   "sort"),
@@ -103,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_features": d.quality_features,
         # -- dedup -----------------------------------------------------------
         "dedup_exact": d.dedup_exact_ids,
+        "embedding_neardup": d.embedding_neardup,
         # -- similarity ------------------------------------------------------
         "knn_cosine_top10": lambda sf: d.knn_cosine(sf, 0, 10),
         # -- stream-shaped ---------------------------------------------------
@@ -125,6 +186,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_single_term": _bm25_sql(["merge"], 20),
         "bm25_or3": _bm25_sql(["merge", "sort", "window"], 20),
+        "phrase_merge_sort": _phrase_bm25_sql(["merge", "sort"], 20),
+        "near_merge_sort_w5": _phrase_bm25_sql(["merge", "sort"], 20,
+                                               ordered=False, window=5),
         "bool_and": _bool_sql("and", "merge", "sort"),
         "bool_and_not": _bool_sql("and_not", "merge", "sort"),
         "bool_xor": _bool_sql("xor", "merge", "sort"),
@@ -152,6 +216,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT doc_id FROM (SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY text) ORDER BY doc_id"),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4 "
+            "ORDER BY vec_a, vec_b"),
         "knn_cosine_top10": (
             "SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) "
             "AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim FROM "

@@ -71,6 +71,10 @@ class IndexConfig:
     stem: bool = True                # add Z-prefixed Snowball-English stems
                                      # (STEM_SOME; src/main.rs:81)
     tokenizer: str = "xapian"        # "xapian" | "simple" (lowercase whitespace)
+    positions: bool = False          # index term positions (enables true
+                                     # OP_PHRASE/OP_NEAR; unstemmed terms only,
+                                     # as in STEM_SOME — Z-stems are wdf-only,
+                                     # termgenerator_internal.cc:284-312)
     tokenize_batch_size: int = 256   # docs per tokenize batch (web pages are fat)
     tokenize_concurrency: int | tuple[int, int] | None = None  # actor pool size
     docs_per_bucket: int = 1 << 32   # doc_id -> doc_bucket divisor; at 10^12

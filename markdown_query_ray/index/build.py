@@ -92,13 +92,17 @@ class ExplodeStage:
         bucket = ((doc_ids // np.uint64(self.docs_per_bucket))
                   % np.uint64(cfg.num_doc_buckets)).astype(np.uint32)
         skey = parts * np.uint32(cfg.num_doc_buckets) + bucket
-        return pa.table({
+        cols = {
             "term": flat_terms,
             "doc_id": pa.array(doc_ids),
             "tf": flat_tfs,
             "doclen": pa.array(doclens),
             "skey": pa.array(skey),
-        })
+        }
+        if "npos" in batch.column_names:  # positional build
+            cols["npos"] = pc.list_flatten(batch.column("npos"))
+            cols["pos"] = pc.list_flatten(batch.column("poss"))
+        return pa.table(cols)
 
 
 def _manifest_row(skey: int, path: str, n_blocks: int, n_postings: int,
@@ -160,12 +164,19 @@ def encode_write_group(group: pa.Table, out_dir: str,
                                               ("doc_id", "ascending")])
     g = group.take(order)
     terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+    pos_kw = {}
+    if "npos" in g.column_names:
+        pos_kw = {
+            "npos": g.column("npos").to_numpy().astype(np.uint64),
+            "pos_payloads": np.asarray(
+                g.column("pos").to_pylist(), dtype=object),
+        }
     blocks = encode_partition(
         terms,
         g.column("doc_id").to_numpy().astype(np.uint64),
         g.column("tf").to_numpy().astype(np.uint64),
         g.column("doclen").to_numpy().astype(np.uint64),
-        block_size=cfg.block_size)
+        block_size=cfg.block_size, **pos_kw)
     _write_atomic(_stats_partial_from_blocks(blocks), spath)
     _write_atomic(blocks, path, row_group_size=4096,
                   use_dictionary=["term"])  # postings last: the resume marker
@@ -269,6 +280,7 @@ def build_index(out_dir: str,
         "block_size": cfg.block_size,
         "tokenizer": cfg.tokenizer,
         "stem": cfg.stem,
+        "positions": cfg.positions,
     }
     _mark("global_stats", t0)
 

@@ -101,13 +101,24 @@ def _segment_binary(payload: np.ndarray, value_ends: np.ndarray,
 
 def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
                      tfs: np.ndarray, doclens: np.ndarray,
-                     block_size: int = BLOCK_SIZE_DEFAULT) -> pa.Table:
+                     block_size: int = BLOCK_SIZE_DEFAULT,
+                     npos: np.ndarray | None = None,
+                     pos_payloads: np.ndarray | None = None) -> pa.Table:
     """Encode one shuffle partition — rows sorted by (term, doc_id) — into
     posting-block rows. ``terms`` is an object/str numpy array aligned with
-    the numeric columns."""
+    the numeric columns.
+
+    Positional mode (``npos``/``pos_payloads`` given): each posting row
+    carries its in-document position list, already varint-encoded as
+    [first_pos, gap, gap, ...] bytes (``pos_payloads``, object array of
+    bytes) with ``npos`` the per-posting position count. Two extra block
+    columns are emitted: ``npos_enc`` (varint count per posting) and
+    ``pos_enc`` (the block's payload bytes concatenated) — the positional
+    analog of glass's ``position.`` B-tree (backends/glass/glass_positionlist.cc),
+    kept alongside the posting block so phrase evaluation reads no extra file."""
     n = len(doc_ids)
     if n == 0:
-        return _empty_blocks_table()
+        return _empty_blocks_table(with_positions=npos is not None)
     doc_ids = np.ascontiguousarray(doc_ids, np.uint64)
     tfs = np.ascontiguousarray(tfs, np.uint64)
     doclens = np.ascontiguousarray(doclens, np.uint64)
@@ -141,6 +152,21 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
     min_dl = np.minimum.reduceat(doclens, bstart_idx)
     sum_wdf = np.add.reduceat(tfs, bstart_idx)
 
+    pos_cols = {}
+    if npos is not None:
+        np_payload, np_ends = encode_varints(
+            np.ascontiguousarray(npos, np.uint64))
+        pos_cols["npos_enc"] = _segment_binary(np_payload, np_ends, bcounts)
+        plens = np.fromiter((len(b) for b in pos_payloads), np.int64, n)
+        pends = np.cumsum(plens)
+        pbuf = b"".join(pos_payloads)
+        bends = np.zeros(nblocks + 1, np.int32)
+        cum_rows = np.cumsum(bcounts)
+        bends[1:] = pends[cum_rows - 1]
+        pos_cols["pos_enc"] = pa.BinaryArray.from_buffers(
+            pa.binary(), nblocks,
+            [None, pa.py_buffer(bends.tobytes()), pa.py_buffer(pbuf)])
+
     return pa.table({
         "term": pa.array(terms[bstart_idx].tolist(), pa.string()),
         "block_id": pa.array(block_id[bstart_idx].astype(np.uint32)),
@@ -153,11 +179,12 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
         "max_wdf": pa.array(max_wdf.astype(np.uint32)),
         "min_doclen": pa.array(min_dl.astype(np.uint32)),
         "sum_wdf": pa.array(sum_wdf.astype(np.uint64)),
+        **pos_cols,
     })
 
 
-def _empty_blocks_table() -> pa.Table:
-    return pa.table({
+def _empty_blocks_table(with_positions: bool = False) -> pa.Table:
+    cols = {
         "term": pa.array([], pa.string()),
         "block_id": pa.array([], pa.uint32()),
         "first_doc_id": pa.array([], pa.uint64()),
@@ -169,7 +196,11 @@ def _empty_blocks_table() -> pa.Table:
         "max_wdf": pa.array([], pa.uint32()),
         "min_doclen": pa.array([], pa.uint32()),
         "sum_wdf": pa.array([], pa.uint64()),
-    })
+    }
+    if with_positions:
+        cols["npos_enc"] = pa.array([], pa.binary())
+        cols["pos_enc"] = pa.array([], pa.binary())
+    return pa.table(cols)
 
 
 def decode_blocks(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray,
@@ -206,3 +237,32 @@ def decode_blocks(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray,
 
     block_of = np.repeat(np.arange(nb, dtype=np.int64), ns)
     return doc_ids, tfs, dls, block_of
+
+
+def decode_positions(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the positional payload of posting-block rows (same row subset /
+    order as :func:`decode_blocks`). Returns ``(offsets, positions)`` where
+    posting i's absolute in-document positions are
+    ``positions[offsets[i]:offsets[i+1]]`` (ascending). Raises KeyError if
+    the index was built without positions."""
+    nb = len(blocks)
+    if nb == 0:
+        return np.zeros(1, np.int64), np.empty(0, np.uint64)
+
+    def cat(col) -> np.ndarray:
+        chunks = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        joined = b"".join(v.as_py() for v in chunks)
+        return decode_varints(np.frombuffer(joined, np.uint8))
+
+    counts = cat(blocks.column("npos_enc")).astype(np.int64)
+    vals = cat(blocks.column("pos_enc"))
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    if len(vals) == 0:
+        return offsets, np.empty(0, np.uint64)
+    # segmented cumsum: payload per posting is [first_pos, gap, gap, ...]
+    cs = np.cumsum(vals, dtype=np.uint64)
+    starts = offsets[:-1][counts > 0]
+    base = cs[starts] - vals[starts]
+    positions = cs - np.repeat(base, counts[counts > 0])
+    return offsets, positions

@@ -47,6 +47,10 @@ class IndexReader:
     def doclen_lb(self) -> int:
         return self.gstats["doclen_lb"]
 
+    @property
+    def has_positions(self) -> bool:
+        return bool(self.gstats.get("positions", False))
+
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
         """{term: {termfreq, collfreq, wdf_ub}} for the given terms (absent
         terms omitted). Predicate-pushdown read of the term_stats dataset."""

@@ -43,15 +43,17 @@ def _docs_dataset(sf_dir: str):
     return ds.map_batches(add_url, batch_format="pyarrow")
 
 
-def documents_index(sf_dir: str) -> str:
+def documents_index(sf_dir: str, positions: bool = False) -> str:
     """Build (once, cached+resumable) a simple-mode index over the documents
     table; doc_ids are the table's own doc_id column."""
-    key = hashlib.md5(f"{sf_dir}|v{__version__}|simple".encode()).hexdigest()[:12]
+    tag = "simple-pos" if positions else "simple"
+    key = hashlib.md5(f"{sf_dir}|v{__version__}|{tag}".encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"docs-{key}")
     done = os.path.join(out, "_INDEX_DONE")
     if not os.path.exists(done):
         cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=8,
-                          num_doc_buckets=1, block_size=128)
+                          num_doc_buckets=1, block_size=128,
+                          positions=positions)
         build_index(out, dataset=_docs_dataset(sf_dir), cfg=cfg)
         with open(done, "w") as f:
             f.write("ok")
@@ -78,6 +80,22 @@ def bm25_topk(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     out = out.select(["rank", "doc_id", "score"])
     out = out.set_column(1, "doc_id",
                          out.column("doc_id").cast(pa.int64()))
+    return _round_col(out, "score")
+
+
+def phrase_bm25(sf_dir: str, terms: list[str], k: int = 20,
+                ordered: bool = True, window: int = 0) -> pa.Table:
+    """(rank, doc_id, score) for a true positional PHRASE/NEAR query over a
+    positions=True simple-mode index. Scored with the XAPIAN profile (the
+    synthetic vocab's df ~ 0.8N makes every classic clamped idf 0); scores =
+    the member terms' parts on phrase-matching docs."""
+    from ..query.ast import Phrase
+
+    idx = documents_index(sf_dir, positions=True)
+    node = Phrase(tuple(terms), window=window or len(terms), ordered=ordered)
+    qcfg = QueryConfig(k=k, params=BM25Params.xapian())
+    out = qx.search(idx, node, qcfg).select(["rank", "doc_id", "score"])
+    out = out.set_column(1, "doc_id", out.column("doc_id").cast(pa.int64()))
     return _round_col(out, "score")
 
 
@@ -173,6 +191,19 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
                                columns=["vec_id", "embedding"])
     t = knn_bruteforce(ds, q[None, :], k=k)
     t = t.select(["rank", "vec_id", "sim"])
+    return _round_col(t, "sim")
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >=
+    threshold) — the embedding-space analog of minhash/simhash dedup."""
+    import ray.data
+
+    from .similarity import cosine_neardup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    t = cosine_neardup_pairs(ds, threshold=threshold)
     return _round_col(t, "sim")
 
 

@@ -8,6 +8,11 @@
   touches candidate buckets.
 - ``ivf_ann``: IVF with a deterministic k-means-lite coarse quantizer;
   probes ``nprobe`` nearest centroids.
+- ``cosine_neardup_pairs``: embedding-cosine near-duplicate detection — all
+  (a, b) pairs with cosine >= threshold. Block-row x broadcast-matrix matmul
+  per batch (each task compares its rows against the full set read once from
+  the object store); output is only the above-threshold pairs, so the
+  quadratic part never materializes.
 """
 
 from __future__ import annotations
@@ -165,6 +170,58 @@ def lsh_ann(ds, queries: np.ndarray, k: int = 10, n_planes: int = 12,
         "vec_id": pa.array(out_v, pa.int64()),
         "sim": pa.array(out_s, pa.float64()),
     })
+
+
+class _NearDupStage:
+    """map_batches body: each task compares its batch rows against the full
+    broadcast matrix and keeps pairs (a < b, sim >= threshold). The broadcast
+    is ``ray.put`` once and fetched once per actor (zero-copy plasma read),
+    NOT re-shipped per batch."""
+
+    def __init__(self, mat_ref, ids_ref, threshold: float):
+        self.mat_ref = mat_ref
+        self.ids_ref = ids_ref
+        self.threshold = threshold
+        self._mat = self._ids = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._mat is None:
+            self._mat = ray.get(self.mat_ref)
+            self._ids = ray.get(self.ids_ref)
+        rows = _to_matrix(batch.column("embedding"))
+        row_ids = batch.column("vec_id").to_numpy()
+        sims = _cosine(rows, self._mat)
+        # keep upper triangle only (a < b): dedups across batches too
+        keep = (sims >= self.threshold) & (row_ids[:, None] < self._ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pa.table({
+            "vec_a": pa.array(row_ids[ai], pa.int64()),
+            "vec_b": pa.array(self._ids[bj], pa.int64()),
+            "sim": pa.array(sims[ai, bj], pa.float64()),
+        })
+
+
+def cosine_neardup_pairs(ds, threshold: float = 0.9,
+                         batch_size: int = 4096) -> pa.Table:
+    """All embedding pairs with cosine similarity >= threshold (vec_a <
+    vec_b), sorted. Exact: every pair is scored via one matmul per batch.
+    At 10^12-row scale the broadcast side would shard by LSH bucket first
+    (see ``lsh_ann``); the brute pairing is the correctness baseline and
+    fine while the matrix fits the object store."""
+    import ray
+
+    full = ds.to_pandas()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    mat_ref = ray.put(mat)
+    ids_ref = ray.put(ids)
+    pairs = ds.map_batches(
+        _NearDupStage(mat_ref, ids_ref, threshold),
+        batch_format="pyarrow", batch_size=batch_size)
+    t = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+    return t.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
 def kmeans_lite(mat: np.ndarray, k: int, iters: int = 5,

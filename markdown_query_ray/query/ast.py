@@ -64,12 +64,15 @@ class Synonym:
 
 @dataclass(frozen=True)
 class Phrase:
-    """Positional window op. Positions are not indexed in round 1, so the
-    executor evaluates this as AND of the unstemmed terms (a documented
-    superset of the reference's OP_PHRASE; SURVEY.md §2.5 L7 gates true
-    positional support on fixture scope)."""
+    """Positional window op (OP_PHRASE when ordered, OP_NEAR when not;
+    window 0 means len(terms) — the Xapian default for both). On an index
+    built with ``IndexConfig(positions=True)`` the executor verifies real
+    position windows (matcher/phrasepostlist.cc, nearpostlist.cc); on a
+    positionless index it degrades to AND of the unstemmed terms (a
+    documented superset; SURVEY.md §2.5 L7)."""
     terms: tuple = field(default_factory=tuple)
     window: int = 0
+    ordered: bool = True
 
 
 @dataclass(frozen=True)
@@ -125,7 +128,8 @@ def describe(node) -> str:
     if isinstance(node, Filter):
         return f"({describe(node.left)} FILTER {describe(node.right)})"
     if isinstance(node, Phrase):
-        return "(PHRASE " + " ".join(node.terms) + ")"
+        op = "PHRASE" if node.ordered else "NEAR"
+        return f"({op} " + " ".join(node.terms) + ")"
     if isinstance(node, ScaleWeight):
         return f"({node.factor} * {describe(node.child)})"
     return repr(node)

@@ -19,11 +19,12 @@ Field tags map to the reference's prefixes (xapian_utils.rs:360-394):
 fullpath->U subtitle->XS author->A title->S date->D tag->K; unknown tags
 fall through as a phrase-join on ':' (queryparser_internal.cc:560-566).
 
-Known divergences (documented; positions are not indexed in round 1):
-PHRASE/NEAR evaluate as AND of unstemmed terms; RANGE/``>``/``<`` parse but
-match nothing (the reference sets no value slots, so Xapian's value ops match
-nothing there too — SURVEY.md §2.5 L10); SCALED applies scale 1.0; ELITE
-evaluates as OR.
+PHRASE/NEAR compile to positional Phrase nodes when both sides are plain
+word chunks (true OP_PHRASE/OP_NEAR on an index built with positions=True;
+AND degradation otherwise — see ast.Phrase). Known divergences (documented):
+RANGE/``>``/``<`` parse but match nothing (the reference sets no value
+slots, so Xapian's value ops match nothing there too — SURVEY.md §2.5 L10);
+SCALED applies scale 1.0; ELITE evaluates as OR.
 """
 
 from __future__ import annotations
@@ -176,9 +177,18 @@ def _fold(left, op: str, right):
                       + _synonym_terms(right))
         return Synonym(terms) if terms else MatchNothing()
     if op == "PHRASE" or op == "NEAR":
-        # positional window ops; positions not indexed -> AND semantics
         if lempty or rempty:
             return MatchNothing()
+        # positional window op over plain word chunks -> true Phrase node
+        # (Xapian OP_PHRASE/OP_NEAR, default window = number of terms);
+        # non-term sides degrade to AND (Xapian throws UnimplementedError
+        # there — we choose the documented superset instead)
+        lw = _phrase_words(left)
+        rw = _phrase_words(right)
+        if lw is not None and rw is not None:
+            words = tuple(lw + rw)
+            return Phrase(words, window=len(words),
+                          ordered=(op == "PHRASE"))
         return And((left, right))
     if op == "SCALED":
         if lempty:
@@ -188,6 +198,33 @@ def _fold(left, op: str, right):
         # the reference sets no value slots: value ranges match nothing
         return MatchNothing()
     raise QueryError(f"unknown operator {op!r}")
+
+
+def _phrase_words(node) -> list[str] | None:
+    """Recover the raw unstemmed word sequence of a chunk parse, if the chunk
+    was plain words / quoted phrases (the shapes OP_PHRASE accepts). A
+    partial-compiled token ``OR(SYNONYM(WILDCARD tok*), Ztok)`` yields its
+    wildcard prefix — the original lowercased token."""
+    if isinstance(node, Term) and not node.text.startswith("Z"):
+        return [node.text]
+    if isinstance(node, Phrase):
+        return list(node.terms)
+    if (isinstance(node, Or) and len(node.children) == 2
+            and isinstance(node.children[0], Synonym)
+            and len(node.children[0].children) == 1
+            and isinstance(node.children[0].children[0], Wildcard)
+            and isinstance(node.children[1], Term)
+            and node.children[1].text.startswith("Z")):
+        return [node.children[0].children[0].prefix]
+    if isinstance(node, Or):
+        out: list[str] = []
+        for c in node.children:
+            w = _phrase_words(c)
+            if w is None:
+                return None
+            out.extend(w)
+        return out
+    return None
 
 
 def _synonym_terms(node) -> list[str]:

@@ -51,21 +51,32 @@ from .scorer import TermWeight, synonym_termfreq_estimate
 
 class Postings:
     """Decoded postings of one term within one bucket: parallel arrays
-    sorted by doc_id."""
+    sorted by doc_id. ``pos_off``/``pos_vals`` (positional indexes only):
+    posting i's in-document positions are
+    ``pos_vals[pos_off[i]:pos_off[i+1]]``."""
 
-    __slots__ = ("ids", "tfs", "dls", "block_of", "blocks")
+    __slots__ = ("ids", "tfs", "dls", "block_of", "blocks",
+                 "pos_off", "pos_vals")
 
-    def __init__(self, ids, tfs, dls, block_of=None, blocks=None):
+    def __init__(self, ids, tfs, dls, block_of=None, blocks=None,
+                 pos_off=None, pos_vals=None):
         self.ids = ids
         self.tfs = tfs
         self.dls = dls
         self.block_of = block_of
         self.blocks = blocks
+        self.pos_off = pos_off
+        self.pos_vals = pos_vals
+
+    def positions(self, i: int) -> np.ndarray:
+        return self.pos_vals[self.pos_off[i]:self.pos_off[i + 1]]
 
     @staticmethod
     def empty() -> "Postings":
         e = np.empty(0, np.uint64)
-        return Postings(e, e.copy(), e.copy())
+        return Postings(e, e.copy(), e.copy(),
+                        pos_off=np.zeros(1, np.int64),
+                        pos_vals=np.empty(0, np.uint64))
 
 
 class ScoredSet:
@@ -102,6 +113,52 @@ def _lookup_scores(s: ScoredSet, ids: np.ndarray) -> np.ndarray:
     return s.scores[idx]
 
 
+def _ordered_within(plists: list[np.ndarray], window: int) -> bool:
+    """True if positions q1 < q2 < ... < qm exist with q_i drawn from
+    plists[i] and qm - q1 <= window - 1 (OP_PHRASE semantics: terms in
+    order within the window)."""
+    for start in plists[0]:
+        prev = start
+        ok = True
+        for pl in plists[1:]:
+            nxt = pl[np.searchsorted(pl, prev, side="right"):]
+            if len(nxt) == 0:
+                return False  # no later occurrence: no later start works
+            prev = nxt[0]
+            if prev - start > window - 1:
+                ok = False
+                break
+        if ok:
+            return True
+    return False
+
+
+def _unordered_within(plists: list[np.ndarray], window: int) -> bool:
+    """True if one position from every list fits in a window-wide span in any
+    order (OP_NEAR). Minimal-cover sweep over the merged position stream."""
+    m = len(plists)
+    merged = np.concatenate(plists)
+    labels = np.concatenate(
+        [np.full(len(p), i, np.int64) for i, p in enumerate(plists)])
+    order = np.argsort(merged, kind="stable")
+    merged, labels = merged[order], labels[order]
+    need = np.zeros(m, np.int64)
+    have = 0
+    lo = 0
+    for hi in range(len(merged)):
+        if need[labels[hi]] == 0:
+            have += 1
+        need[labels[hi]] += 1
+        while merged[hi] - merged[lo] > window - 1:
+            need[labels[lo]] -= 1
+            if need[labels[lo]] == 0:
+                have -= 1
+            lo += 1
+        if have == m:
+            return True
+    return False
+
+
 class Evaluator:
     """Evaluates a query AST over one bucket's postings (exhaustive path)."""
 
@@ -121,13 +178,25 @@ class Evaluator:
         ids, tfs, dls, block_of = decode_blocks(blocks)
         bterms = np.asarray(blocks.column("term").to_pylist(), dtype=object)
         row_terms = bterms[block_of] if len(block_of) else bterms[:0]
+        pcounts = pvals = None
+        if "npos_enc" in blocks.column_names:
+            from ..index.codec import decode_positions
+            off, pvals = decode_positions(blocks)
+            pcounts = np.diff(off)
         for t in missing:
             sel = row_terms == t
             if sel.any():
                 bsel = bterms == t
+                pos_kw = {}
+                if pcounts is not None:
+                    keep = np.repeat(sel, pcounts)
+                    cnt_sel = pcounts[sel]
+                    po = np.zeros(len(cnt_sel) + 1, np.int64)
+                    np.cumsum(cnt_sel, out=po[1:])
+                    pos_kw = {"pos_off": po, "pos_vals": pvals[keep]}
                 self._postings_cache[t] = Postings(
                     ids[sel], tfs[sel], dls[sel],
-                    block_of[sel], blocks.filter(pa.array(bsel)))
+                    block_of[sel], blocks.filter(pa.array(bsel)), **pos_kw)
             else:
                 self._postings_cache[t] = Postings.empty()
 
@@ -185,9 +254,11 @@ class Evaluator:
             return ScoredSet(ids, scores)
 
         if isinstance(node, Phrase):
-            # positions not indexed: AND over unstemmed terms (documented
-            # superset of OP_PHRASE)
-            return self.evaluate(And(tuple(Term(t) for t in node.terms)))
+            if not self.reader.has_positions:
+                # positions not indexed: AND over unstemmed terms (documented
+                # superset of OP_PHRASE)
+                return self.evaluate(And(tuple(Term(t) for t in node.terms)))
+            return self._eval_phrase(node)
 
         if isinstance(node, AndNot):
             left = self.evaluate(node.left)
@@ -233,6 +304,46 @@ class Evaluator:
             return ScoredSet(s.ids, s.scores * node.factor)
 
         raise TypeError(f"unknown query node {node!r}")
+
+    def _eval_phrase(self, node: Phrase) -> ScoredSet:
+        """True OP_PHRASE / OP_NEAR over a positional index
+        (matcher/phrasepostlist.cc, nearpostlist.cc): AND-intersect the
+        unstemmed terms, then keep docs where the terms co-occur inside a
+        ``window``-wide position span — in query order for PHRASE
+        (exact phrase when window == len(terms): strictly increasing
+        positions with span < window forces consecutiveness), any order for
+        NEAR. Scoring = sum of the member terms' BM25 parts on the surviving
+        docs (phrase postlists inherit the AND weights)."""
+        terms = list(node.terms)
+        if not terms:
+            return ScoredSet.empty()
+        window = node.window if node.window else len(terms)
+        if len(terms) == 1:
+            return self.evaluate(Term(terms[0]))
+        plists = [self.postings(t) for t in terms]
+        if any(len(p.ids) == 0 for p in plists):
+            return ScoredSet.empty()
+        ids = plists[0].ids
+        for p in plists[1:]:
+            ids = ids[np.isin(ids, p.ids, assume_unique=True)]
+        if len(ids) == 0:
+            return ScoredSet.empty()
+        # positional verification on the (already small) intersection
+        idxs = [np.searchsorted(p.ids, ids) for p in plists]
+        check = _ordered_within if node.ordered else _unordered_within
+        keep = np.fromiter(
+            (check([p.positions(int(ix[j])) for p, ix in zip(plists, idxs)],
+                   window)
+             for j in range(len(ids))), bool, len(ids))
+        ids = ids[keep]
+        if len(ids) == 0:
+            return ScoredSet.empty()
+        weights = [self.weight(t) for t in terms]
+        scores = np.zeros(len(ids), np.float64)
+        for w, p, ix in zip(weights, plists, idxs):  # fixed term order
+            sel = ix[keep]
+            scores += w.sumpart(p.tfs[sel], p.dls[sel])
+        return ScoredSet(ids, scores)
 
     def _eval_synonym(self, node: Synonym) -> ScoredSet:
         """OP_SYNONYM: subtree as one pseudo-term — wdf = sum of child wdf

@@ -18,11 +18,13 @@ happens inside the shuffle stage.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..config import IndexConfig
 from ..functions.snowball import CachingStemmer
 from ..functions.xapian_tokenizer import simple_tokenize, term_counts, tokenize
+from ..index.codec import encode_varints
 
 
 class TokenizeStage:
@@ -34,17 +36,24 @@ class TokenizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         max_bytes = self.cfg.max_term_bytes
+        with_pos = self.cfg.positions
         terms_col: list[list[str]] = []
         tfs_col: list[list[int]] = []
         doclens: list[int] = []
+        npos_col: list[list[int]] = []
+        poss_col: list[list[bytes]] = []
         for text in batch.column("text").to_pylist():
-            counts = term_counts(self.tokenize(text or "", max_bytes),
-                                 stemmer=self.stemmer)
+            toks = self.tokenize(text or "", max_bytes)
+            counts = term_counts(toks, stemmer=self.stemmer)
             # sorted term order: deterministic output regardless of dict order
             items = sorted(counts.items())
             terms_col.append([t for t, _ in items])
             tfs_col.append([c for _, c in items])
             doclens.append(sum(counts.values()))
+            if with_pos:
+                npos_col.append([])
+                poss_col.append([])
+                self._pack_positions(toks, items, npos_col[-1], poss_col[-1])
         cols = {
             "doc_id": batch.column("doc_id"),
             "url": batch.column("url"),
@@ -52,4 +61,42 @@ class TokenizeStage:
             "terms": pa.array(terms_col, pa.list_(pa.string())),
             "tfs": pa.array(tfs_col, pa.list_(pa.uint32())),
         }
+        if with_pos:
+            cols["npos"] = pa.array(npos_col, pa.list_(pa.uint32()))
+            cols["poss"] = pa.array(poss_col, pa.list_(pa.binary()))
         return pa.table(cols)
+
+    @staticmethod
+    def _pack_positions(toks: list[str], items: list[tuple[str, int]],
+                        npos_out: list[int], poss_out: list[bytes]) -> None:
+        """Per-term position payloads for one document: 1-based token index
+        per occurrence (termgenerator_internal.cc:269-277), delta-packed as
+        varint [first, gap, gap, ...]. Z-stem terms carry no positions
+        (STEM_SOME adds stems wdf-only). One varint-encode call per doc;
+        per-term byte ranges come from the value-end offsets."""
+        pos_map: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            pos_map.setdefault(t, []).append(i + 1)
+        deltas: list[int] = []
+        counts: list[int] = []
+        for term, _ in items:
+            plist = pos_map.get(term)
+            if plist is None:            # Z-stem: no positions
+                counts.append(0)
+                continue
+            counts.append(len(plist))
+            prev = 0
+            for p in plist:
+                deltas.append(p - prev)
+                prev = p
+        payload, ends = encode_varints(np.asarray(deltas, np.uint64))
+        buf = payload.tobytes()
+        vi = 0
+        for c in counts:
+            npos_out.append(c)
+            if c == 0:
+                poss_out.append(b"")
+            else:
+                lo = int(ends[vi - 1]) if vi else 0
+                poss_out.append(buf[lo:int(ends[vi + c - 1])])
+                vi += c
