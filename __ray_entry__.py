@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_and_not": lambda sf: d.boolean_docs(sf, "and_not", "merge",
                                                   "sort"),
         "bool_xor": lambda sf: d.boolean_docs(sf, "xor", "merge", "sort"),
+        "match_counts": lambda sf: d.match_counts(sf, ["merge", "sort",
+                                                       "window"]),
         # -- text analysis ---------------------------------------------------
         "doc_token_counts": d.doc_token_counts,
         "term_df_top50": lambda sf: d.term_df_top(sf, 50),
@@ -192,6 +194,17 @@ def oracle_sql() -> dict[str, str]:
         "bool_and": _bool_sql("and", "merge", "sort"),
         "bool_and_not": _bool_sql("and_not", "merge", "sort"),
         "bool_xor": _bool_sql("xor", "merge", "sort"),
+        "match_counts": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(lower(text), ' '), x -> x <> '')) AS term "
+            "FROM documents) "
+            "SELECT query, n_matches FROM ("
+            "SELECT term AS query, CAST(count(DISTINCT doc_id) AS BIGINT) "
+            "AS n_matches FROM toks WHERE term IN ('merge','sort','window') "
+            "GROUP BY term "
+            "UNION ALL SELECT 'ANY', CAST(count(DISTINCT doc_id) AS BIGINT) "
+            "FROM toks WHERE term IN ('merge','sort','window')) "
+            "ORDER BY query"),
         "doc_token_counts": (
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
             "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents "

@@ -95,11 +95,13 @@ def get_vocab() -> list[str]:
     return _VOCAB_CACHE
 
 
-def _doc_text(i: int, vocab: list[str]) -> str:
-    """Deterministic Zipfian text for row i: 20-400 tokens, ~10 stopword-grade
-    terms in >60% of docs, paragraph breaks every ~40 tokens."""
+def _doc_text(i: int, vocab: list[str], token_scale: int = 1) -> str:
+    """Deterministic Zipfian text for row i: 20-400 tokens (x token_scale:
+    web-page-sized docs for benchmarks), ~10 stopword-grade terms in >60% of
+    docs, paragraph breaks every ~40 tokens."""
     rng = np.random.Generator(np.random.PCG64(SEED * 1_000_003 + i))
     n_tokens = int(np.clip(rng.lognormal(mean=4.4, sigma=0.7), 20, 400))
+    n_tokens *= token_scale
     # Zipf over the vocab (s ~ ZIPF_S), bounded to vocab size.
     ranks = rng.zipf(ZIPF_S, size=n_tokens)
     ranks = np.minimum(ranks - 1, len(vocab) - 1)
@@ -143,13 +145,14 @@ def _doc_html(i: int, text: str, title: str) -> bytes:
 LANGS = ["en"] * 19 + ["de", "fr"]  # ~95% en, non-en still indexed
 
 
-def make_pages_table(start: int, count: int) -> pa.Table:
+def make_pages_table(start: int, count: int,
+                     token_scale: int = 1) -> pa.Table:
     """Rows [start, start+count) of the deterministic pages corpus."""
     vocab = get_vocab()
     urls, tss, htmls, texts, langs = [], [], [], [], []
     base_ts = np.datetime64("2025-01-01T00:00:00", "us")
     for i in range(start, start + count):
-        text = _doc_text(i, vocab)
+        text = _doc_text(i, vocab, token_scale)
         word = vocab[i % 97]
         urls.append(f"https://site{i % 97}.example/{word}/{i}")
         tss.append(base_ts + np.timedelta64(i * 137, "s"))
@@ -165,7 +168,8 @@ def make_pages_table(start: int, count: int) -> pa.Table:
     })
 
 
-def write_pages_corpus(out_dir: str, n_docs: int, n_files: int = 4) -> list[str]:
+def write_pages_corpus(out_dir: str, n_docs: int, n_files: int = 4,
+                       token_scale: int = 1) -> list[str]:
     """Write the corpus as ``n_files`` parquet files (exercises the per-file
     doc_id prefix-sum assignment). Returns the file paths, sorted — the
     canonical input order."""
@@ -182,7 +186,7 @@ def write_pages_corpus(out_dir: str, n_docs: int, n_files: int = 4) -> list[str]
         if count <= 0:
             break
         path = os.path.join(out_dir, f"pages-{f:05d}.parquet")
-        pq.write_table(make_pages_table(start, count), path,
+        pq.write_table(make_pages_table(start, count, token_scale), path,
                        row_group_size=max(64, count // 4))
         paths.append(path)
         start += count

@@ -9,7 +9,8 @@ restructured for streaming execution over a multi-node cluster:
       -> TokenizeStage                                  [actor pool]
       -> write tokenized/ staging parquet               [CHECKPOINT]
     tokenized/ -> docs/ + global_stats.json             [cheap aggregate]
-    tokenized/ -> ExplodeStage (term,doc_id,tf,doclen,skey)
+    tokenized/ -> PartialPostingsStage                  [map-side combine:
+                    (skey, term, n, varint-packed ids/tfs/dls) per batch]
       -> groupby(skey)                                  [THE merge shuffle]
       -> encode+write postings/part-*.parquet           [per-partition commit]
       -> manifest rows (lineage + throughput metrics)
@@ -52,13 +53,25 @@ def term_part(term: str, num_parts: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_parts
 
 
-class ExplodeStage:
-    """tokenized doc rows -> flat posting rows with shuffle key.
+class PartialPostingsStage:
+    """tokenized doc rows -> PACKED partial posting lists with shuffle key.
 
-    Stateful actor: the term->part map is cached across batches (Zipf => ~100%
-    hit rate). Per batch, the flat term column is dictionary-encoded so the
-    crc32 partition hash runs once per UNIQUE term; the per-posting expansion
-    is a single numpy gather. List flatten/repeat are Arrow kernels."""
+    The map-side combiner of the merge shuffle (SURVEY.md §2.6 "per-task
+    partial-postings dict flushed as sorted Arrow batch"): instead of one
+    shuffle row per posting, each batch emits one row per (skey, term) with
+    the postings varint-packed —
+
+        (skey, term, n, ids_enc, tfs_enc, dls_enc[, npos_enc, pos_enc])
+
+    ``ids_enc`` is delta-coded (first absolute, then gap-1) exactly like the
+    final blocks. This cuts the all-to-all payload ~10x (term strings ship
+    once per batch, numerics ship as varints), which is what makes the wide
+    step scale — the sort-based shuffle moves bytes, not rows.
+
+    Stateful actor: the term->part map is cached across batches (Zipf =>
+    ~100% hit rate); the hash runs once per UNIQUE term via dictionary
+    encoding. All packing is numpy prefix-sum arithmetic, no Python loops
+    over postings."""
 
     def __init__(self, cfg: IndexConfig, docs_per_bucket: int):
         self.cfg = cfg
@@ -66,42 +79,95 @@ class ExplodeStage:
         self._part_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codec import _segment_binary, encode_varints
+
         cfg = self.cfg
         terms_list = batch.column("terms")
         lens = pc.list_value_length(terms_list).to_numpy().astype(np.int64)
-        flat_terms = pc.list_flatten(terms_list)
-        flat_tfs = pc.list_flatten(batch.column("tfs"))
+        flat_terms = pc.list_flatten(terms_list).combine_chunks()
+        flat_tfs = pc.list_flatten(batch.column("tfs")).to_numpy() \
+            .astype(np.uint64)
         doc_ids = np.repeat(
             batch.column("doc_id").to_numpy().astype(np.uint64), lens)
         doclens = np.repeat(
-            batch.column("doclen").to_numpy().astype(np.uint32), lens)
+            batch.column("doclen").to_numpy().astype(np.uint64), lens)
 
         cache = self._part_cache
         P = cfg.num_term_parts
-        denc = flat_terms.combine_chunks().dictionary_encode()
+        denc = flat_terms.dictionary_encode()
         uniq = denc.dictionary.to_pylist()
-        uniq_parts = np.empty(len(uniq), np.uint32)
+        uniq_parts = np.empty(max(len(uniq), 1), np.uint32)
         for j, t in enumerate(uniq):
             p = cache.get(t)
             if p is None:
                 p = term_part(t, P)
                 cache[t] = p
             uniq_parts[j] = p
-        idx = denc.indices.to_numpy(zero_copy_only=False)
-        parts = uniq_parts[idx] if len(idx) else uniq_parts[:0]
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        if n == 0:
+            return self._empty()
+        parts = uniq_parts[codes]
         bucket = ((doc_ids // np.uint64(self.docs_per_bucket))
                   % np.uint64(cfg.num_doc_buckets)).astype(np.uint32)
         skey = parts * np.uint32(cfg.num_doc_buckets) + bucket
+
+        # group flat postings by (skey, term): stable lexsort keeps the
+        # doc-major flatten order => doc_ids ascending within each group
+        order = np.lexsort((codes, skey))
+        skey_s, codes_s = skey[order], codes[order]
+        ids_s, tfs_s, dls_s = doc_ids[order], flat_tfs[order], doclens[order]
+        change = np.ones(n, bool)
+        change[1:] = (skey_s[1:] != skey_s[:-1]) | (codes_s[1:] != codes_s[:-1])
+        seg_start = np.nonzero(change)[0]
+        seg_n = np.diff(np.append(seg_start, n))
+
+        gaps = np.zeros(n, np.uint64)
+        gaps[1:] = ids_s[1:] - ids_s[:-1] - 1  # within-segment deltas
+        gaps[seg_start] = ids_s[seg_start]     # first doc absolute
+        ids_payload, ids_ends = encode_varints(gaps)
+        tf_payload, tf_ends = encode_varints(tfs_s)
+        dl_payload, dl_ends = encode_varints(dls_s)
+
         cols = {
-            "term": flat_terms,
-            "doc_id": pa.array(doc_ids),
-            "tf": flat_tfs,
-            "doclen": pa.array(doclens),
-            "skey": pa.array(skey),
+            "skey": pa.array(skey_s[seg_start], pa.uint32()),
+            "term": denc.dictionary.take(pa.array(codes_s[seg_start])),
+            "n": pa.array(seg_n.astype(np.uint32)),
+            "ids_enc": _segment_binary(ids_payload, ids_ends, seg_n),
+            "tfs_enc": _segment_binary(tf_payload, tf_ends, seg_n),
+            "dls_enc": _segment_binary(dl_payload, dl_ends, seg_n),
         }
         if "npos" in batch.column_names:  # positional build
-            cols["npos"] = pc.list_flatten(batch.column("npos"))
-            cols["pos"] = pc.list_flatten(batch.column("poss"))
+            npos = pc.list_flatten(batch.column("npos")).to_numpy() \
+                .astype(np.uint64)[order]
+            np_payload, np_ends = encode_varints(npos)
+            cols["npos_enc"] = _segment_binary(np_payload, np_ends, seg_n)
+            poss = pc.list_flatten(batch.column("poss")).combine_chunks()
+            poss = poss.take(pa.array(order))
+            plens = pc.binary_length(poss).to_numpy().astype(np.int64)
+            pends = np.cumsum(plens)
+            pbuf = b"".join(poss.to_pylist())
+            bends = np.zeros(len(seg_n) + 1, np.int64)
+            cum = np.cumsum(seg_n)
+            bends[1:] = pends[cum - 1]
+            cols["pos_enc"] = pa.BinaryArray.from_buffers(
+                pa.binary(), len(seg_n),
+                [None, pa.py_buffer(bends.astype(np.int32).tobytes()),
+                 pa.py_buffer(pbuf)])
+        return pa.table(cols)
+
+    def _empty(self) -> pa.Table:
+        cols = {
+            "skey": pa.array([], pa.uint32()),
+            "term": pa.array([], pa.string()),
+            "n": pa.array([], pa.uint32()),
+            "ids_enc": pa.array([], pa.binary()),
+            "tfs_enc": pa.array([], pa.binary()),
+            "dls_enc": pa.array([], pa.binary()),
+        }
+        if self.cfg.positions:
+            cols["npos_enc"] = pa.array([], pa.binary())
+            cols["pos_enc"] = pa.array([], pa.binary())
         return pa.table(cols)
 
 
@@ -142,16 +208,19 @@ def _stats_partial_from_blocks(blocks: pa.Table) -> pa.Table:
 
 def encode_write_group(group: pa.Table, out_dir: str,
                        cfg: IndexConfig) -> pa.Table:
-    """map_groups body for one shuffle group: sort by (term, doc_id), encode
-    varint blocks, write one parquet file atomically (plus the group's exact
-    per-term stats partial), return a manifest row. Skips work (resume) when
-    the output file already exists."""
+    """map_groups body for one shuffle group of PACKED partial posting rows:
+    decode+merge to (term, doc_id) order, encode varint blocks, write one
+    parquet file atomically (plus the group's exact per-term stats partial),
+    return a manifest row. Skips work (resume) when the output file already
+    exists."""
+    from .codec import decode_partial_group
+
     t0 = time.perf_counter()
     skey = int(group.column("skey")[0].as_py())
     path = os.path.join(out_dir, "postings", f"part-{skey:06d}.parquet")
     spath = os.path.join(out_dir, "term_stats_parts",
                          f"part-{skey:06d}.parquet")
-    n_rows = len(group)
+    n_rows = int(pc.sum(group.column("n")).as_py() or 0)
     if os.path.exists(path):
         if not os.path.exists(spath):  # resume across the partial write
             blocks = pq.read_table(
@@ -160,23 +229,13 @@ def encode_write_group(group: pa.Table, out_dir: str,
         meta = pq.ParquetFile(path).metadata
         return _manifest_row(skey, path, meta.num_rows, n_rows, 0,
                              resumed=True, seconds=0.0)
-    order = pc.sort_indices(group, sort_keys=[("term", "ascending"),
-                                              ("doc_id", "ascending")])
-    g = group.take(order)
-    terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+    decoded = decode_partial_group(group)
+    terms, doc_ids, tfs, dls = decoded[:4]
     pos_kw = {}
-    if "npos" in g.column_names:
-        pos_kw = {
-            "npos": g.column("npos").to_numpy().astype(np.uint64),
-            "pos_payloads": np.asarray(
-                g.column("pos").to_pylist(), dtype=object),
-        }
-    blocks = encode_partition(
-        terms,
-        g.column("doc_id").to_numpy().astype(np.uint64),
-        g.column("tf").to_numpy().astype(np.uint64),
-        g.column("doclen").to_numpy().astype(np.uint64),
-        block_size=cfg.block_size, **pos_kw)
+    if len(decoded) > 4:
+        pos_kw = {"npos": decoded[4], "pos_payloads": decoded[5]}
+    blocks = encode_partition(terms, doc_ids, tfs, dls,
+                              block_size=cfg.block_size, **pos_kw)
     _write_atomic(_stats_partial_from_blocks(blocks), spath)
     _write_atomic(blocks, path, row_group_size=4096,
                   use_dictionary=["term"])  # postings last: the resume marker
@@ -223,10 +282,16 @@ def build_index(out_dir: str,
             ds = dataset
         if "html" in ds.schema().names:
             ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+        # size the actor pool to the cluster rather than letting the
+        # autoscaling pool ramp up from its minimum — on a short job the
+        # ramp-up IS the job
+        concurrency = cfg.tokenize_concurrency
+        if concurrency is None:
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 2)))
         tok = ds.map_batches(
             TokenizeStage(cfg), batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
-            concurrency=cfg.tokenize_concurrency)
+            concurrency=concurrency)
         tok.write_parquet(tok_dir)
         with open(tok_done, "w") as f:
             f.write("ok")
@@ -287,7 +352,7 @@ def build_index(out_dir: str,
     # ---- stage 3: the merge shuffle -> encoded posting partitions ----------
     t0 = time.perf_counter()
     posts = tokds.map_batches(
-        ExplodeStage(cfg, docs_per_bucket), batch_format="pyarrow",
+        PartialPostingsStage(cfg, docs_per_bucket), batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size)
     from functools import partial
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 BLOCK_SIZE_DEFAULT = 128
 
@@ -124,7 +125,16 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
     doclens = np.ascontiguousarray(doclens, np.uint64)
 
     term_change = np.ones(n, bool)
-    term_change[1:] = terms[1:] != terms[:-1]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    if isinstance(terms, pa.Array):
+        # Arrow-native path: no per-row Python string conversion (the term
+        # column of a big shuffle group is hundreds of thousands of rows)
+        term_change[1:] = pc.not_equal(
+            terms.slice(1), terms.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+    else:
+        term_change[1:] = terms[1:] != terms[:-1]
     term_start_idx = np.nonzero(term_change)[0]
     # index of each row within its term's posting list
     within = np.arange(n) - np.repeat(
@@ -167,8 +177,11 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
             pa.binary(), nblocks,
             [None, pa.py_buffer(bends.tobytes()), pa.py_buffer(pbuf)])
 
+    out_terms = terms.take(pa.array(bstart_idx)) \
+        if isinstance(terms, pa.Array) \
+        else pa.array(terms[bstart_idx].tolist(), pa.string())
     return pa.table({
-        "term": pa.array(terms[bstart_idx].tolist(), pa.string()),
+        "term": out_terms,
         "block_id": pa.array(block_id[bstart_idx].astype(np.uint32)),
         "first_doc_id": pa.array(doc_ids[bstart_idx]),
         "last_doc_id": pa.array(doc_ids[bend_idx]),
@@ -237,6 +250,83 @@ def decode_blocks(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray,
 
     block_of = np.repeat(np.arange(nb, dtype=np.int64), ns)
     return doc_ids, tfs, dls, block_of
+
+
+def _cat_binary(col) -> bytes:
+    chunks = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    return b"".join(v.as_py() for v in chunks)
+
+
+def _segmented_ids(vals: np.ndarray, seg_n: np.ndarray) -> np.ndarray:
+    """Reconstruct absolute doc_ids from per-segment delta coding
+    (vals[start] = first id, others = gap-1)."""
+    total = int(seg_n.sum())
+    starts = np.zeros(len(seg_n), np.int64)
+    starts[1:] = np.cumsum(seg_n)[:-1]
+    mask = np.ones(total, bool)
+    mask[starts] = False
+    x = np.zeros(total, np.uint64)
+    x[mask] = vals[mask] + np.uint64(1)
+    cs = np.cumsum(x, dtype=np.uint64)
+    within = cs - np.repeat(cs[starts], seg_n)
+    return np.repeat(vals[starts], seg_n) + within
+
+
+def decode_partial_group(group: pa.Table) -> tuple:
+    """Decode one shuffle group of PACKED partial posting rows
+    (skey, term, n, ids_enc, tfs_enc, dls_enc[, npos_enc, pos_enc]) into
+    flat arrays sorted by (term, doc_id), ready for :func:`encode_partition`:
+
+        (terms:pa.Array, doc_ids, tfs, dls[, npos, pos_payloads])
+
+    The merge is pure numpy: rows sort by term (Arrow), varints decode in
+    one pass, the (term, doc_id) order comes from an integer lexsort over
+    (dense term rank, doc_id) — no Python string comparisons."""
+    order_rows = pc.sort_indices(group, sort_keys=[("term", "ascending")])
+    g = group.take(order_rows)
+    seg_n = g.column("n").to_numpy().astype(np.int64)
+    nrows = len(seg_n)
+    total = int(seg_n.sum())
+    vals = decode_varints(np.frombuffer(_cat_binary(g.column("ids_enc")),
+                                        np.uint8))
+    ids = _segmented_ids(vals, seg_n)
+    tfs = decode_varints(np.frombuffer(_cat_binary(g.column("tfs_enc")),
+                                       np.uint8))
+    dls = decode_varints(np.frombuffer(_cat_binary(g.column("dls_enc")),
+                                       np.uint8))
+
+    terms_col = g.column("term").combine_chunks()
+    tchange = np.ones(nrows, bool)
+    if nrows > 1:
+        tchange[1:] = pc.not_equal(
+            terms_col.slice(1), terms_col.slice(0, nrows - 1)).to_numpy(
+            zero_copy_only=False)
+    term_rank = np.cumsum(tchange) - 1
+    term_ord = np.repeat(term_rank, seg_n)
+    order = np.lexsort((ids, term_ord))
+
+    flat_terms = terms_col.take(
+        pa.array(np.repeat(np.arange(nrows), seg_n))).take(pa.array(order))
+    out = [flat_terms, ids[order], tfs[order], dls[order]]
+
+    if "npos_enc" in g.column_names:
+        npos = decode_varints(np.frombuffer(
+            _cat_binary(g.column("npos_enc")), np.uint8)).astype(np.int64)
+        pos_bytes = np.frombuffer(_cat_binary(g.column("pos_enc")), np.uint8)
+        # per-posting byte boundaries: varint terminators, then group by npos
+        val_ends = np.nonzero((pos_bytes & 0x80) == 0)[0] + 1
+        cum = np.cumsum(npos)
+        post_ends = np.zeros(total + 1, np.int64)
+        nz = cum > 0
+        post_ends[1:][nz] = val_ends[cum[nz] - 1]
+        np.maximum.accumulate(post_ends, out=post_ends)
+        buf = pos_bytes.tobytes()
+        payloads = np.empty(total, object)
+        for i in range(total):
+            payloads[i] = buf[post_ends[i]:post_ends[i + 1]]
+        out.append(npos[order].astype(np.uint64))
+        out.append(payloads[order])
+    return tuple(out)
 
 
 def decode_positions(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray]:

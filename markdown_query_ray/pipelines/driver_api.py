@@ -112,6 +112,20 @@ def boolean_docs(sf_dir: str, kind: str, t1: str, t2: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def match_counts(sf_dir: str, terms: list[str]) -> pa.Table:
+    """Exact per-term match counts plus the OR-union count (the reference's
+    get_matches_estimated analog, made exact). One row per term + 'ANY'."""
+    idx = documents_index(sf_dir)
+    names, counts = [], []
+    for t in terms:
+        names.append(t)
+        counts.append(qx.count_matches(idx, Term(t)))
+    names.append("ANY")
+    counts.append(qx.count_matches(idx, Or(tuple(Term(t) for t in terms))))
+    return pa.table({"query": pa.array(names, pa.string()),
+                     "n_matches": pa.array(counts, pa.int64())})
+
+
 def doc_token_counts(sf_dir: str) -> pa.Table:
     import ray.data
 

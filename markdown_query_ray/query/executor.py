@@ -539,6 +539,22 @@ def search_bucket(index_dir: str, node, qcfg: QueryConfig,
     return topk_from_scored(ev.evaluate(node), qcfg.k)
 
 
+def count_matches(index_dir: str, node,
+                  params: BM25Params | None = None) -> int:
+    """Exact match count for a query tree — the analog of the reference's
+    ``get_matches_estimated`` (matcher/multimatch.cc:530-555), except exact:
+    doc-buckets partition the id space, so the per-bucket counts sum."""
+    reader = IndexReader(index_dir)
+    params = params or BM25Params.xapian()
+    total = 0
+    for b in range(reader.S):
+        ev = Evaluator(reader, params, b if reader.S > 1 else None)
+        total += len(ev.evaluate(node).ids)
+        if reader.S <= 1:
+            break
+    return total
+
+
 class _ScoreBuckets:
     """map_batches body over a control dataset of bucket ids."""
 
