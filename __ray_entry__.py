@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_single_term": lambda sf: d.bm25_topk(sf, ["merge"], k=20),
         "bm25_or3": lambda sf: d.bm25_topk(sf, ["merge", "sort", "window"],
                                            k=20),
+        # rare term (df=25): exercises nonzero classic idf + WAND pruning
+        "bm25_rare_dup": lambda sf: d.bm25_topk(sf, ["dup", "merge"], k=20),
         "phrase_merge_sort": lambda sf: d.phrase_bm25(sf, ["merge", "sort"],
                                                       k=20),
         "near_merge_sort_w5": lambda sf: d.phrase_bm25(
@@ -178,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": d.minhash_pairs,
         "simhash_pairs": d.simhash_near_pairs,
         "lsh_ann_top10": d.lsh_ann_topk,
+        "ivf_ann_top10": d.ivf_ann_topk,
         "langid": d.langid_preds,
         "doc_fingerprints": d.fingerprints,
         "multimodal_features": d.multimodal_features,
@@ -188,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_single_term": _bm25_sql(["merge"], 20),
         "bm25_or3": _bm25_sql(["merge", "sort", "window"], 20),
+        "bm25_rare_dup": _bm25_sql(["dup", "merge"], 20),
         "phrase_merge_sort": _phrase_bm25_sql(["merge", "sort"], 20),
         "near_merge_sort_w5": _phrase_bm25_sql(["merge", "sort"], 20,
                                                ordered=False, window=5),

@@ -345,6 +345,19 @@ def lsh_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return lsh_ann(ds, q, k=k)
 
 
+def ivf_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .similarity import ivf_ann
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.column("embedding").to_pylist()[:3], np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return ivf_ann(ds, q, k=k)
+
+
 def langid_preds(sf_dir: str) -> pa.Table:
     import ray.data
 

@@ -1,0 +1,142 @@
+"""Stateful query serving: the reference's interactive loop, Ray-style.
+
+The reference opens a read-only database once and re-runs the full query
+pipeline on EVERY keystroke (src/interactive.rs:294-432 + src/main.rs:115),
+making repeat-query latency the implicit serving requirement. Xapian gets
+cross-query caching for free from glass B-tree page caching; the columnar
+rebuild gets it from this session object:
+
+- ``global_stats`` / doc-bucket layout: loaded once (``IndexReader``).
+- per-term stats (the idf inputs): memoized across queries.
+- decoded posting lists: memoized per (term, bucket) — a keystroke that
+  extends ``merg`` to ``merge`` re-uses every already-decoded list.
+- wildcard expansions: memoized per prefix.
+
+Deployment shape: one ``SearchSession`` per scorer worker. For QPS serving
+on a cluster, wrap it in an actor pool —
+
+    Server = ray.remote(num_cpus=1)(SearchSession)
+    pool = [Server.remote(index_dir) for _ in range(n)]
+    ray.get(pool[i % n].search.remote("merge AND sort"))
+
+(the class is deliberately plain-Python so the same object also serves
+in-process; nothing here calls ``ray.init``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import BM25Params, QueryConfig
+from ..index.reader import IndexReader
+from .compiler import parse_user_query
+from .executor import Evaluator, flat_or_terms, topk_from_scored, wand_topk
+
+
+class SearchSession:
+    def __init__(self, index_dir: str, qcfg: QueryConfig | None = None):
+        self.index_dir = index_dir
+        self.qcfg = qcfg or QueryConfig()
+        self.reader = IndexReader(index_dir)
+        # one evaluator per doc-bucket, each with its own postings cache
+        self._evs: dict[int | None, Evaluator] = {}
+        self._stats_cache: dict[str, dict] = {}
+        self._wc_cache: dict[tuple[str, int], list[str]] = {}
+        self._install_caches()
+
+    def _install_caches(self) -> None:
+        reader = self.reader
+        raw_stats = reader.term_stats
+        raw_wc = reader.expand_wildcard
+        stats_cache = self._stats_cache
+        wc_cache = self._wc_cache
+
+        def cached_stats(terms: list[str]) -> dict[str, dict]:
+            missing = [t for t in set(terms) if t not in stats_cache]
+            if missing:
+                found = raw_stats(missing)
+                for t in missing:
+                    stats_cache[t] = found.get(t)
+            return {t: stats_cache[t] for t in terms
+                    if stats_cache.get(t) is not None}
+
+        def cached_wc(prefix: str, limit: int = 0) -> list[str]:
+            key = (prefix, limit)
+            if key not in wc_cache:
+                wc_cache[key] = raw_wc(prefix, limit)
+            return wc_cache[key]
+
+        reader.term_stats = cached_stats
+        reader.expand_wildcard = cached_wc
+
+    def _evaluator(self, bucket: int | None) -> Evaluator:
+        ev = self._evs.get(bucket)
+        if ev is None:
+            ev = Evaluator(self.reader, self.qcfg.params, bucket)
+            self._evs[bucket] = ev
+        return ev
+
+    def search(self, query: str, k: int | None = None,
+               with_urls: bool = False) -> pa.Table:
+        """Compile + execute a user query string; returns
+        (rank, doc_id, score[, url]) in MSet order. In-process (serving
+        latency path): per-bucket scoring loops over buckets locally, reusing
+        each bucket's postings cache."""
+        node = parse_user_query(query)
+        return self.search_node(node, k=k, with_urls=with_urls)
+
+    def search_node(self, node, k: int | None = None,
+                    with_urls: bool = False) -> pa.Table:
+        k = k or self.qcfg.k
+        S = self.reader.S
+        buckets = list(range(S)) if S > 1 else [None]
+        hits = []
+        for b in buckets:
+            ev = self._evaluator(b)
+            terms = flat_or_terms(node)
+            if self.qcfg.use_wand and terms is not None and len(terms) > 1:
+                entries = [(ev.weight(t.text, t.wqf), ev.postings(t.text))
+                           for t in terms]
+                hits.extend(wand_topk(entries, k))
+            else:
+                hits.extend(topk_from_scored(ev.evaluate(node), k))
+        hits.sort(key=lambda t: (-t[0], t[1]))
+        hits = hits[:k]
+        doc_ids = [d for _, d in hits]
+        cols = {
+            "rank": pa.array(range(1, len(hits) + 1), pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.uint64()),
+            "score": pa.array([s for s, _ in hits], pa.float64()),
+        }
+        if with_urls:
+            urls = self.reader.urls_for(doc_ids)
+            cols["url"] = pa.array([urls.get(d, "") for d in doc_ids])
+        return pa.table(cols)
+
+    def count(self, query: str) -> int:
+        """Exact match count (get_matches_estimated analog)."""
+        node = parse_user_query(query)
+        total = 0
+        S = self.reader.S
+        for b in (range(S) if S > 1 else [None]):
+            total += len(self._evaluator(b).evaluate(node).ids)
+        return total
+
+    def cache_info(self) -> dict:
+        return {
+            "terms_cached": sum(len(ev._postings_cache)
+                                for ev in self._evs.values()),
+            "stats_cached": len(self._stats_cache),
+            "wildcards_cached": len(self._wc_cache),
+        }
+
+
+def make_search_actors(index_dir: str, n: int, qcfg: QueryConfig | None = None,
+                       num_cpus: float = 1.0):
+    """Actor-pool deployment: n SearchSession actors (Ray must already be
+    initialised by the caller). Returns the actor handles; route queries
+    round-robin and ``ray.get(h.search.remote(q))``."""
+    import ray
+
+    Server = ray.remote(num_cpus=num_cpus)(SearchSession)
+    return [Server.remote(index_dir, qcfg) for _ in range(n)]

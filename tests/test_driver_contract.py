@@ -56,7 +56,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 SQL_CHECKED = [
-    "bm25_single_term", "bm25_or3", "phrase_merge_sort",
+    "bm25_single_term", "bm25_or3", "bm25_rare_dup", "phrase_merge_sort",
     "near_merge_sort_w5", "embedding_neardup",
     "bool_and", "bool_and_not", "bool_xor", "match_counts",
     "doc_token_counts", "term_df_top50", "lang_doc_stats",
@@ -79,7 +79,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
 
 
 ROWS_ONLY = ["flagship_xapian_search", "minhash_dedup_pairs",
-             "simhash_pairs", "lsh_ann_top10", "langid",
+             "simhash_pairs", "lsh_ann_top10", "ivf_ann_top10", "langid",
              "doc_fingerprints", "multimodal_features"]
 
 
