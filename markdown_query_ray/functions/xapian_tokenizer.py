@@ -76,23 +76,34 @@ _POST_TABLE = {0x2019: "'", 0x201b: "'", 0x200b: None, 0x200c: None,
 
 
 def tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
-    """Return the term stream for ``text`` (lowercased, in document order)."""
+    """Return the term stream for ``text`` (lowercased, in document order).
+
+    Hot path: one ``group(i)`` fetch per token (branch on ``lastindex``:
+    group 1 = acronym, group 2 = general term) and the non-ASCII
+    normalization scan only runs for non-ASCII terms — ASCII web text goes
+    straight through."""
     out = []
+    append = out.append
     for m in _TOKEN_RE.finditer(text):
-        acr = m.group("acr")
-        if acr is not None:
-            term = acr.replace(".", "").lower()
-        else:
-            term = m.group("term").lower()
+        if m.lastindex == 2:
+            term = m.group(2).lower()
+            if term.isascii():
+                if len(term) <= max_term_bytes:
+                    append(term)
+                continue
             for ch in _POST_CHARS:
                 if ch in term:
                     term = term.translate(_POST_TABLE)
                     break
-        if term.isascii():
+            if term.isascii():  # normalization may have made it ASCII
+                if len(term) <= max_term_bytes:
+                    append(term)
+            elif len(term.encode("utf-8")) <= max_term_bytes:
+                append(term)
+        else:  # acronym (group 1)
+            term = m.group(1).replace(".", "").lower()
             if len(term) <= max_term_bytes:
-                out.append(term)
-        elif len(term.encode("utf-8")) <= max_term_bytes:
-            out.append(term)
+                append(term)
     return out
 
 
@@ -103,15 +114,21 @@ def simple_tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
     return [t for t in text.lower().split() if len(t) <= max_term_bytes]
 
 
+import unicodedata as _ud
+
+_CAT = _ud.category
+
+
 def should_stem(term: str) -> bool:
     """STEM_SOME gate: stem only terms starting with a lower/title/modifier/
     other-case letter (digits and symbols are not stemmed;
-    termgenerator_internal.cc:63-73)."""
+    termgenerator_internal.cc:63-73). ``islower`` fast-paths Ll (every
+    ASCII-letter term after lowercasing); Lt/Lm/Lo fall to the category
+    lookup."""
     if not term:
         return False
-    import unicodedata
-
-    return unicodedata.category(term[0]) in ("Ll", "Lt", "Lm", "Lo")
+    c = term[0]
+    return c.islower() or _CAT(c) in ("Lt", "Lm", "Lo")
 
 
 def term_counts(tokens: list[str], stemmer=None) -> Counter:

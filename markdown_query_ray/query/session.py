@@ -122,6 +122,18 @@ class SearchSession:
             total += len(self._evaluator(b).evaluate(node).ids)
         return total
 
+    def suggest_correction(self, query: str) -> str | None:
+        """Spelling-corrected query string, or None if nothing to correct —
+        the reference's FLAG_SPELLING_CORRECTION surface
+        (xapian_utils.rs:583-591). The trigram dictionary builds lazily from
+        term_stats on first call and is cached for the session."""
+        from .spelling import correct_query, load_spelling
+
+        sp = getattr(self, "_spelling", None)
+        if sp is None:
+            sp = self._spelling = load_spelling(self.index_dir)
+        return correct_query(query, sp)
+
     def cache_info(self) -> dict:
         return {
             "terms_cached": sum(len(ev._postings_cache)
