@@ -280,18 +280,22 @@ def build_index(out_dir: str,
             ds = read_pages(sorted(paths), columns=["url", "html"])
         else:
             ds = dataset
-        if "html" in ds.schema().names:
-            ds = ds.map_batches(extract_batch, batch_format="pyarrow")
-        # size the actor pool to the cluster rather than letting the
-        # autoscaling pool ramp up from its minimum — on a short job the
-        # ramp-up IS the job
-        concurrency = cfg.tokenize_concurrency
-        if concurrency is None:
-            concurrency = max(2, int(ray.cluster_resources().get("CPU", 2)))
-        tok = ds.map_batches(
-            TokenizeStage(cfg), batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
-            concurrency=concurrency)
+        if "terms" in ds.schema().names:
+            tok = ds  # caller already tokenized (e.g. field-prefix stage)
+        else:
+            if "html" in ds.schema().names:
+                ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+            # size the actor pool to the cluster rather than letting the
+            # autoscaling pool ramp up from its minimum — on a short job
+            # the ramp-up IS the job
+            concurrency = cfg.tokenize_concurrency
+            if concurrency is None:
+                concurrency = max(
+                    2, int(ray.cluster_resources().get("CPU", 2)))
+            tok = ds.map_batches(
+                TokenizeStage(cfg), batch_format="pyarrow",
+                batch_size=cfg.tokenize_batch_size,
+                concurrency=concurrency)
         tok.write_parquet(tok_dir)
         with open(tok_done, "w") as f:
             f.write("ok")

@@ -182,3 +182,114 @@ def index_dataset_from_markdown(paths: list[str]):
         })
 
     return ds.map_batches(shape, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# field-prefixed indexing (the reference's full update_index semantics)
+# ---------------------------------------------------------------------------
+
+# field -> (prefix, indexing order); src/document.rs:171-180: authors, date,
+# fullpath, title, subtitle, tags (one by one), then body unprefixed — ONE
+# position counter across all fields (mdq never calls increase_termpos).
+FIELD_PREFIXES = [("authors", "A"), ("date", "D"), ("fullpath", "U"),
+                  ("title", "S"), ("subtitle", "XS"), ("tags", "K"),
+                  ("body", "")]
+
+
+class FieldTokenizeStage:
+    """Parsed markdown rows (+ doc_id) -> tokenized rows with the
+    reference's field-prefix terms: each field's tokens are indexed as
+    ``<prefix><token>`` with a position from the shared cross-field counter,
+    plus a wdf-only ``Z<prefix><stem>`` when stemming
+    (termgenerator_internal.cc:284-312 via index_text_with_prefix). Output
+    schema matches stages.tokenize.TokenizeStage, so the rest of the build
+    (staging checkpoint, merge shuffle, codec) is unchanged."""
+
+    def __init__(self, cfg):
+        from ..functions.snowball import CachingStemmer
+        from ..functions.xapian_tokenizer import (
+            should_stem,
+            simple_tokenize,
+            tokenize,
+        )
+
+        self.cfg = cfg
+        self.stemmer = CachingStemmer() if cfg.stem else None
+        self.tokenize = tokenize if cfg.tokenizer == "xapian" \
+            else simple_tokenize
+        self.should_stem = should_stem
+
+    def _doc_terms(self, row: dict):
+        counts: dict[str, int] = {}
+        pos_map: dict[str, list[int]] = {}
+        pos = 0
+        stemmer = self.stemmer
+        for field, prefix in FIELD_PREFIXES:
+            v = row.get(field)
+            if v is None:
+                continue
+            chunks = v if isinstance(v, list) else [v]
+            for chunk in chunks:  # tags/authors indexed one by one
+                for tok in self.tokenize(str(chunk),
+                                         self.cfg.max_term_bytes):
+                    pos += 1
+                    pt = prefix + tok
+                    counts[pt] = counts.get(pt, 0) + 1
+                    pos_map.setdefault(pt, []).append(pos)
+                    if stemmer is not None and self.should_stem(tok):
+                        zt = "Z" + prefix + stemmer(tok)
+                        counts[zt] = counts.get(zt, 0) + 1
+        return counts, pos_map
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.tokenize import pack_position_payloads
+
+        with_pos = self.cfg.positions
+        terms_col, tfs_col, doclens = [], [], []
+        npos_col, poss_col = [], []
+        rows = batch.to_pylist()
+        for row in rows:
+            counts, pos_map = self._doc_terms(row)
+            items = sorted(counts.items())
+            terms_col.append([t for t, _ in items])
+            tfs_col.append([c for _, c in items])
+            doclens.append(sum(counts.values()))
+            if with_pos:
+                np_, po_ = pack_position_payloads(items, pos_map)
+                npos_col.append(np_)
+                poss_col.append(po_)
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "url": batch.column("fullpath"),
+            "doclen": pa.array(doclens, pa.uint32()),
+            "terms": pa.array(terms_col, pa.list_(pa.string())),
+            "tfs": pa.array(tfs_col, pa.list_(pa.uint32())),
+        }
+        if with_pos:
+            cols["npos"] = pa.array(npos_col, pa.list_(pa.uint32()))
+            cols["poss"] = pa.array(poss_col, pa.list_(pa.binary()))
+        return pa.table(cols)
+
+
+def build_markdown_index(out_dir: str, paths: list[str], cfg=None) -> dict:
+    """Full reference-semantics index over markdown files: parse (frontmatter
+    coercions), field-prefix tokenize, then the standard merge-shuffle build.
+    doc_id = rank of the file path in sorted order — deterministic and
+    parallelism-invariant (one .md file is one document, as in the
+    reference's WalkDir loop). Ray must already be initialised."""
+    from ..config import IndexConfig
+    from ..index.build import build_index
+
+    cfg = cfg or IndexConfig()
+    id_of = {p: i for i, p in enumerate(sorted(paths))}
+
+    def add_doc_id(batch: pa.Table) -> pa.Table:
+        ids = [id_of[p] for p in batch.column("fullpath").to_pylist()]
+        return batch.append_column("doc_id", pa.array(ids, pa.uint64()))
+
+    tokenized = read_markdown(sorted(paths)) \
+        .map_batches(add_doc_id, batch_format="pyarrow") \
+        .map_batches(FieldTokenizeStage(cfg), batch_format="pyarrow",
+                     batch_size=cfg.tokenize_batch_size)
+    return build_index(out_dir, dataset=tokenized, cfg=cfg,
+                       total_docs=len(paths))

@@ -51,9 +51,12 @@ class TokenizeStage:
             tfs_col.append([c for _, c in items])
             doclens.append(sum(counts.values()))
             if with_pos:
-                npos_col.append([])
-                poss_col.append([])
-                self._pack_positions(toks, items, npos_col[-1], poss_col[-1])
+                pos_map: dict[str, list[int]] = {}
+                for i, t in enumerate(toks):
+                    pos_map.setdefault(t, []).append(i + 1)
+                np_, po_ = pack_position_payloads(items, pos_map)
+                npos_col.append(np_)
+                poss_col.append(po_)
         cols = {
             "doc_id": batch.column("doc_id"),
             "url": batch.column("url"),
@@ -66,37 +69,38 @@ class TokenizeStage:
             cols["poss"] = pa.array(poss_col, pa.list_(pa.binary()))
         return pa.table(cols)
 
-    @staticmethod
-    def _pack_positions(toks: list[str], items: list[tuple[str, int]],
-                        npos_out: list[int], poss_out: list[bytes]) -> None:
-        """Per-term position payloads for one document: 1-based token index
-        per occurrence (termgenerator_internal.cc:269-277), delta-packed as
-        varint [first, gap, gap, ...]. Z-stem terms carry no positions
-        (STEM_SOME adds stems wdf-only). One varint-encode call per doc;
-        per-term byte ranges come from the value-end offsets."""
-        pos_map: dict[str, list[int]] = {}
-        for i, t in enumerate(toks):
-            pos_map.setdefault(t, []).append(i + 1)
-        deltas: list[int] = []
-        counts: list[int] = []
-        for term, _ in items:
-            plist = pos_map.get(term)
-            if plist is None:            # Z-stem: no positions
-                counts.append(0)
-                continue
-            counts.append(len(plist))
-            prev = 0
-            for p in plist:
-                deltas.append(p - prev)
-                prev = p
-        payload, ends = encode_varints(np.asarray(deltas, np.uint64))
-        buf = payload.tobytes()
-        vi = 0
-        for c in counts:
-            npos_out.append(c)
-            if c == 0:
-                poss_out.append(b"")
-            else:
-                lo = int(ends[vi - 1]) if vi else 0
-                poss_out.append(buf[lo:int(ends[vi + c - 1])])
-                vi += c
+def pack_position_payloads(items: list[tuple[str, int]],
+                           pos_map: dict[str, list[int]]
+                           ) -> tuple[list[int], list[bytes]]:
+    """Per-term position payloads for one document: 1-based token positions
+    (termgenerator_internal.cc:269-277), delta-packed as varint
+    [first, gap, gap, ...]. Terms absent from ``pos_map`` (Z-stems: STEM_SOME
+    adds stems wdf-only) carry no positions. One varint-encode call per doc;
+    per-term byte ranges come from the value-end offsets. Returns
+    (npos, payloads) aligned with ``items``."""
+    deltas: list[int] = []
+    counts: list[int] = []
+    for term, _ in items:
+        plist = pos_map.get(term)
+        if plist is None:
+            counts.append(0)
+            continue
+        counts.append(len(plist))
+        prev = 0
+        for p in plist:
+            deltas.append(p - prev)
+            prev = p
+    payload, ends = encode_varints(np.asarray(deltas, np.uint64))
+    buf = payload.tobytes()
+    npos_out: list[int] = []
+    poss_out: list[bytes] = []
+    vi = 0
+    for c in counts:
+        npos_out.append(c)
+        if c == 0:
+            poss_out.append(b"")
+        else:
+            lo = int(ends[vi - 1]) if vi else 0
+            poss_out.append(buf[lo:int(ends[vi + c - 1])])
+            vi += c
+    return npos_out, poss_out
