@@ -30,6 +30,23 @@ class IndexReader:
             self.gstats = json.load(f)
         self.P = int(self.gstats["num_term_parts"])
         self.S = int(self.gstats["num_doc_buckets"])
+        # incremental updates: delta segments + tombstones (index/update.py)
+        seg_file = os.path.join(index_dir, "segments.json")
+        if os.path.exists(seg_file):
+            with open(seg_file) as f:
+                self.segments = json.load(f)["segments"]
+        else:
+            self.segments = ["."]
+        self._tombstones = None
+
+    @property
+    def tombstones(self):
+        """Sorted uint64 doc_ids of replaced document versions (empty on a
+        never-updated index). Loaded lazily, cached."""
+        if self._tombstones is None:
+            from .update import _tombstone_ids
+            self._tombstones = _tombstone_ids(self.index_dir)
+        return self._tombstones
 
     # -- stats ---------------------------------------------------------------
     @property
@@ -51,27 +68,54 @@ class IndexReader:
     def has_positions(self) -> bool:
         return bool(self.gstats.get("positions", False))
 
+    def _stats_tables(self, flt, columns=None):
+        tabs = []
+        for seg in self.segments:
+            d = os.path.join(self.index_dir, seg, "term_stats")
+            if os.path.isdir(d):
+                t = pads.dataset(d).to_table(filter=flt, columns=columns)
+                if len(t):
+                    tabs.append(t)
+        deltas = os.path.join(self.index_dir, "term_stats_deltas")
+        if os.path.isdir(deltas):
+            t = pads.dataset(deltas).to_table(filter=flt, columns=columns)
+            if len(t):
+                tabs.append(t)
+        return tabs
+
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
         """{term: {termfreq, collfreq, wdf_ub}} for the given terms (absent
-        terms omitted). Predicate-pushdown read of the term_stats dataset."""
+        terms omitted). Predicate-pushdown read of the term_stats dataset;
+        on an updated index, segment stats and the negative deltas of
+        replaced docs sum to EXACT termfreq/collfreq (wdf_ub only widens —
+        still a valid WAND bound)."""
         if not terms:
             return {}
-        ds = pads.dataset(os.path.join(self.index_dir, "term_stats"))
-        t = ds.to_table(filter=pc.field("term").isin(list(set(terms))))
-        return {r["term"]: {"termfreq": int(r["termfreq"]),
-                            "collfreq": int(r["collfreq"]),
-                            "wdf_ub": int(r["wdf_ub"])}
-                for r in t.to_pylist()}
+        flt = pc.field("term").isin(list(set(terms)))
+        out: dict[str, dict] = {}
+        for t in self._stats_tables(flt):
+            for r in t.to_pylist():
+                cur = out.setdefault(r["term"], {"termfreq": 0,
+                                                 "collfreq": 0, "wdf_ub": 0})
+                cur["termfreq"] += int(r["termfreq"])
+                cur["collfreq"] += int(r["collfreq"])
+                cur["wdf_ub"] = max(cur["wdf_ub"], int(r["wdf_ub"]))
+        return {k: v for k, v in out.items() if v["termfreq"] > 0}
 
     def expand_wildcard(self, prefix: str, limit: int = 0) -> list[str]:
         """Right-truncation expansion over the term dictionary
         (OP_WILDCARD, api/queryinternal.cc:1019-1126; limit 0 = unlimited).
-        A prefix range scan: term >= prefix AND term < prefix+MAXCHAR."""
-        ds = pads.dataset(os.path.join(self.index_dir, "term_stats"))
+        A prefix range scan: term >= prefix AND term < prefix+MAXCHAR.
+        Terms whose post-delta termfreq hits 0 (every holder replaced) are
+        excluded."""
         hi = prefix + "\U0010ffff"
         flt = (pc.field("term") >= prefix) & (pc.field("term") <= hi)
-        t = ds.to_table(filter=flt, columns=["term"])
-        terms = sorted(t.column("term").to_pylist())
+        freqs: dict[str, int] = {}
+        for t in self._stats_tables(flt, columns=["term", "termfreq"]):
+            for term, tf in zip(t.column("term").to_pylist(),
+                                t.column("termfreq").to_pylist()):
+                freqs[term] = freqs.get(term, 0) + int(tf)
+        terms = sorted(t for t, f in freqs.items() if f > 0)
         if limit and len(terms) > limit:
             terms = terms[:limit]
         return terms
@@ -82,12 +126,13 @@ class IndexReader:
         parts = sorted({term_part(t, self.P) for t in terms})
         buckets = range(self.S) if bucket is None else [bucket]
         paths = []
-        for p in parts:
-            for b in buckets:
-                f = os.path.join(self.index_dir, "postings",
-                                 f"part-{p * self.S + b:06d}.parquet")
-                if os.path.exists(f):
-                    paths.append(f)
+        for seg in self.segments:
+            for p in parts:
+                for b in buckets:
+                    f = os.path.join(self.index_dir, seg, "postings",
+                                     f"part-{p * self.S + b:06d}.parquet")
+                    if os.path.exists(f):
+                        paths.append(f)
         return paths
 
     def load_blocks(self, terms: list[str], bucket: int | None = None):
@@ -120,8 +165,14 @@ class IndexReader:
         terms/tfs list columns are never touched."""
         if not doc_ids:
             return {}
-        ds = pads.dataset(os.path.join(self.index_dir, "tokenized"))
-        t = ds.to_table(filter=pc.field("doc_id").isin(
-            [int(d) for d in doc_ids]), columns=["doc_id", "url"])
-        return dict(zip(t.column("doc_id").to_pylist(),
-                        t.column("url").to_pylist()))
+        flt = pc.field("doc_id").isin([int(d) for d in doc_ids])
+        out: dict[int, str] = {}
+        for seg in self.segments:
+            d = os.path.join(self.index_dir, seg, "tokenized")
+            if not os.path.isdir(d):
+                continue
+            t = pads.dataset(d).to_table(filter=flt,
+                                         columns=["doc_id", "url"])
+            out.update(zip(t.column("doc_id").to_pylist(),
+                           t.column("url").to_pylist()))
+        return out

@@ -1,0 +1,229 @@
+"""Incremental index update: the reference's upsert-by-url re-run semantics.
+
+``mdq <db> update`` is idempotent: re-running replaces documents whose key
+term ``Q<fullpath>`` already exists (backends/database.cc:193-208). The
+columnar rebuild expresses the same contract as LSM-style delta segments:
+
+    <index>/                      base build (gen 0)
+    <index>/updates/gen-0001/     each update = a complete mini-index over
+                                  the new/changed docs (same P x S layout)
+    <index>/tombstones/*.parquet  doc_ids of replaced old versions
+    <index>/term_stats_deltas/    NEGATIVE per-term rows for the replaced
+                                  docs (computed exactly from their stored
+                                  tokenized rows)
+    <index>/segments.json         segment list + next_doc_id
+
+Queries see exact results: the reader unions posting partitions across
+segments, drops tombstoned doc_ids at decode time, and aggregates
+term_stats as base + segments + deltas — termfreq/collfreq are EXACT;
+wdf_ub only ever widens (still a valid WAND upper bound). Global
+n_docs/avg_doclen are recomputed exactly at update time from the replaced
+docs' stored doclens. ``compact()`` folds everything back into one base
+build (the analog of xapian-compact).
+
+Replaced docs get a NEW doc_id (arrival order of the update), unlike
+Xapian which keeps the old docid — a documented divergence: keeping the id
+would require rewriting every posting partition the old version touched,
+the one thing a 10^12-doc index must never do per update.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig
+from .build import _write_atomic, build_index
+
+
+def _segments_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments.json")
+
+
+def load_segments(index_dir: str) -> dict:
+    p = _segments_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    with open(os.path.join(index_dir, "global_stats.json")) as f:
+        g = json.load(f)
+    return {"segments": ["."], "next_doc_id": g["n_docs"], "next_gen": 1}
+
+
+def _live_url_ids(index_dir: str, segs: dict, urls: list[str]) -> pa.Table:
+    """(doc_id, url, doclen) of LIVE docs among ``urls`` across segments."""
+    ts = _tombstone_ids(index_dir)
+    tabs = []
+    for seg in segs["segments"]:
+        tok = os.path.join(index_dir, seg, "tokenized")
+        if not os.path.isdir(tok):
+            continue
+        t = pads.dataset(tok).to_table(
+            columns=["doc_id", "url", "doclen"],
+            filter=pc.field("url").isin(urls))
+        if len(t):
+            tabs.append(t)
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], pa.uint64()),
+                         "url": pa.array([], pa.string()),
+                         "doclen": pa.array([], pa.uint32())})
+    out = pa.concat_tables(tabs)
+    if len(ts):
+        keep = ~np.isin(out.column("doc_id").to_numpy().astype(np.uint64), ts)
+        out = out.filter(pa.array(keep))
+    return out
+
+
+def _tombstone_ids(index_dir: str) -> np.ndarray:
+    d = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(d):
+        return np.empty(0, np.uint64)
+    ids = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            ids.append(pq.read_table(os.path.join(d, f))
+                       .column("doc_id").to_numpy().astype(np.uint64))
+    return np.sort(np.concatenate(ids)) if ids else np.empty(0, np.uint64)
+
+
+def _stats_deltas_for(index_dir: str, segs: dict,
+                      doc_ids: np.ndarray) -> pa.Table:
+    """Exact NEGATIVE per-term (termfreq, collfreq) rows for the given
+    doc_ids, from their stored tokenized rows."""
+    tabs = []
+    idlist = [int(d) for d in doc_ids]
+    for seg in segs["segments"]:
+        tok = os.path.join(index_dir, seg, "tokenized")
+        if not os.path.isdir(tok):
+            continue
+        t = pads.dataset(tok).to_table(
+            columns=["doc_id", "terms", "tfs"],
+            filter=pc.field("doc_id").isin(idlist))
+        if len(t):
+            tabs.append(t)
+    if not tabs:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "termfreq": pa.array([], pa.int64()),
+                         "collfreq": pa.array([], pa.int64()),
+                         "wdf_ub": pa.array([], pa.int64())})
+    t = pa.concat_tables(tabs)
+    flat_terms = pc.list_flatten(t.column("terms"))
+    flat_tfs = pc.list_flatten(t.column("tfs")).cast(pa.int64())
+    agg = pa.TableGroupBy(
+        pa.table({"term": flat_terms, "tf": flat_tfs}), "term"
+    ).aggregate([("tf", "count"), ("tf", "sum")])
+    return pa.table({
+        "term": agg.column("term"),
+        "termfreq": pc.multiply(agg.column("tf_count").cast(pa.int64()), -1),
+        "collfreq": pc.multiply(agg.column("tf_sum").cast(pa.int64()), -1),
+        "wdf_ub": pa.array([0] * len(agg), pa.int64()),  # ub never shrinks
+    })
+
+
+def update_index(index_dir: str,
+                 paths: list[str] | None = None,
+                 dataset=None,
+                 cfg: IndexConfig | None = None) -> dict:
+    """Upsert new/changed docs into an existing index. Input shape matches
+    build_index (pages parquet paths, or a Dataset with url + text/html, or
+    an already-tokenized Dataset). Docs whose url already exists replace the
+    old version (old doc_id tombstoned). Returns the updated global stats."""
+    with open(os.path.join(index_dir, "global_stats.json")) as f:
+        g = json.load(f)
+    if cfg is None:
+        cfg = IndexConfig(
+            block_size=g["block_size"], num_term_parts=g["num_term_parts"],
+            num_doc_buckets=g["num_doc_buckets"], tokenizer=g["tokenizer"],
+            stem=g["stem"], positions=g.get("positions", False),
+            docs_per_bucket=g.get("docs_per_bucket", 1 << 32))
+    segs = load_segments(index_dir)
+    gen = segs["next_gen"]
+    seg_rel = os.path.join("updates", f"gen-{gen:04d}")
+    seg_dir = os.path.join(index_dir, seg_rel)
+
+    # ---- build the delta segment as a complete mini-index ------------------
+    import ray.data
+
+    if dataset is None:
+        from ..sources.pages import read_pages
+        dataset = read_pages(sorted(paths), columns=["url", "html"],
+                             id_base=segs["next_doc_id"])
+    gseg = build_index(seg_dir, dataset=dataset, cfg=cfg)
+
+    # ---- tombstone replaced urls + exact stat deltas -----------------------
+    new_tok = pads.dataset(os.path.join(seg_dir, "tokenized"))
+    new_urls = new_tok.to_table(columns=["url"]).column("url").to_pylist()
+    old = _live_url_ids(index_dir, segs, new_urls)
+    old_ids = old.column("doc_id").to_numpy().astype(np.uint64)
+    os.makedirs(os.path.join(index_dir, "tombstones"), exist_ok=True)
+    _write_atomic(pa.table({"doc_id": pa.array(old_ids)}),
+                  os.path.join(index_dir, "tombstones",
+                               f"gen-{gen:04d}.parquet"))
+    deltas = _stats_deltas_for(index_dir, segs, old_ids)
+    os.makedirs(os.path.join(index_dir, "term_stats_deltas"), exist_ok=True)
+    _write_atomic(deltas, os.path.join(index_dir, "term_stats_deltas",
+                                       f"gen-{gen:04d}.parquet"))
+
+    # ---- exact merged global stats -----------------------------------------
+    removed_doclen = int(pc.sum(old.column("doclen")).as_py() or 0)
+    n_docs = g["n_docs"] + gseg["n_docs"] - len(old_ids)
+    total_doclen = (g["total_doclen"] + gseg["total_doclen"]
+                    - removed_doclen)
+    g.update({
+        "n_docs": n_docs,
+        "total_doclen": total_doclen,
+        "avg_doclen": (total_doclen / n_docs) if n_docs else 0.0,
+        # bounds stay conservative (lb can only be proven by compaction)
+        "doclen_lb": min(g["doclen_lb"], gseg["doclen_lb"])
+        if gseg["n_docs"] else g["doclen_lb"],
+        "doclen_ub": max(g["doclen_ub"], gseg["doclen_ub"]),
+    })
+    with open(os.path.join(index_dir, "global_stats.json"), "w") as f:
+        json.dump(g, f, indent=1)
+
+    segs["segments"].append(seg_rel)
+    segs["next_doc_id"] = segs["next_doc_id"] + gseg["n_docs"]
+    segs["next_gen"] = gen + 1
+    with open(_segments_path(index_dir), "w") as f:
+        json.dump(segs, f, indent=1)
+    return g
+
+
+def compact(index_dir: str, out_dir: str,
+            cfg: IndexConfig | None = None) -> dict:
+    """Fold all segments minus tombstones into a fresh single-segment build
+    (the xapian-compact analog): live tokenized rows re-shuffle into new
+    posting partitions; doc_ids are preserved."""
+    with open(os.path.join(index_dir, "global_stats.json")) as f:
+        g = json.load(f)
+    if cfg is None:
+        cfg = IndexConfig(
+            block_size=g["block_size"], num_term_parts=g["num_term_parts"],
+            num_doc_buckets=g["num_doc_buckets"], tokenizer=g["tokenizer"],
+            stem=g["stem"], positions=g.get("positions", False),
+            docs_per_bucket=g.get("docs_per_bucket", 1 << 32))
+    segs = load_segments(index_dir)
+    ts = _tombstone_ids(index_dir)
+
+    import ray.data
+
+    tok_dirs = [os.path.join(index_dir, s, "tokenized")
+                for s in segs["segments"]]
+    tok_dirs = [d for d in tok_dirs if os.path.isdir(d)]
+    ds = ray.data.read_parquet(tok_dirs, file_extensions=["parquet"])
+    if len(ts):
+        ts_list = set(int(x) for x in ts)
+
+        def drop_dead(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+            keep = np.array([int(i) not in ts_list for i in ids], bool)
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_dead, batch_format="pyarrow")
+    return build_index(out_dir, dataset=ds, cfg=cfg)

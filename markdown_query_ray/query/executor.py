@@ -183,8 +183,14 @@ class Evaluator:
             from ..index.codec import decode_positions
             off, pvals = decode_positions(blocks)
             pcounts = np.diff(off)
+        # updated index: postings of replaced doc versions are dropped at
+        # decode time (index/update.py tombstones)
+        ts = self.reader.tombstones
+        alive = ~np.isin(ids, ts) if len(ts) and len(ids) else None
         for t in missing:
             sel = row_terms == t
+            if alive is not None:
+                sel = sel & alive
             if sel.any():
                 bsel = bterms == t
                 pos_kw = {}

@@ -75,15 +75,18 @@ class _ReadShard:
 
 
 def read_pages(paths: list[str], columns: list[str] | None = None,
-               parallelism: int | None = None):
+               parallelism: int | None = None, id_base: int = 0):
     """Dataset of pages with deterministic ``doc_id:uint64`` attached.
 
     ``columns`` prunes at the read (pass only what the stage needs — e.g.
-    ``["url", "html"]`` for the index build).
+    ``["url", "html"]`` for the index build). ``id_base`` offsets every
+    doc_id (delta segments of an incremental update continue the id space).
     """
     import ray.data
 
     bases = doc_id_bases(paths)
+    if id_base:
+        bases = {p: b + id_base for p, b in bases.items()}
     control = [{"path": p, "base": b} for p, b in sorted(bases.items())]
     ctrl_ds = ray.data.from_items(control)
     if parallelism:

@@ -1,0 +1,148 @@
+"""Incremental upsert (index/update.py): delta segments + tombstones give
+the reference's idempotent replace-by-url semantics with exact stats;
+compaction folds back to a single segment with identical query results."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from markdown_query_ray.config import BM25Params, IndexConfig, QueryConfig
+from markdown_query_ray.index.build import build_index
+from markdown_query_ray.index.reader import IndexReader
+from markdown_query_ray.index.update import compact, update_index
+from markdown_query_ray.query import executor as qx
+from markdown_query_ray.query.ast import Or, Term
+
+CFG = IndexConfig(tokenizer="simple", stem=False, num_term_parts=4,
+                  num_doc_buckets=1, block_size=16)
+
+
+def _pages(rows: list[tuple[str, str]], path: str, base_id: int = 0):
+    urls = [u for u, _ in rows]
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "text": pa.array([x for _, x in rows], pa.string()),
+        "doc_id": pa.array(np.arange(base_id, base_id + len(rows),
+                                     dtype=np.uint64)),
+    })
+    pq.write_table(t, path)
+    return t
+
+
+@pytest.fixture()
+def base_index(ray_session, tmp_path):
+    import ray.data
+
+    rows = [(f"u{i}", f"alpha beta doc{i}" + (" gamma" if i % 2 else ""))
+            for i in range(20)]
+    p = str(tmp_path / "base.parquet")
+    _pages(rows, p)
+    idx = str(tmp_path / "idx")
+    ds = ray.data.read_parquet(p)
+    build_index(idx, dataset=ds, cfg=CFG, total_docs=20)
+    return idx, rows
+
+
+def _search_ids(idx, term, k=100):
+    out = qx.search(idx, Term(term), QueryConfig(k=k), distributed=False)
+    return set(out.column("doc_id").to_pylist())
+
+
+def test_update_adds_and_replaces(base_index, tmp_path):
+    import ray.data
+
+    idx, rows = base_index
+    # u3 changes content (loses 'gamma', gains 'delta'); u100 is new
+    p = str(tmp_path / "upd.parquet")
+    _pages([("u3", "alpha delta replaced"), ("u100", "delta newcomer")],
+           p, base_id=20)
+    g = update_index(idx, dataset=ray.data.read_parquet(p))
+    assert g["n_docs"] == 21  # 20 - 1 replaced + 2 new
+
+    delta_ids = _search_ids(idx, "delta")
+    assert delta_ids == {20, 21}
+    # old u3 (doc 3, had 'gamma') is gone; other gamma docs remain
+    gamma_ids = _search_ids(idx, "gamma")
+    assert 3 not in gamma_ids
+    assert gamma_ids == {i for i in range(20) if i % 2 and i != 3}
+    # 'alpha' now matches 19 old + replacement
+    alpha_ids = _search_ids(idx, "alpha")
+    assert alpha_ids == (set(range(20)) - {3}) | {20}
+
+
+def test_update_exact_term_stats(base_index, tmp_path):
+    import ray.data
+
+    idx, rows = base_index
+    p = str(tmp_path / "upd.parquet")
+    _pages([("u3", "alpha delta replaced")], p, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(p))
+    reader = IndexReader(idx)
+    st = reader.term_stats(["alpha", "gamma", "delta", "doc3"])
+    assert st["alpha"]["termfreq"] == 20  # 19 survivors + replacement
+    assert st["gamma"]["termfreq"] == 9   # doc 3's gamma removed
+    assert st["delta"]["termfreq"] == 1
+    assert "doc3" not in st               # df fell to 0: term is dead
+    assert reader.expand_wildcard("doc3") == []
+    assert reader.n_docs == 20
+    # avg doclen is exact: doc3 had 4 tokens, replacement has 3
+    doclens = [len(t.split()) for _, t in rows]
+    want = (sum(doclens) - doclens[3] + 3) / 20
+    assert reader.avg_doclen == pytest.approx(want)
+
+
+def test_update_idempotent_rerun(base_index, tmp_path):
+    import ray.data
+
+    idx, _ = base_index
+    for gen in range(2):  # same content twice: second run replaces first
+        p = str(tmp_path / f"upd{gen}.parquet")
+        _pages([("u5", "omega rewrite")], p, base_id=20 + gen)
+        update_index(idx, dataset=ray.data.read_parquet(p))
+    assert _search_ids(idx, "omega") == {21}  # only the newest version
+    reader = IndexReader(idx)
+    assert reader.n_docs == 20
+    assert reader.term_stats(["omega"])["omega"]["termfreq"] == 1
+
+
+def test_compact_preserves_results(base_index, tmp_path):
+    import ray.data
+
+    idx, _ = base_index
+    p = str(tmp_path / "upd.parquet")
+    _pages([("u3", "alpha delta replaced"), ("u100", "delta newcomer")],
+           p, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(p))
+
+    out = str(tmp_path / "compacted")
+    g = compact(idx, out)
+    assert g["n_docs"] == 21
+    node = Or((Term("alpha"), Term("gamma"), Term("delta")))
+    before = qx.search(idx, node, QueryConfig(k=100), distributed=False)
+    after = qx.search(out, node, QueryConfig(k=100), distributed=False)
+    assert before.equals(after)
+    # compacted index has no segments/tombstones
+    r = IndexReader(out)
+    assert r.segments == ["."] and len(r.tombstones) == 0
+
+
+def test_wand_on_updated_index(base_index, tmp_path):
+    """Block-max WAND bounds stay valid when blocks contain tombstoned
+    postings (bounds only overestimate)."""
+    import ray.data
+
+    idx, _ = base_index
+    p = str(tmp_path / "upd.parquet")
+    _pages([("u3", "alpha delta replaced")], p, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(p))
+    node = Or((Term("alpha"), Term("gamma")))
+    wand = qx.search(idx, node, QueryConfig(k=10, use_wand=True),
+                     distributed=False)
+    exact = qx.search(idx, node, QueryConfig(k=10, use_wand=False),
+                      distributed=False)
+    assert wand.equals(exact)
