@@ -99,6 +99,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         qx.search(idx_dir, parse_user_query("merge AND sort"), qc_wand)
     with timed("search_wildcard"):
         qx.search(idx_dir, parse_user_query("mer"), qc_wand)
+    from markdown_query_ray.query.session import (
+        REFERENCE_QUERY_SET,
+        run_query_set,
+    )
+
+    with timed("query_set_actor_pool"):  # 15 queries, 4 cached sessions
+        run_query_set(idx_dir, REFERENCE_QUERY_SET, qc_wand, k=100,
+                      concurrency=4)
 
     # ---- training-data pipelines over the sf tables ------------------------
     with timed("dedup_exact"):

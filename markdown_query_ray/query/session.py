@@ -143,6 +143,71 @@ class SearchSession:
         }
 
 
+# The reference's own test queries (the "reference query set"):
+# expression_tests + the boolean-splitter query_tests inputs
+# (src/interactive/xapian_utils.rs:499-547, 551-576), plus the operator
+# keywords its splitter recognizes, exercised over one template.
+REFERENCE_QUERY_SET = [
+    'title:foo  baz bar author:bob hee tag:rust "hee hee hee"',
+    'title:"foo bar" author:bob tag:rust',
+    'title:foo "baz bar" author:"bob alice" hee tag:rust "hee hee"',
+    "eep op tag:meh fooobarr AND maybe maybe foo AND bar",
+    '"eep op" tag:meh fooobarr AND maybe maybe foo AND bar',
+    "foo AND bar", "foo OR bar", "foo AND NOT bar", "foo XOR bar",
+    "foo AND MAYBE bar", "foo FILTER bar", "foo PHRASE bar",
+    "foo NEAR bar", "foo SYNONYM bar", "foo ELITE bar",
+]
+
+
+class _QuerySetScorer:
+    """map_batches body: one SearchSession per actor (stats/postings caches
+    amortize across every query the actor serves)."""
+
+    def __init__(self, index_dir: str, qcfg: QueryConfig | None, k: int):
+        self.sess = SearchSession(index_dir, qcfg)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qs, ranks, ids, scores = [], [], [], []
+        for q in batch.column("query").to_pylist():
+            t = self.sess.search(q, k=self.k)
+            n = len(t)
+            qs.extend([q] * n)
+            ranks.extend(t.column("rank").to_pylist())
+            ids.extend(t.column("doc_id").to_pylist())
+            scores.extend(t.column("score").to_pylist())
+        return pa.table({
+            "query": pa.array(qs, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(ids, pa.uint64()),
+            "score": pa.array(scores, pa.float64()),
+        })
+
+
+def run_query_set(index_dir: str, queries: list[str] | None = None,
+                  qcfg: QueryConfig | None = None, k: int = 100,
+                  concurrency: int = 4) -> pa.Table:
+    """Answer a whole query set as one Ray Data pipeline: the queries become
+    a Dataset, an actor pool of SearchSessions scores them (caches shared
+    across the queries each actor serves), and the result is one
+    (query, rank, doc_id, score) table. Ray must already be initialised."""
+    import ray.data
+
+    import ray
+
+    queries = queries if queries is not None else REFERENCE_QUERY_SET
+    ds = ray.data.from_items([{"query": q} for q in queries])
+    n = min(concurrency, max(1, len(queries)))
+    res = ds.repartition(n).map_batches(
+        _QuerySetScorer, fn_constructor_args=(index_dir, qcfg, k),
+        batch_format="pyarrow", concurrency=n)
+    # stay Arrow: a pandas round-trip drops the schema when every block is
+    # empty (all queries legitimately matching nothing)
+    tabs = [t for t in ray.get(res.to_arrow_refs())]
+    nonempty = [t for t in tabs if t.num_rows]
+    return pa.concat_tables(nonempty) if nonempty else tabs[0]
+
+
 def make_search_actors(index_dir: str, n: int, qcfg: QueryConfig | None = None,
                        num_cpus: float = 1.0):
     """Actor-pool deployment: n SearchSession actors (Ray must already be

@@ -66,6 +66,35 @@ def test_count(session, built_index, pages_corpus):
     assert got == len(a & b)
 
 
+def test_run_query_set_matches_oneshot(ray_session, built_index):
+    from markdown_query_ray.query.session import (
+        REFERENCE_QUERY_SET,
+        run_query_set,
+    )
+
+    idx, _, _ = built_index
+    qcfg = QueryConfig(k=20, params=BM25Params.xapian())
+    # reference set (mostly no-match on the pseudo-word corpus: exercises
+    # empty paths) + corpus-matching queries (exercise real ranking)
+    qset = REFERENCE_QUERY_SET + [
+        "xqzrareuno OR xqzrareduo", "xqzraretri AND xqzrareduo",
+        "merger", "uncle AND NOT at&t", '"1,000,000"',
+    ]
+    table = run_query_set(idx, qset, qcfg, k=20, concurrency=2)
+    assert table.num_rows > 0
+    local = SearchSession(idx, qcfg)
+    for q in qset:
+        import pyarrow.compute as pc
+
+        got = table.filter(pc.equal(table.column("query"), q)) \
+                   .sort_by("rank")
+        want = local.search(q, k=20)
+        assert got.column("doc_id").to_pylist() == \
+            want.column("doc_id").to_pylist(), q
+        assert got.column("score").to_pylist() == \
+            pytest.approx(want.column("score").to_pylist()), q
+
+
 def test_actor_pool_serving(ray_session, built_index):
     import ray
 
