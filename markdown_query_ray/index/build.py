@@ -138,18 +138,18 @@ class PartialPostingsStage:
             "dls_enc": _segment_binary(dl_payload, dl_ends, seg_n),
         }
         if "npos" in batch.column_names:  # positional build
+            from .codec import _binary_parts
+
             npos = pc.list_flatten(batch.column("npos")).to_numpy() \
                 .astype(np.uint64)[order]
             np_payload, np_ends = encode_varints(npos)
             cols["npos_enc"] = _segment_binary(np_payload, np_ends, seg_n)
             poss = pc.list_flatten(batch.column("poss")).combine_chunks()
             poss = poss.take(pa.array(order))
-            plens = pc.binary_length(poss).to_numpy().astype(np.int64)
-            pends = np.cumsum(plens)
-            pbuf = b"".join(poss.to_pylist())
+            offs, pbuf = _binary_parts(poss)
             bends = np.zeros(len(seg_n) + 1, np.int64)
             cum = np.cumsum(seg_n)
-            bends[1:] = pends[cum - 1]
+            bends[1:] = offs[1:][cum - 1]
             cols["pos_enc"] = pa.BinaryArray.from_buffers(
                 pa.binary(), len(seg_n),
                 [None, pa.py_buffer(bends.astype(np.int32).tobytes()),

@@ -167,9 +167,13 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
         np_payload, np_ends = encode_varints(
             np.ascontiguousarray(npos, np.uint64))
         pos_cols["npos_enc"] = _segment_binary(np_payload, np_ends, bcounts)
-        plens = np.fromiter((len(b) for b in pos_payloads), np.int64, n)
-        pends = np.cumsum(plens)
-        pbuf = b"".join(pos_payloads)
+        if isinstance(pos_payloads, (pa.Array, pa.ChunkedArray)):
+            offs, pbuf = _binary_parts(pos_payloads)
+            pends = offs[1:]
+        else:  # numpy object array of bytes
+            plens = np.fromiter((len(b) for b in pos_payloads), np.int64, n)
+            pends = np.cumsum(plens)
+            pbuf = b"".join(pos_payloads)
         bends = np.zeros(nblocks + 1, np.int32)
         cum_rows = np.cumsum(bcounts)
         bends[1:] = pends[cum_rows - 1]
@@ -228,9 +232,7 @@ def decode_blocks(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray,
     firsts = blocks.column("first_doc_id").to_numpy().astype(np.uint64)
 
     def cat(col) -> np.ndarray:
-        chunks = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-        joined = b"".join(v.as_py() for v in chunks)
-        return decode_varints(np.frombuffer(joined, np.uint8))
+        return decode_varints(np.frombuffer(_cat_binary(col), np.uint8))
 
     gaps = cat(blocks.column("ids_enc"))
     tfs = cat(blocks.column("tfs_enc"))
@@ -252,9 +254,23 @@ def decode_blocks(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray,
     return doc_ids, tfs, dls, block_of
 
 
-def _cat_binary(col) -> bytes:
-    chunks = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-    return b"".join(v.as_py() for v in chunks)
+def _binary_parts(col) -> tuple[np.ndarray, memoryview]:
+    """(value_byte_offsets, data) of a Binary column without copying: a
+    BinaryArray's values are stored contiguously in index order, so the
+    concatenation of all values IS the data buffer between the first and
+    last offset."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if len(arr) == 0:
+        return np.zeros(1, np.int64), memoryview(b"")
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = memoryview(arr.buffers()[2])[offs[0]:offs[-1]]
+    return offs - offs[0], data
+
+
+def _cat_binary(col):
+    """Concatenated bytes of a Binary column (zero-copy buffer slice)."""
+    return _binary_parts(col)[1]
 
 
 def _segmented_ids(vals: np.ndarray, seg_n: np.ndarray) -> np.ndarray:
@@ -320,12 +336,12 @@ def decode_partial_group(group: pa.Table) -> tuple:
         nz = cum > 0
         post_ends[1:][nz] = val_ends[cum[nz] - 1]
         np.maximum.accumulate(post_ends, out=post_ends)
-        buf = pos_bytes.tobytes()
-        payloads = np.empty(total, object)
-        for i in range(total):
-            payloads[i] = buf[post_ends[i]:post_ends[i + 1]]
+        payloads = pa.BinaryArray.from_buffers(
+            pa.binary(), total,
+            [None, pa.py_buffer(post_ends.astype(np.int32).tobytes()),
+             pa.py_buffer(pos_bytes.tobytes())]).take(pa.array(order))
         out.append(npos[order].astype(np.uint64))
-        out.append(payloads[order])
+        out.append(payloads)
     return tuple(out)
 
 
@@ -340,9 +356,7 @@ def decode_positions(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         return np.zeros(1, np.int64), np.empty(0, np.uint64)
 
     def cat(col) -> np.ndarray:
-        chunks = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-        joined = b"".join(v.as_py() for v in chunks)
-        return decode_varints(np.frombuffer(joined, np.uint8))
+        return decode_varints(np.frombuffer(_cat_binary(col), np.uint8))
 
     counts = cat(blocks.column("npos_enc")).astype(np.int64)
     vals = cat(blocks.column("pos_enc"))
