@@ -369,6 +369,15 @@ def build_index(out_dir: str,
         for row in man_table.to_pylist():
             f.write(json.dumps(row) + "\n")
     _mark("merge_shuffle_encode", t0)
+    # skew evidence: with doc-range salting no shuffle group should be much
+    # larger than the mean even though stopword-grade terms hit 60%+ of docs
+    nposts = man_table.column("n_postings").to_numpy()
+    if len(nposts) and nposts.sum():
+        metrics["shuffle_groups"] = int(len(nposts))
+        metrics["shuffle_max_group_share"] = round(
+            float(nposts.max()) / float(nposts.sum()), 4)
+        metrics["shuffle_balance_max_over_mean"] = round(
+            float(nposts.max()) / float(nposts.mean()), 2)
 
     # ---- stage 4: merge per-group term-stat partials -----------------------
     # Each shuffle group wrote exact partials for its (term-part, doc-bucket)
