@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top10": lambda sf: d.knn_cosine(sf, 0, 10),
         # -- stream-shaped ---------------------------------------------------
         "events_tumbling_1h": d.events_tumbling,
+        "events_hopping_1h_30m": d.events_hopping,
         "events_sessions_30m": d.events_sessions,
         # -- relational smoke ------------------------------------------------
         "tpch_q1ish": d.tpch_q1ish,
@@ -252,6 +253,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "CAST(count(*) AS BIGINT) AS n_events, "
             "round(sum(value), 6) AS sum_value FROM events "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "events_hopping_1h_30m": (
+            "SELECT event_type, make_timestamp(((CAST(floor(epoch(ts) / "
+            "1800) AS BIGINT) - g.j) * 1800) * 1000000) AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 6) AS sum_value "
+            "FROM events, generate_series(0, 1) AS g(j) "
             "GROUP BY 1, 2 ORDER BY 1, 2"),
         "events_sessions_30m": (
             "WITH l AS (SELECT event_id, user_id, ts, lag(ts) OVER "

@@ -239,6 +239,24 @@ def events_tumbling(sf_dir: str) -> pa.Table:
     return _round_col(out, "sum_value")
 
 
+def events_hopping(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .windows import hopping_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    t = _collect(hopping_counts(ds, size_minutes=60, hop_minutes=30))
+    t = t.sort_by([("event_type", "ascending"), ("window_start", "ascending")])
+    out = pa.table({
+        "event_type": t.column("event_type"),
+        "window_start": t.column("window_start").cast(pa.timestamp("us")),
+        "n_events": t.column("n_events").cast(pa.int64()),
+        "sum_value": t.column("sum_value").cast(pa.float64()),
+    })
+    return _round_col(out, "sum_value")
+
+
 def events_sessions(sf_dir: str) -> pa.Table:
     import ray.data
 

@@ -43,6 +43,45 @@ def tumbling_counts(ds, minutes: int = 60):
         Sum("sum_part", alias_name="sum_value"))
 
 
+def hopping_counts(ds, size_minutes: int = 60, hop_minutes: int = 30):
+    """Hopping (sliding) window counts: each event lands in every window of
+    ``size_minutes`` whose start is a multiple of ``hop_minutes`` covering
+    its ts. Map-side the event expands to its size/hop window starts (a
+    flat_map as arithmetic, no row loop), then the same partial/combiner
+    groupby as tumbling — the expansion factor (size/hop) is the only cost
+    over tumbling, and it happens before the shuffle so the combiner still
+    collapses it."""
+    size_s = size_minutes * 60
+    hop_s = hop_minutes * 60
+    k = -(-size_s // hop_s)  # ceil: windows possibly covering one event
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[s]") \
+            .astype("int64")
+        last_start = (ts // hop_s) * hop_s
+        starts = last_start[:, None] - np.arange(k)[None, :] * hop_s
+        starts = starts.ravel()
+        keep = starts > (np.repeat(ts, k) - size_s)
+        df = pd.DataFrame({
+            "event_type": np.repeat(
+                np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object), k)[keep],
+            "window_start": starts[keep].astype("datetime64[s]").astype(
+                "datetime64[us]"),
+            "value": np.repeat(batch.column("value").to_numpy(), k)[keep],
+        })
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_part=("value", "size"), sum_part=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_part", alias_name="n_events"),
+        Sum("sum_part", alias_name="sum_value"))
+
+
 def sessionize(ds, gap_minutes: int = 30):
     """Per-user session assignment: a new session starts when the gap from
     the previous event exceeds ``gap_minutes``. Returns

@@ -61,7 +61,8 @@ SQL_CHECKED = [
     "bool_and", "bool_and_not", "bool_xor", "match_counts",
     "doc_token_counts", "term_df_top50", "lang_doc_stats",
     "quality_features", "dedup_exact", "knn_cosine_top10",
-    "events_tumbling_1h", "events_sessions_30m", "tpch_q1ish",
+    "events_tumbling_1h", "events_hopping_1h_30m", "events_sessions_30m",
+    "tpch_q1ish",
 ]
 
 
