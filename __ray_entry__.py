@@ -57,6 +57,16 @@ def _bm25_sql(terms: list[str], k: int) -> str:
         f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
 
 
+# BPE-ish pre-tokenizer count oracle: the exact pattern the Ray stage
+# compiles (textstats.BPE_PATTERN), SQL-escaped for the DuckDB literal.
+from markdown_query_ray.pipelines.textstats import BPE_PATTERN as _BPE_PAT
+
+_BPE_SQL = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+    + _BPE_PAT.replace("'", "''")
+    + "')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id")
+
+
 _POS = ("pos AS (SELECT doc_id, unnest(l) AS term, "
         "generate_subscripts(l, 1) AS i FROM (SELECT doc_id, "
         "list_filter(string_split(lower(text), ' '), x -> x <> '') AS l "
@@ -162,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                        "window"]),
         # -- text analysis ---------------------------------------------------
         "doc_token_counts": d.doc_token_counts,
+        "bpe_token_counts": d.bpe_token_counts,
         "term_df_top50": lambda sf: d.term_df_top(sf, 50),
         "lang_doc_stats": d.lang_doc_stats,
         "quality_features": d.quality_features,
@@ -214,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
             "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents "
             "ORDER BY doc_id"),
+        "bpe_token_counts": _BPE_SQL,
         "term_df_top50": (
             "WITH toks AS (SELECT doc_id, unnest(list_filter("
             "string_split(text, ' '), x -> x <> '')) AS term FROM documents) "

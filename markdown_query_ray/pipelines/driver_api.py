@@ -137,6 +137,18 @@ def doc_token_counts(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def bpe_token_counts(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .textstats import BpeCountStage
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = _collect(ds.map_batches(BpeCountStage, batch_format="pyarrow",
+                                concurrency=2))
+    return t.sort_by("doc_id")
+
+
 def term_df_top(sf_dir: str, n: int = 50) -> pa.Table:
     import ray.data
 

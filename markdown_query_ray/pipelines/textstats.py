@@ -36,6 +36,31 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# BPE-style pre-tokenizer (GPT-2 shape, minus lookaheads so the identical
+# pattern runs under RE2 in the DuckDB oracle): contraction suffixes,
+# space-prefixed letter/digit/punct runs, whitespace runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+class BpeCountStage:
+    """Stateful map_batches body: the compiled pattern lives once per actor
+    (regex compilation of Unicode property classes is the setup cost)."""
+
+    def __init__(self):
+        import regex
+
+        self.pat = regex.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        findall = self.pat.findall
+        counts = [len(findall(t or ""))
+                  for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pa.array(counts, pa.int64()),
+        })
+
+
 def term_partials_batch(batch: pa.Table) -> pa.Table:
     """Per-batch partial (term, df, cf) rows — the combiner before the
     groupby(term) shuffle."""

@@ -59,7 +59,7 @@ SQL_CHECKED = [
     "bm25_single_term", "bm25_or3", "bm25_rare_dup", "phrase_merge_sort",
     "near_merge_sort_w5", "embedding_neardup",
     "bool_and", "bool_and_not", "bool_xor", "match_counts",
-    "doc_token_counts", "term_df_top50", "lang_doc_stats",
+    "doc_token_counts", "bpe_token_counts", "term_df_top50", "lang_doc_stats",
     "quality_features", "dedup_exact", "knn_cosine_top10",
     "events_tumbling_1h", "events_hopping_1h_30m", "events_sessions_30m",
     "tpch_q1ish",
