@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": d.langid_preds,
         "doc_fingerprints": d.fingerprints,
         "multimodal_features": d.multimodal_features,
+        "video_frame_features": d.video_frame_feats,
+        "audio_chunk_features": d.audio_chunk_feats,
     }
 
 

@@ -420,6 +420,27 @@ def multimodal_features(sf_dir: str) -> pa.Table:
     return _collect(media_features(ds)).sort_by("media_id")
 
 
+def video_frame_feats(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .multimodal import make_video_table, video_frame_features
+
+    ds = ray.data.from_arrow(make_video_table(100))
+    return _collect(video_frame_features(ds, n_samples=4)) \
+        .sort_by([("media_id", "ascending")])
+
+
+def audio_chunk_feats(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from .multimodal import AudioChunkStage, make_audio_table
+
+    ds = ray.data.from_arrow(make_audio_table(100))
+    t = _collect(ds.map_batches(AudioChunkStage, batch_format="pyarrow",
+                                batch_size=32, concurrency=2))
+    return t.sort_by([("media_id", "ascending"), ("chunk_idx", "ascending")])
+
+
 def _collect(ds) -> pa.Table:
     """Materialize a (small, aggregated) Dataset result to one Table."""
     t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
