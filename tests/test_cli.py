@@ -1,0 +1,111 @@
+"""CLI surface: build / update / query / suggest / query-set subcommands
+(in-process main() against the session Ray fixture)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from markdown_query_ray.cli import main
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("clicorpus")
+    from markdown_query_ray.fixtures import write_pages_corpus
+
+    paths = write_pages_corpus(str(d), n_docs=200, n_files=2)
+    return paths, str(d)
+
+
+def test_build_and_query(corpus, tmp_path, capsys):
+    paths, _ = corpus
+    idx = str(tmp_path / "idx")
+    rc = main(["build", idx, "--pages", *paths, "--parts", "4",
+               "--buckets", "2"])
+    assert rc == 0
+    metrics = capsys.readouterr().out.strip()
+    assert "merge_shuffle_encode" in metrics
+
+    rc = main(["query", idx, "xqzrareuno", "-k", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # planted in exactly one doc
+    rank, score, url = out[0].split("\t")
+    assert rank == "1" and float(score) > 0
+
+
+def test_update_and_compact(corpus, tmp_path, capsys):
+    paths, _ = corpus
+    idx = str(tmp_path / "idx2")
+    main(["build", idx, "--pages", *paths, "--parts", "4"])
+    capsys.readouterr()
+
+    upd = pa.table({
+        "url": pa.array(["https://new.example/1"]),
+        "warc_ts": pa.array([np.datetime64("2025-06-01T00:00:00", "us")],
+                            pa.timestamp("us")),
+        "html": pa.array([b"<html><body><p>qqbrandnew term</p></body>"
+                          b"</html>"], pa.binary()),
+        "text": pa.array(["qqbrandnew term"]),
+        "lang": pa.array(["en"]),
+    })
+    up = str(tmp_path / "up.parquet")
+    pq.write_table(upd, up)
+    rc = main(["update", idx, "--pages", up])
+    assert rc == 0
+    assert '"n_docs": 201' in capsys.readouterr().out
+
+    rc = main(["query", idx, "qqbrandnew"])
+    assert rc == 0
+    assert "new.example" in capsys.readouterr().out
+
+    out_idx = str(tmp_path / "idx2c")
+    rc = main(["compact", idx, out_idx])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["query", out_idx, "qqbrandnew"])
+    assert rc == 0
+    assert "new.example" in capsys.readouterr().out
+
+
+def test_markdown_build_and_field_query(ray_session, tmp_path, capsys):
+    mds = []
+    for i in range(5):
+        p = tmp_path / f"d{i}.md"
+        p.write_text(f"---\ntitle: doc {i} special\ndate: 1709251200\n---\n"
+                     f"body text {i}\n")
+        mds.append(str(p))
+    idx = str(tmp_path / "mdidx")
+    rc = main(["build", idx, "--markdown", *mds])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["query", idx, "title:special"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 5
+
+
+def test_suggest(corpus, tmp_path, capsys):
+    paths, _ = corpus
+    idx = str(tmp_path / "idx3")
+    main(["build", idx, "--pages", *paths, "--parts", "4"])
+    capsys.readouterr()
+    rc = main(["suggest", idx, "xqzrareun"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "xqzrareuno"
+
+
+def test_query_set(corpus, tmp_path, capsys):
+    paths, _ = corpus
+    idx = str(tmp_path / "idx4")
+    main(["build", idx, "--pages", *paths, "--parts", "4"])
+    capsys.readouterr()
+    qfile = tmp_path / "qs.txt"
+    qfile.write_text("xqzrareuno\nxqzrareduo OR xqzraretri\n")
+    rc = main(["query-set", idx, "--queries", str(qfile),
+               "--concurrency", "2", "-k", "10"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any(ln.startswith("xqzrareuno\t1\t") for ln in lines)
