@@ -177,38 +177,95 @@ class Evaluator:
         blocks = self.reader.load_blocks(missing, self.bucket)
         ids, tfs, dls, block_of = decode_blocks(blocks)
         bterms = np.asarray(blocks.column("term").to_pylist(), dtype=object)
-        row_terms = bterms[block_of] if len(block_of) else bterms[:0]
-        pcounts = pvals = None
+        nb = len(bterms)
+        pcounts = pvals = pos_off = None
         if "npos_enc" in blocks.column_names:
             from ..index.codec import decode_positions
-            off, pvals = decode_positions(blocks)
-            pcounts = np.diff(off)
+            pos_off, pvals = decode_positions(blocks)
+            pcounts = np.diff(pos_off)
+        # rows arrive (term, doc)-sorted, so each term occupies ONE
+        # contiguous block range and ONE contiguous row range: find the
+        # boundaries once (single O(nb) pass) and hand out zero-copy slices
+        # instead of per-term O(n_rows) mask scans
+        bchange = np.ones(nb, bool)
+        if nb > 1:
+            bchange[1:] = bterms[1:] != bterms[:-1]
+        bstarts = np.nonzero(bchange)[0]
+        bends = np.append(bstarts[1:], nb)
+        row_bounds = np.zeros(nb + 1, np.int64)
+        np.cumsum(blocks.column("n").to_numpy().astype(np.int64),
+                  out=row_bounds[1:])
+        ranges = {bterms[bs]: (bs, be, int(row_bounds[bs]),
+                               int(row_bounds[be]))
+                  for bs, be in zip(bstarts, bends)}
         # updated index: postings of replaced doc versions are dropped at
         # decode time (index/update.py tombstones)
         ts = self.reader.tombstones
         alive = ~np.isin(ids, ts) if len(ts) and len(ids) else None
         for t in missing:
-            sel = row_terms == t
-            if alive is not None:
-                sel = sel & alive
-            if sel.any():
-                bsel = bterms == t
+            rng = ranges.get(t)
+            if rng is None:
+                self._postings_cache[t] = Postings.empty()
+                continue
+            bs, be, rs, re_ = rng
+            tblocks = blocks.slice(bs, be - bs)
+            bof = block_of[rs:re_] - bs
+            if alive is None or alive[rs:re_].all():
                 pos_kw = {}
                 if pcounts is not None:
-                    keep = np.repeat(sel, pcounts)
-                    cnt_sel = pcounts[sel]
-                    po = np.zeros(len(cnt_sel) + 1, np.int64)
-                    np.cumsum(cnt_sel, out=po[1:])
-                    pos_kw = {"pos_off": po, "pos_vals": pvals[keep]}
+                    po = pos_off[rs:re_ + 1] - pos_off[rs]
+                    pos_kw = {"pos_off": po,
+                              "pos_vals": pvals[pos_off[rs]:pos_off[re_]]}
                 self._postings_cache[t] = Postings(
-                    ids[sel], tfs[sel], dls[sel],
-                    block_of[sel], blocks.filter(pa.array(bsel)), **pos_kw)
-            else:
+                    ids[rs:re_], tfs[rs:re_], dls[rs:re_], bof, tblocks,
+                    **pos_kw)
+                continue
+            sel = alive[rs:re_]
+            if not sel.any():
                 self._postings_cache[t] = Postings.empty()
+                continue
+            pos_kw = {}
+            if pcounts is not None:
+                cnt = pcounts[rs:re_]
+                keep = np.repeat(sel, cnt)
+                po = np.zeros(int(sel.sum()) + 1, np.int64)
+                np.cumsum(cnt[sel], out=po[1:])
+                pos_kw = {"pos_off": po,
+                          "pos_vals": pvals[pos_off[rs]:pos_off[re_]][keep]}
+            self._postings_cache[t] = Postings(
+                ids[rs:re_][sel], tfs[rs:re_][sel], dls[rs:re_][sel],
+                bof[sel], tblocks, **pos_kw)
 
     def postings(self, term: str) -> Postings:
         self._load_terms([term])
         return self._postings_cache[term]
+
+    def prefetch(self, node) -> None:
+        """Load every term the tree can touch (wildcards pre-expanded) in
+        ONE batched read — a cold 4-token partial query otherwise issues
+        dozens of per-term parquet reads against the same partition files
+        (each OR/SYNONYM child loading lazily)."""
+        terms: list[str] = []
+
+        def walk(n):
+            if isinstance(n, Term):
+                terms.append(n.text)
+            elif isinstance(n, Phrase):
+                terms.extend(n.terms)
+            elif isinstance(n, Wildcard):
+                terms.extend(self.reader.expand_wildcard(n.prefix, n.limit))
+            elif isinstance(n, (Or, And, Xor, Synonym)):
+                for c in n.children:
+                    walk(c)
+            elif isinstance(n, (AndNot, AndMaybe, Filter)):
+                walk(n.left)
+                walk(n.right)
+            elif isinstance(n, ScaleWeight):
+                walk(n.child)
+
+        walk(node)
+        if terms:
+            self._load_terms(list(dict.fromkeys(terms)))
 
     def weight(self, term: str, wqf: int = 1,
                termfreq: int | None = None) -> TermWeight:
@@ -535,6 +592,7 @@ def search_bucket(index_dir: str, node, qcfg: QueryConfig,
                   bucket: int | None) -> list[tuple[float, int]]:
     reader = IndexReader(index_dir)
     ev = Evaluator(reader, qcfg.params, bucket)
+    ev.prefetch(node)  # one batched partition read for the whole tree
     terms = flat_or_terms(node)
     if qcfg.use_wand and terms is not None and len(terms) > 1:
         entries = []

@@ -93,6 +93,7 @@ class SearchSession:
         hits = []
         for b in buckets:
             ev = self._evaluator(b)
+            ev.prefetch(node)
             terms = flat_or_terms(node)
             if self.qcfg.use_wand and terms is not None and len(terms) > 1:
                 entries = [(ev.weight(t.text, t.wqf), ev.postings(t.text))
