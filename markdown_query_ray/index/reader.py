@@ -102,12 +102,20 @@ class IndexReader:
                 cur["wdf_ub"] = max(cur["wdf_ub"], int(r["wdf_ub"]))
         return {k: v for k, v in out.items() if v["termfreq"] > 0}
 
-    def expand_wildcard(self, prefix: str, limit: int = 0) -> list[str]:
+    def expand_wildcard(self, prefix: str, limit: int = 0,
+                        most_frequent: bool = False) -> list[str]:
         """Right-truncation expansion over the term dictionary
         (OP_WILDCARD, api/queryinternal.cc:1019-1126; limit 0 = unlimited).
         A prefix range scan: term >= prefix AND term < prefix+MAXCHAR.
         Terms whose post-delta termfreq hits 0 (every holder replaced) are
-        excluded."""
+        excluded.
+
+        most_frequent: keep the ``limit`` highest-termfreq matches
+        (WILDCARD_LIMIT_MOST_FREQUENT, what FLAG_PARTIAL uses). Tie-break at
+        the cap boundary is (termfreq desc, term asc) — deterministic,
+        where xapian's nth_element leaves the equal-frequency subset
+        unspecified (a documented divergence observable only when the cap
+        cuts through a tie)."""
         hi = prefix + "\U0010ffff"
         flt = (pc.field("term") >= prefix) & (pc.field("term") <= hi)
         freqs: dict[str, int] = {}
@@ -115,7 +123,11 @@ class IndexReader:
             for term, tf in zip(t.column("term").to_pylist(),
                                 t.column("termfreq").to_pylist()):
                 freqs[term] = freqs.get(term, 0) + int(tf)
-        terms = sorted(t for t, f in freqs.items() if f > 0)
+        alive = {t: f for t, f in freqs.items() if f > 0}
+        if most_frequent and limit and len(alive) > limit:
+            keep = sorted(alive.items(), key=lambda kv: (-kv[1], kv[0]))
+            return sorted(t for t, _ in keep[:limit])
+        terms = sorted(alive)
         if limit and len(terms) > limit:
             terms = terms[:limit]
         return terms

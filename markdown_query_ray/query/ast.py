@@ -20,8 +20,14 @@ class Term:
 
 @dataclass(frozen=True)
 class Wildcard:
+    """OP_WILDCARD right-truncation. limit 0 = unlimited
+    (api/queryinternal.cc:1019-1126). most_frequent selects the ``limit``
+    highest-termfreq matches instead of erroring past the limit
+    (WILDCARD_LIMIT_MOST_FREQUENT — what FLAG_PARTIAL uses, capped at 100,
+    queryparser_internal.h:128-130)."""
     prefix: str
-    limit: int = 0  # 0 = unlimited (api/queryinternal.cc:1019-1126)
+    limit: int = 0
+    most_frequent: bool = False
 
 
 @dataclass(frozen=True)

@@ -88,7 +88,10 @@ def _partial_term(tok: str, prefix: str = ""):
     OR(SYNONYM(WILDCARD prefix+tok*), Z+prefix+stem(tok))."""
     tok = tok.lower()
     stemmed = snowball_stem(tok)
-    return Or((Synonym((Wildcard(prefix + tok),)),
+    # FLAG_PARTIAL wildcards keep the 100 MOST FREQUENT matches
+    # (max_partial_expansion=100, WILDCARD_LIMIT_MOST_FREQUENT;
+    # queryparser_internal.h:128-130)
+    return Or((Synonym((Wildcard(prefix + tok, 100, True),)),
                Term("Z" + prefix + stemmed)))
 
 

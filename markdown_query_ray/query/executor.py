@@ -253,7 +253,8 @@ class Evaluator:
             elif isinstance(n, Phrase):
                 terms.extend(n.terms)
             elif isinstance(n, Wildcard):
-                terms.extend(self.reader.expand_wildcard(n.prefix, n.limit))
+                terms.extend(self.reader.expand_wildcard(
+                    n.prefix, n.limit, n.most_frequent))
             elif isinstance(n, (Or, And, Xor, Synonym)):
                 for c in n.children:
                     walk(c)
@@ -417,7 +418,8 @@ class Evaluator:
             if isinstance(c, Term):
                 terms.append(c.text)
             elif isinstance(c, Wildcard):
-                terms.extend(self.reader.expand_wildcard(c.prefix, c.limit))
+                terms.extend(self.reader.expand_wildcard(
+                    c.prefix, c.limit, c.most_frequent))
             else:
                 raise TypeError("SYNONYM supports term/wildcard children")
         terms = list(dict.fromkeys(terms))  # stable dedup

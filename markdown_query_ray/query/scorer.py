@@ -86,13 +86,23 @@ class TermWeight:
 
 
 def synonym_termfreq_estimate(freqs: list[int], n_docs: int) -> int:
-    """Termfreq estimate for OP_SYNONYM subtrees, accumulated pairwise with
-    the independence assumption ``est = tf_l + tf_r - tf_l*tf_r/N``
-    (matcher/orpostlist.cc:290-301) — feeds the pseudo-term idf, so it must
-    be reproduced, not improved (SURVEY.md §7.3 item 3)."""
-    if n_docs <= 0:
+    """Termfreq estimate for OP_SYNONYM subtrees, reproduced EXACTLY as
+    xapian computes it: the multi-way OR is a Huffman-style binary tree
+    built from a min-termfreq heap (api/queryinternal.cc:219-251), and each
+    OrPostList node rounds its independence estimate
+    ``l + r - l*r/N`` to integer with +0.5 (matcher/orpostlist.cc:290-301).
+    The per-node integer rounding and combine order are observable in the
+    pseudo-term idf, so they must be copied, not improved (SURVEY.md §7.3
+    item 3; verified to the float against the real library in
+    tests/test_xapian_parity.py)."""
+    if n_docs <= 0 or not freqs:
         return 0
-    est = 0.0
-    for f in freqs:
-        est = est + f - (est * f) / n_docs
-    return min(int(est), n_docs)
+    import heapq
+
+    h = [int(f) for f in freqs]
+    heapq.heapify(h)
+    while len(h) > 1:
+        r = heapq.heappop(h)
+        l = heapq.heappop(h)
+        heapq.heappush(h, int(l + r - (l * r) / n_docs + 0.5))
+    return h[0]

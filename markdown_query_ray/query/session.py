@@ -60,10 +60,11 @@ class SearchSession:
             return {t: stats_cache[t] for t in terms
                     if stats_cache.get(t) is not None}
 
-        def cached_wc(prefix: str, limit: int = 0) -> list[str]:
-            key = (prefix, limit)
+        def cached_wc(prefix: str, limit: int = 0,
+                      most_frequent: bool = False) -> list[str]:
+            key = (prefix, limit, most_frequent)
             if key not in wc_cache:
-                wc_cache[key] = raw_wc(prefix, limit)
+                wc_cache[key] = raw_wc(prefix, limit, most_frequent)
             return wc_cache[key]
 
         reader.term_stats = cached_stats

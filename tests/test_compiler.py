@@ -32,7 +32,7 @@ def test_single_free_term_partial():
     assert isinstance(node, Or)
     syn, zterm = node.children
     assert isinstance(syn, Synonym)
-    assert syn.children[0] == Wildcard("running")
+    assert syn.children[0] == Wildcard("running", 100, True)
     assert zterm == Term("Zrun")
 
 
@@ -48,13 +48,14 @@ def test_field_tags():
     node = parse_user_query("title:foo")
     assert isinstance(node, Or)
     syn, zterm = node.children
-    assert syn.children[0] == Wildcard("Sfoo")
+    assert syn.children[0] == Wildcard("Sfoo", 100, True)
     assert zterm == Term("ZSfoo")
 
     for field, prefix in [("author", "A"), ("tag", "K"), ("fullpath", "U"),
                           ("subtitle", "XS"), ("date", "D")]:
         n = parse_user_query(f"{field}:val")
-        assert n.children[0].children[0] == Wildcard(prefix + "val"), field
+        assert n.children[0].children[0] == \
+            Wildcard(prefix + "val", 100, True), field
 
 
 def test_unknown_field_phrase_joins():

@@ -1,0 +1,128 @@
+"""Rank-identity against the REAL reference engine: xapian-core 1.4.17
+(the exact library the reference links, built from its bundled tarball by
+tools/build_xapian_oracle.sh) indexes the same corpus through the same
+TermGenerator call sequence mdq uses, answers the same queries through
+QueryParser+Enquire — and our engine must reproduce the top-k docids AND
+BM25 weights.
+
+Skipped (cleanly) when the oracle binary is absent; run
+``bash tools/build_xapian_oracle.sh`` once per machine to enable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+ORACLE = os.environ.get("XAPIAN_ORACLE",
+                        "/tmp/xapian-install/bin/xapian_oracle")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ORACLE),
+    reason="xapian oracle binary not built (tools/build_xapian_oracle.sh)")
+
+# operator-free queries (each token parsed individually + OR-joined by both
+# sides): common terms, rare planted terms, partial prefixes, corner-rule
+# tokens, quoted phrases. Excluded by design: tokens like "t"/"s" whose
+# FLAG_PARTIAL expansion exceeds 100 terms WITH a frequency tie at the cap
+# boundary — xapian's nth_element picks an unspecified tie subset there
+# (api/queryinternal.cc select_most_frequent), which no reimplementation
+# can reproduce bit-for-bit.
+QUERIES = [
+    "the",                     # stopword-grade + 26-term wildcard expansion
+    "xqzrareuno",
+    "xqzrareduo xqzraretri",
+    "the on merger",
+    "xqzrare",                 # pure prefix: wildcard expansion only
+    "uncle",                   # acronym-rule token (U.N.C.L.E. -> uncle)
+    "1,000,000",               # digit tokens 1/000/000
+    '"u.n.c.l.e. called"',     # quoted phrase (positions, no wildcard)
+    '"at&t merger"',           # phrase whose first term uses the infix rule
+    "wradded retrieval",
+    "thelhur thest theck",     # mid-frequency pseudo-words
+]
+
+
+def _escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+
+
+@pytest.fixture(scope="module")
+def parity_setup(ray_session, tmp_path_factory):
+    """Common corpus -> (xapian db via oracle binary, our index)."""
+    from markdown_query_ray.config import IndexConfig
+    from markdown_query_ray.fixtures import write_pages_corpus
+    from markdown_query_ray.index.build import build_index
+    from markdown_query_ray.stages.extract import extract_text
+
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("parity")
+    paths = write_pages_corpus(str(root / "corpus"), n_docs=300, n_files=3)
+
+    # identical (url, extracted-text) stream, in doc_id order, to both sides
+    docs = []
+    for p in sorted(paths):
+        for row in pq.read_table(p, columns=["url", "html"]).to_pylist():
+            docs.append((row["url"], extract_text(row["html"])))
+
+    xdb = str(root / "xapian_db")
+    tsv = "".join(f"{_escape(u)}\t{_escape(t)}\n" for u, t in docs)
+    out = subprocess.run([ORACLE, xdb, "index"], input=tsv,
+                         capture_output=True, text=True, check=True)
+    assert out.stdout.strip() == f"indexed {len(docs)}"
+
+    ours = str(root / "ours")
+    cfg = IndexConfig(num_term_parts=4, num_doc_buckets=2, block_size=64,
+                      positions=True)
+    build_index(ours, paths=paths, cfg=cfg)
+    return xdb, ours
+
+
+def _xapian_results(xdb: str, queries: list[str], k: int):
+    out = subprocess.run([ORACLE, xdb, "query", str(k)],
+                         input="".join(q + "\n" for q in queries),
+                         capture_output=True, text=True, check=True)
+    res: dict[int, list[tuple[int, float]]] = {i: [] for i in
+                                               range(len(queries))}
+    for line in out.stdout.splitlines():
+        qn, rank, docid, w = line.split("\t")
+        res[int(qn)].append((int(docid) - 1, float(w)))  # docid is 1-based
+    return res
+
+
+def test_topk_rank_identical_to_real_xapian(parity_setup):
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.compiler import parse_user_query
+
+    xdb, ours = parity_setup
+    k = 100
+    want = _xapian_results(xdb, QUERIES, k)
+    qcfg = QueryConfig(k=k, params=BM25Params.xapian())
+    for i, q in enumerate(QUERIES):
+        got = qx.search(ours, parse_user_query(q), qcfg, distributed=False)
+        got_ids = got.column("doc_id").to_pylist()
+        got_scores = got.column("score").to_pylist()
+        exp = want[i]
+        assert got_ids == [d for d, _ in exp], f"docid mismatch for {q!r}"
+        for (d, w), s in zip(exp, got_scores):
+            assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
+                f"score mismatch for {q!r} doc {d}: ours {s} xapian {w}"
+
+
+def test_match_counts_equal_real_xapian(parity_setup):
+    """Every query's full match SET (not just top-k) agrees."""
+    from markdown_query_ray.config import BM25Params
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.compiler import parse_user_query
+
+    xdb, ours = parity_setup
+    want = _xapian_results(xdb, QUERIES, 10_000)
+    for i, q in enumerate(QUERIES):
+        got = qx.count_matches(ours, parse_user_query(q),
+                               BM25Params.xapian())
+        assert got == len(want[i]), q

@@ -1,0 +1,144 @@
+// Rank-identity oracle driver: index documents and answer queries through
+// the REAL xapian-core (the library the reference links), exercising the
+// exact call sequence mdq uses:
+//
+//   index: TermGenerator + Stem("en"), index_text(body) (positions +
+//          Z-stems), set_data(url), add_boolean_term("Q"+url),
+//          replace_document("Q"+url, doc), commit once at the end
+//          (src/document.rs:162-190, src/main.rs:78-110)
+//   query: each whitespace/quoted token parsed INDIVIDUALLY by QueryParser
+//          with mdq's flag set, OR-folded (the operator-free path,
+//          src/interactive/xapian_utils.rs:455-479), Enquire::get_mset(0,k)
+//
+// usage:
+//   xapian_oracle <dbpath> index  < docs.tsv    # url \t text (escaped \t\n\\)
+//   xapian_oracle <dbpath> query <k> < queries.txt
+//
+// query output, one line per hit: <query#> \t <rank> \t <docid> \t <weight>
+// (weight printed with 17 significant digits)
+
+#include <xapian.h>
+
+#include <cstdio>
+#include <iostream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+static std::string unescape(const std::string& s) {
+    std::string out;
+    out.reserve(s.size());
+    for (size_t i = 0; i < s.size(); ++i) {
+        if (s[i] == '\\' && i + 1 < s.size()) {
+            char c = s[++i];
+            if (c == 't') out += '\t';
+            else if (c == 'n') out += '\n';
+            else out += c;
+        } else {
+            out += s[i];
+        }
+    }
+    return out;
+}
+
+// mdq's token grammar (xapian_utils.rs:434-436): tokens are quoted strings
+// (kept with quotes so QueryParser sees a phrase) or [A-Za-z0-9_]+ runs —
+// every other character is a separator (so "at&t" is the tokens "at","t",
+// exactly as the nom `word` parser yields them).
+static bool word_char(char c) {
+    return isalnum((unsigned char)c) || c == '_';
+}
+
+static std::vector<std::string> split_tokens(const std::string& q) {
+    std::vector<std::string> toks;
+    size_t i = 0;
+    while (i < q.size()) {
+        if (q[i] == '"') {
+            size_t j = q.find('"', i + 1);
+            if (j == std::string::npos) j = q.size() - 1;
+            toks.push_back(q.substr(i, j - i + 1));
+            i = j + 1;
+        } else if (word_char(q[i])) {
+            size_t j = i;
+            while (j < q.size() && word_char(q[j])) ++j;
+            toks.push_back(q.substr(i, j - i));
+            i = j;
+        } else {
+            ++i;
+        }
+    }
+    return toks;
+}
+
+int main(int argc, char** argv) {
+    if (argc < 3) {
+        std::cerr << "usage: xapian_oracle <db> index|query [k]\n";
+        return 2;
+    }
+    std::string dbpath = argv[1];
+    std::string mode = argv[2];
+
+    if (mode == "index") {
+        Xapian::WritableDatabase db(dbpath, Xapian::DB_CREATE_OR_OPEN);
+        Xapian::TermGenerator tg;
+        Xapian::Stem stem("en");
+        tg.set_stemmer(stem);
+        std::string line;
+        while (std::getline(std::cin, line)) {
+            size_t tab = line.find('\t');
+            if (tab == std::string::npos) continue;
+            std::string url = unescape(line.substr(0, tab));
+            std::string text = unescape(line.substr(tab + 1));
+            Xapian::Document doc;
+            tg.set_document(doc);
+            tg.index_text(text);
+            doc.set_data(url);
+            doc.add_boolean_term("Q" + url);
+            db.replace_document("Q" + url, doc);
+        }
+        db.commit();
+        std::cout << "indexed " << db.get_doccount() << "\n";
+        return 0;
+    }
+
+    if (mode == "query") {
+        int k = argc > 3 ? atoi(argv[3]) : 100;
+        Xapian::Database db(dbpath);
+        Xapian::Stem stem("en");
+        Xapian::QueryParser qp;
+        qp.set_stemmer(stem);
+        qp.set_database(db);
+        // mdq's flag set (xapian_utils.rs:583-591)
+        unsigned flags = Xapian::QueryParser::FLAG_BOOLEAN |
+                         Xapian::QueryParser::FLAG_PHRASE |
+                         Xapian::QueryParser::FLAG_LOVEHATE |
+                         Xapian::QueryParser::FLAG_BOOLEAN_ANY_CASE |
+                         Xapian::QueryParser::FLAG_WILDCARD |
+                         Xapian::QueryParser::FLAG_PURE_NOT |
+                         Xapian::QueryParser::FLAG_PARTIAL |
+                         Xapian::QueryParser::FLAG_SPELLING_CORRECTION;
+        std::string line;
+        int qn = 0;
+        while (std::getline(std::cin, line)) {
+            Xapian::Query query = Xapian::Query::MatchNothing;
+            bool first = true;
+            for (const auto& tok : split_tokens(line)) {
+                Xapian::Query part = qp.parse_query(tok, flags);
+                if (first) { query = part; first = false; }
+                else query = Xapian::Query(Xapian::Query::OP_OR, query, part);
+            }
+            Xapian::Enquire enq(db);
+            enq.set_query(query);
+            Xapian::MSet mset = enq.get_mset(0, k);
+            int rank = 1;
+            for (auto it = mset.begin(); it != mset.end(); ++it, ++rank) {
+                std::printf("%d\t%d\t%u\t%.17g\n", qn, rank, *it,
+                            it.get_weight());
+            }
+            ++qn;
+        }
+        return 0;
+    }
+    std::cerr << "unknown mode " << mode << "\n";
+    return 2;
+}
