@@ -43,6 +43,21 @@ QUERIES = [
     '"at&t merger"',           # phrase whose first term uses the infix rule
     "wradded retrieval",
     "thelhur thest theck",     # mid-frequency pseudo-words
+    # boolean-operator fold (mdq splitter -> Query(op, acc, chunk)):
+    "xqzrareduo AND xqzraretri",
+    "the AND thelhur",
+    "xqzrareuno OR thelhur",
+    "the AND NOT thelhur",
+    "the XOR thelhur",
+    "the FILTER thelhur",
+    "the AND MAYBE thelhur",
+    "the ELITE thelhur",
+    "the AND thelhur OR xqzrareuno",   # left-associative chain
+    # excluded: SYNONYM keyword (we synonym over concrete terms, xapian
+    # over full subtrees incl. wildcard expansions — documented divergence,
+    # compiler._fold); PHRASE/NEAR keywords over complex chunks (xapian
+    # throws UnimplementedError; we evaluate the documented superset);
+    # SCALED/RANGE (no value slots; xapian errors / matches nothing).
 ]
 
 

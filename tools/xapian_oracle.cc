@@ -20,6 +20,7 @@
 #include <xapian.h>
 
 #include <cstdio>
+#include <cstring>
 #include <iostream>
 #include <sstream>
 #include <string>
@@ -117,23 +118,80 @@ int main(int argc, char** argv) {
                          Xapian::QueryParser::FLAG_PURE_NOT |
                          Xapian::QueryParser::FLAG_PARTIAL |
                          Xapian::QueryParser::FLAG_SPELLING_CORRECTION;
+
+        // one chunk = mdq's operator-free path: per-token parse, OR-join
+        auto parse_chunk = [&](const std::string& chunk) {
+            Xapian::Query q = Xapian::Query::MatchNothing;
+            bool first = true;
+            for (const auto& tok : split_tokens(chunk)) {
+                Xapian::Query part = qp.parse_query(tok, flags);
+                if (first) { q = part; first = false; }
+                else q = Xapian::Query(Xapian::Query::OP_OR, q, part);
+            }
+            return q;
+        };
+
+        // mdq's operator splitter (xapian_utils.rs:578-654): scan for the
+        // FIRST standalone operator keyword (alternation order breaks ties
+        // at the same position), left-fold with Query(op, acc, chunk)
+        struct OpDef { const char* kw; Xapian::Query::op op; };
+        static const OpDef OPS[] = {
+            {"AND MAYBE", Xapian::Query::OP_AND_MAYBE},
+            {"AND NOT", Xapian::Query::OP_AND_NOT},
+            {"SYNONYM", Xapian::Query::OP_SYNONYM},
+            {"FILTER", Xapian::Query::OP_FILTER},
+            {"ELITE", Xapian::Query::OP_ELITE_SET},
+            {"NEAR", Xapian::Query::OP_NEAR},
+            {"AND", Xapian::Query::OP_AND},
+            {"XOR", Xapian::Query::OP_XOR},
+            {"OR", Xapian::Query::OP_OR},
+        };
+        auto find_op = [&](const std::string& s, size_t& pos, size_t& len,
+                           Xapian::Query::op& op) {
+            for (size_t i = 0; i < s.size(); ++i) {
+                if (i > 0 && word_char(s[i - 1])) continue;
+                for (const auto& d : OPS) {
+                    size_t n = strlen(d.kw);
+                    if (s.compare(i, n, d.kw) == 0 &&
+                        (i + n == s.size() || !word_char(s[i + n]))) {
+                        pos = i; len = n; op = d.op;
+                        return true;
+                    }
+                }
+            }
+            return false;
+        };
+
         std::string line;
         int qn = 0;
         while (std::getline(std::cin, line)) {
+            std::string rest = line;
             Xapian::Query query = Xapian::Query::MatchNothing;
-            bool first = true;
-            for (const auto& tok : split_tokens(line)) {
-                Xapian::Query part = qp.parse_query(tok, flags);
-                if (first) { query = part; first = false; }
-                else query = Xapian::Query(Xapian::Query::OP_OR, query, part);
+            bool have = false;
+            Xapian::Query::op pending = Xapian::Query::OP_OR;
+            while (true) {
+                size_t pos, len;
+                Xapian::Query::op op;
+                bool found = find_op(rest, pos, len, op);
+                std::string chunk = found ? rest.substr(0, pos) : rest;
+                Xapian::Query sub = parse_chunk(chunk);
+                if (!have) { query = sub; have = true; }
+                else query = Xapian::Query(pending, query, sub);
+                if (!found) break;
+                pending = op;
+                rest = rest.substr(pos + len);
             }
-            Xapian::Enquire enq(db);
-            enq.set_query(query);
-            Xapian::MSet mset = enq.get_mset(0, k);
-            int rank = 1;
-            for (auto it = mset.begin(); it != mset.end(); ++it, ++rank) {
-                std::printf("%d\t%d\t%u\t%.17g\n", qn, rank, *it,
-                            it.get_weight());
+            try {
+                Xapian::Enquire enq(db);
+                enq.set_query(query);
+                Xapian::MSet mset = enq.get_mset(0, k);
+                int rank = 1;
+                for (auto it = mset.begin(); it != mset.end(); ++it, ++rank) {
+                    std::printf("%d\t%d\t%u\t%.17g\n", qn, rank, *it,
+                                it.get_weight());
+                }
+            } catch (const Xapian::Error& e) {
+                std::printf("%d\tERROR\t%s\n", qn, e.get_type());
             }
             ++qn;
         }
