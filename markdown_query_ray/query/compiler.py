@@ -85,14 +85,21 @@ DEPTH_CAP = 50
 
 def _partial_term(tok: str, prefix: str = ""):
     """FLAG_PARTIAL compile of one token:
-    OR(SYNONYM(WILDCARD prefix+tok*), Z+prefix+stem(tok))."""
+    OR(SYNONYM(WILDCARD prefix+tok*), <exact side>), where the exact side
+    is the Z-stemmed term for stemmable words and the PLAIN term otherwise
+    (STEM_SOME gates on the leading character — digits don't stem, so
+    ``2024`` compiles to OR(WILDCARD 2024*, 2024), not a Z-term;
+    queryparser_internal.cc:506-530 + termgenerator_internal.cc:63-73,
+    verified against the real library in tests/test_xapian_parity.py)."""
+    from ..functions.xapian_tokenizer import should_stem
+
     tok = tok.lower()
-    stemmed = snowball_stem(tok)
+    exact = Term("Z" + prefix + snowball_stem(tok)) if should_stem(tok) \
+        else Term(prefix + tok)
     # FLAG_PARTIAL wildcards keep the 100 MOST FREQUENT matches
     # (max_partial_expansion=100, WILDCARD_LIMIT_MOST_FREQUENT;
     # queryparser_internal.h:128-130)
-    return Or((Synonym((Wildcard(prefix + tok, 100, True),)),
-               Term("Z" + prefix + stemmed)))
+    return Or((Synonym((Wildcard(prefix + tok, 100, True),)), exact))
 
 
 def _phrase_node(text: str, prefix: str = ""):

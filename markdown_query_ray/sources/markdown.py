@@ -196,6 +196,17 @@ FIELD_PREFIXES = [("authors", "A"), ("date", "D"), ("fullpath", "U"),
                   ("body", "")]
 
 
+def date_index_string(epoch: int) -> str:
+    """The exact string mdq indexes under the D prefix: the epoch rendered
+    as RFC3339 in the local timezone (Date::to_string, src/date.rs:23-34 —
+    chrono ``to_rfc3339``). This container runs UTC, so the rendering is
+    ``YYYY-MM-DDTHH:MM:SS+00:00``; the tokenizer then splits it into date
+    terms (D2024, D03, D01t00, ...)."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(int(epoch), timezone.utc).isoformat()
+
+
 class FieldTokenizeStage:
     """Parsed markdown rows (+ doc_id) -> tokenized rows with the
     reference's field-prefix terms: each field's tokens are indexed as
@@ -228,8 +239,15 @@ class FieldTokenizeStage:
             v = row.get(field)
             if v is None:
                 continue
-            chunks = v if isinstance(v, list) else [v]
-            for chunk in chunks:  # tags/authors indexed one by one
+            if field == "authors":
+                # one comma-joined index_text_with_prefix call
+                # (VecString::to_string, src/document.rs:39-43)
+                chunks = [",".join(v)] if isinstance(v, list) else [v]
+            elif field == "date":
+                chunks = [date_index_string(v)]
+            else:
+                chunks = v if isinstance(v, list) else [v]
+            for chunk in chunks:  # tags indexed one by one
                 for tok in self.tokenize(str(chunk),
                                          self.cfg.max_term_bytes):
                     pos += 1

@@ -117,14 +117,20 @@ def test_author_and_tag_queries(md_index):
 
 
 def test_date_term_indexed(md_index):
+    """mdq indexes the RFC3339 rendering of the date (src/date.rs:23-34):
+    2024-03-01T00:00:00+00:00 tokenizes to D2024 / D03 / D01t00 / D00."""
     from markdown_query_ray.query.ast import Term
     from markdown_query_ray.query.session import SearchSession
 
     idx, paths, _ = md_index
     s = SearchSession(idx, QueryConfig(k=10, params=BM25Params.xapian()))
-    hits = s.search_node(Term("D1709251200"))
-    assert _ids(hits) == {_doc_rank(paths, "alpha.md"),
-                          _doc_rank(paths, "beta.md")}
+    all3 = {_doc_rank(paths, n) for n in ("alpha.md", "beta.md", "gamma.md")}
+    assert _ids(s.search_node(Term("D2024"))) == all3
+    # hour-bearing token separates gamma (12:00) from alpha/beta (00:00)
+    assert _ids(s.search_node(Term("D01t00"))) == \
+        {_doc_rank(paths, "alpha.md"), _doc_rank(paths, "beta.md")}
+    assert _ids(s.search_node(Term("D01t12"))) == \
+        {_doc_rank(paths, "gamma.md")}
 
 
 def test_cross_field_phrase_positions(md_index):

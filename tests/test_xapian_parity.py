@@ -129,6 +129,95 @@ def test_topk_rank_identical_to_real_xapian(parity_setup):
                 f"score mismatch for {q!r} doc {d}: ours {s} xapian {w}"
 
 
+MD_QUERIES = [
+    "title:alpha",
+    "title:merge sorting",
+    "author:ada",
+    "author:carol tag:query",
+    "tag:index tag:query",
+    "date:2024",
+    'title:"merge notes"',
+    "fullpath:alpha",
+    "subtitle:fast",
+    "unknownfield:alpha",      # unknown tag: falls through whole
+    "title:alpha AND tag:query",
+]
+
+MD_DOCS = [
+    # (name, title, subtitle, authors, tags, epoch, body)
+    ("alpha.md", "Alpha merge notes", "fast sorting", ["ada"],
+     ["query", "index"], 1709251200, "body about merge strategies"),
+    ("beta.md", "Beta windows", "", ["bob", "carol"], ["query"],
+     1709251200, "body about sorting only"),
+    ("gamma.md", "Gamma", "", [], [], 1709294400,
+     "merge appears only in the body here gamma alpha"),
+    ("delta.md", "Delta alpha", "slow merge", ["ada", "dan"],
+     ["archive"], 1709300000, "sorting merge windows body text"),
+]
+
+
+@pytest.fixture(scope="module")
+def md_parity_setup(ray_session, tmp_path_factory):
+    """Markdown corpus with full field prefixes on both sides."""
+    from markdown_query_ray.config import IndexConfig
+    from markdown_query_ray.sources.markdown import (
+        build_markdown_index,
+        date_index_string,
+    )
+
+    root = tmp_path_factory.mktemp("mdparity")
+    paths = []
+    for name, title, sub, authors, tags, epoch, body in MD_DOCS:
+        p = root / name
+        lines = ["---", f"title: {title}"]
+        if sub:
+            lines.append(f"subtitle: {sub}")
+        if authors:
+            lines.append("authors: [" + ", ".join(authors) + "]")
+        if tags:
+            lines.append("tags: [" + ", ".join(tags) + "]")
+        lines += [f"date: {epoch}", "---", body, ""]
+        p.write_text("\n".join(lines))
+        paths.append(str(p))
+    paths.sort()
+
+    xdb = str(root / "xdb")
+    rows = []
+    for p in paths:
+        name = os.path.basename(p)
+        rec = next(d for d in MD_DOCS if d[0] == name)
+        _, title, sub, authors, tags, epoch, body = rec
+        rows.append("\t".join(_escape(x) for x in [
+            p, title, sub, ",".join(authors), "|".join(tags),
+            date_index_string(epoch), body]))
+    subprocess.run([ORACLE, xdb, "index-md"], input="".join(r + "\n"
+                   for r in rows), capture_output=True, text=True,
+                   check=True)
+
+    ours = str(root / "ours")
+    cfg = IndexConfig(num_term_parts=4, num_doc_buckets=1, positions=True)
+    build_markdown_index(ours, paths, cfg)
+    return xdb, ours
+
+
+def test_field_queries_rank_identical_to_real_xapian(md_parity_setup):
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.compiler import parse_user_query
+
+    xdb, ours = md_parity_setup
+    want = _xapian_results(xdb, MD_QUERIES, 50)
+    qcfg = QueryConfig(k=50, params=BM25Params.xapian())
+    for i, q in enumerate(MD_QUERIES):
+        got = qx.search(ours, parse_user_query(q), qcfg, distributed=False)
+        got_ids = got.column("doc_id").to_pylist()
+        exp = want[i]
+        assert got_ids == [d for d, _ in exp], f"docid mismatch for {q!r}"
+        for (d, w), s in zip(exp, got.column("score").to_pylist()):
+            assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
+                f"score mismatch for {q!r} doc {d}: ours {s} xapian {w}"
+
+
 def test_match_counts_equal_real_xapian(parity_setup):
     """Every query's full match SET (not just top-k) agrees."""
     from markdown_query_ray.config import BM25Params

@@ -62,6 +62,24 @@ static std::vector<std::string> split_tokens(const std::string& q) {
         } else if (word_char(q[i])) {
             size_t j = i;
             while (j < q.size() && word_char(q[j])) ++j;
+            // tagged token: word:(quoted|word) is ONE token
+            // (xapian_utils.rs:310-312)
+            if (j < q.size() && q[j] == ':' && j + 1 < q.size()) {
+                if (q[j + 1] == '"') {
+                    size_t e = q.find('"', j + 2);
+                    if (e == std::string::npos) e = q.size() - 1;
+                    toks.push_back(q.substr(i, e - i + 1));
+                    i = e + 1;
+                    continue;
+                }
+                if (word_char(q[j + 1])) {
+                    size_t e = j + 1;
+                    while (e < q.size() && word_char(q[e])) ++e;
+                    toks.push_back(q.substr(i, e - i));
+                    i = e;
+                    continue;
+                }
+            }
             toks.push_back(q.substr(i, j - i));
             i = j;
         } else {
@@ -69,6 +87,18 @@ static std::vector<std::string> split_tokens(const std::string& q) {
         }
     }
     return toks;
+}
+
+// mdq's field-tag -> prefix mapping (xapian_utils.rs:360-394); returns empty
+// string for unknown fields (which fall through whole to the QueryParser).
+static std::string field_prefix(const std::string& field) {
+    if (field == "fullpath") return "U";
+    if (field == "subtitle") return "XS";
+    if (field == "author") return "A";
+    if (field == "title") return "S";
+    if (field == "date") return "D";
+    if (field == "tag") return "K";
+    return "";
 }
 
 int main(int argc, char** argv) {
@@ -102,6 +132,48 @@ int main(int argc, char** argv) {
         return 0;
     }
 
+    if (mode == "index-md") {
+        // full mdq update_index field sequence (src/document.rs:162-190):
+        // TSV columns url, title, subtitle, authors (already comma-joined),
+        // tags ('|'-separated), date (pre-rendered RFC3339), body
+        Xapian::WritableDatabase db(dbpath, Xapian::DB_CREATE_OR_OPEN);
+        Xapian::TermGenerator tg;
+        Xapian::Stem stem("en");
+        tg.set_stemmer(stem);
+        std::string line;
+        while (std::getline(std::cin, line)) {
+            std::vector<std::string> f;
+            size_t start = 0;
+            while (f.size() < 6) {
+                size_t tab = line.find('\t', start);
+                f.push_back(unescape(line.substr(start, tab - start)));
+                start = tab + 1;
+            }
+            f.push_back(unescape(line.substr(start)));
+            const std::string& url = f[0];
+            Xapian::Document doc;
+            tg.set_document(doc);
+            tg.index_text(f[3], 1, "A");   // authors (comma-joined)
+            tg.index_text(f[5], 1, "D");   // date string
+            tg.index_text(url, 1, "U");
+            tg.index_text(f[1], 1, "S");   // title
+            tg.index_text(f[2], 1, "XS");  // subtitle
+            {   // tags one by one
+                std::stringstream ss(f[4]);
+                std::string tag;
+                while (std::getline(ss, tag, '|'))
+                    if (!tag.empty()) tg.index_text(tag, 1, "K");
+            }
+            tg.index_text(f[6]);           // body, unprefixed
+            doc.set_data(url);
+            doc.add_boolean_term("Q" + url);
+            db.replace_document("Q" + url, doc);
+        }
+        db.commit();
+        std::cout << "indexed " << db.get_doccount() << "\n";
+        return 0;
+    }
+
     if (mode == "query") {
         int k = argc > 3 ? atoi(argv[3]) : 100;
         Xapian::Database db(dbpath);
@@ -119,12 +191,28 @@ int main(int argc, char** argv) {
                          Xapian::QueryParser::FLAG_PARTIAL |
                          Xapian::QueryParser::FLAG_SPELLING_CORRECTION;
 
-        // one chunk = mdq's operator-free path: per-token parse, OR-join
+        // one chunk = mdq's operator-free path: per-token parse, OR-join;
+        // tagged tokens parse their value with the field's prefix
+        // (parse_query_with_prefix, xapian_utils.rs:442-453)
         auto parse_chunk = [&](const std::string& chunk) {
             Xapian::Query q = Xapian::Query::MatchNothing;
             bool first = true;
             for (const auto& tok : split_tokens(chunk)) {
-                Xapian::Query part = qp.parse_query(tok, flags);
+                Xapian::Query part;
+                size_t colon = tok.find(':');
+                if (colon != std::string::npos && tok[0] != '"') {
+                    std::string field = tok.substr(0, colon);
+                    for (auto& c : field) c = tolower((unsigned char)c);
+                    std::string prefix = field_prefix(field);
+                    if (!prefix.empty()) {
+                        part = qp.parse_query(tok.substr(colon + 1), flags,
+                                              prefix);
+                    } else {
+                        part = qp.parse_query(tok, flags);
+                    }
+                } else {
+                    part = qp.parse_query(tok, flags);
+                }
                 if (first) { q = part; first = false; }
                 else q = Xapian::Query(Xapian::Query::OP_OR, q, part);
             }
