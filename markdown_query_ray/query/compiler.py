@@ -24,7 +24,10 @@ word chunks (true OP_PHRASE/OP_NEAR on an index built with positions=True;
 AND degradation otherwise — see ast.Phrase). Known divergences (documented):
 RANGE/``>``/``<`` parse but match nothing (the reference sets no value
 slots, so Xapian's value ops match nothing there too — SURVEY.md §2.5 L10);
-SCALED applies scale 1.0; ELITE evaluates as OR.
+SCALED applies scale 1.0; ELITE evaluates as OR — exact vs xapian up to
+10 flattened leaves (DEFAULT_ELITE_SET_SIZE; beyond that xapian keeps the
+10 highest-maxweight leaves with unspecified nth_element tie handling,
+queryinternal.cc:1268).
 """
 
 from __future__ import annotations
