@@ -78,32 +78,31 @@ _POST_TABLE = {0x2019: "'", 0x201b: "'", 0x200b: None, 0x200c: None,
 def tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
     """Return the term stream for ``text`` (lowercased, in document order).
 
-    Hot path: one ``group(i)`` fetch per token (branch on ``lastindex``:
-    group 1 = acronym, group 2 = general term) and the non-ASCII
-    normalization scan only runs for non-ASCII terms — ASCII web text goes
-    straight through."""
+    Hot path: ``findall`` returns (acronym, term) group tuples in one C
+    call (no per-token Match objects); the non-ASCII normalization scan
+    only runs for non-ASCII terms — ASCII web text goes straight through."""
     out = []
     append = out.append
-    for m in _TOKEN_RE.finditer(text):
-        if m.lastindex == 2:
-            term = m.group(2).lower()
-            if term.isascii():
-                if len(term) <= max_term_bytes:
-                    append(term)
-                continue
-            for ch in _POST_CHARS:
-                if ch in term:
-                    term = term.translate(_POST_TABLE)
-                    break
-            if term.isascii():  # normalization may have made it ASCII
-                if len(term) <= max_term_bytes:
-                    append(term)
-            elif len(term.encode("utf-8")) <= max_term_bytes:
-                append(term)
-        else:  # acronym (group 1)
-            term = m.group(1).replace(".", "").lower()
+    for acr, term in _TOKEN_RE.findall(text):
+        if acr:
+            term = acr.replace(".", "").lower()
             if len(term) <= max_term_bytes:
                 append(term)
+            continue
+        term = term.lower()
+        if term.isascii():
+            if len(term) <= max_term_bytes:
+                append(term)
+            continue
+        for ch in _POST_CHARS:
+            if ch in term:
+                term = term.translate(_POST_TABLE)
+                break
+        if term.isascii():  # normalization may have made it ASCII
+            if len(term) <= max_term_bytes:
+                append(term)
+        elif len(term.encode("utf-8")) <= max_term_bytes:
+            append(term)
     return out
 
 
