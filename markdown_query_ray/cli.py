@@ -51,10 +51,13 @@ def _ray_up(num_cpus: int | None):
 def _index_cfg(args) -> "IndexConfig":
     from .config import IndexConfig
 
+    # markdown builds store payloads by default (mdq always set_data's the
+    # document JSON); pages builds opt in via --store-payload
+    store = args.store_payload or bool(getattr(args, "markdown", None))
     return IndexConfig(
         tokenizer=args.tokenizer, stem=not args.no_stem,
         num_term_parts=args.parts, num_doc_buckets=args.buckets,
-        positions=args.positions)
+        positions=args.positions, store_payload=store)
 
 
 def cmd_build(args) -> int:
@@ -111,7 +114,12 @@ def cmd_query(args) -> int:
             print(f"did you mean: {corr}", file=sys.stderr)
     for r in hits.to_pylist():
         # one-shot mode prints the selected identifiers (src/main.rs:133-136)
-        print(f"{r['rank']}\t{r['score']:.6f}\t{r['url']}")
+        line = f"{r['rank']}\t{r['score']:.6f}\t{r['url']}"
+        if args.preview:
+            p = s.preview(r["doc_id"], args.query)
+            if p is not None:
+                line += "\t" + p.replace("\n", " ")[:120]
+        print(line)
     return 0
 
 
@@ -154,6 +162,7 @@ def make_parser() -> argparse.ArgumentParser:
         p.add_argument("--parts", type=int, default=8)
         p.add_argument("--buckets", type=int, default=1)
         p.add_argument("--positions", action="store_true")
+        p.add_argument("--store-payload", action="store_true")
 
     b = sub.add_parser("build")
     b.add_argument("index")
@@ -182,6 +191,7 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("index")
     q.add_argument("query")
     q.add_argument("--suggest", action="store_true")
+    q.add_argument("--preview", action="store_true")
     add_query_opts(q)
     q.set_defaults(fn=cmd_query)
 

@@ -75,6 +75,11 @@ class IndexConfig:
                                      # OP_PHRASE/OP_NEAR; unstemmed terms only,
                                      # as in STEM_SOME — Z-stems are wdf-only,
                                      # termgenerator_internal.cc:284-312)
+    store_payload: bool = False      # keep a per-doc payload column in
+                                     # tokenized/ for retrieval — the analog
+                                     # of Xapian's Document::set_data blob
+                                     # (src/document.rs:183); costs storage,
+                                     # so off by default at web scale
     tokenize_batch_size: int = 256   # docs per tokenize batch (web pages are fat)
     tokenize_concurrency: int | tuple[int, int] | None = None  # actor pool size
     docs_per_bucket: int = 1 << 32   # doc_id -> doc_bucket divisor; at 10^12

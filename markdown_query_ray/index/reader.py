@@ -171,6 +171,25 @@ class IndexReader:
                             ("first_doc_id", "ascending")]))
 
     # -- docs ----------------------------------------------------------------
+    def payloads_for(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id -> stored payload (Document::get_data analog). Empty dict
+        when the index was built without ``store_payload``."""
+        if not doc_ids:
+            return {}
+        flt = pc.field("doc_id").isin([int(d) for d in doc_ids])
+        out: dict[int, str] = {}
+        for seg in self.segments:
+            d = os.path.join(self.index_dir, seg, "tokenized")
+            if not os.path.isdir(d):
+                continue
+            ds = pads.dataset(d)
+            if "payload" not in ds.schema.names:
+                continue
+            t = ds.to_table(filter=flt, columns=["doc_id", "payload"])
+            out.update(zip(t.column("doc_id").to_pylist(),
+                           t.column("payload").to_pylist()))
+        return out
+
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url lookup. tokenized/ doubles as the docs table — the
         parquet read prunes to the (doc_id, url) columns, so the fat

@@ -124,6 +124,41 @@ class SearchSession:
             total += len(self._evaluator(b).evaluate(node).ids)
         return total
 
+    def get_documents(self, doc_ids: list[int]) -> dict[int, str]:
+        """Stored payloads of the given docs — the reference's hit-payload
+        retrieval (JSON -> Document per hit, xapian_utils.rs:670-684).
+        Empty when the index was built without ``store_payload``."""
+        return self.reader.payloads_for(doc_ids)
+
+    def preview(self, doc_id: int, query: str = "",
+                width: int = 160) -> str | None:
+        """A short text preview of one document, centered on the first
+        query-term occurrence when the query matches (the TUI preview pane
+        analog, src/interactive.rs:139-145)."""
+        payload = self.reader.payloads_for([doc_id]).get(doc_id)
+        if payload is None:
+            return None
+        text = payload
+        if payload.startswith("{"):
+            import json
+
+            try:
+                text = json.loads(payload).get("body", payload)
+            except ValueError:
+                pass
+        lowered = text.lower()
+        pos = -1
+        from .compiler import _WORD_RE
+
+        for w in _WORD_RE.findall(query.lower()):
+            pos = lowered.find(w)
+            if pos >= 0:
+                break
+        if pos < 0:
+            return text[:width]
+        start = max(0, pos - width // 2)
+        return text[start:start + width]
+
     def suggest_correction(self, query: str) -> str | None:
         """Spelling-corrected query string, or None if nothing to correct —
         the reference's FLAG_SPELLING_CORRECTION surface

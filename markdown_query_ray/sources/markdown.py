@@ -286,6 +286,21 @@ class FieldTokenizeStage:
         if with_pos:
             cols["npos"] = pa.array(npos_col, pa.list_(pa.uint32()))
             cols["poss"] = pa.array(poss_col, pa.list_(pa.binary()))
+        if self.cfg.store_payload:
+            import json
+
+            # Storage-mode serialization of the document — the exact shape
+            # mdq stores via set_data (src/document.rs:248-284: fullpath,
+            # id, authors, epoch date, tags, numerics, title, subtitle, body)
+            payloads = [json.dumps({
+                "fullpath": r["fullpath"], "id": r["id"],
+                "authors": r["authors"], "date": r["date"],
+                "tags": r["tags"], "weight": r["weight"],
+                "writes": r["writes"], "views": r["views"],
+                "title": r["title"], "subtitle": r["subtitle"],
+                "body": r["body"],
+            }, sort_keys=True) for r in rows]
+            cols["payload"] = pa.array(payloads, pa.large_string())
         return pa.table(cols)
 
 

@@ -67,6 +67,10 @@ class TokenizeStage:
         if with_pos:
             cols["npos"] = pa.array(npos_col, pa.list_(pa.uint32()))
             cols["poss"] = pa.array(poss_col, pa.list_(pa.binary()))
+        if self.cfg.store_payload:
+            # the Document::set_data analog: the raw text rides the staging
+            # checkpoint (columnar, compressed) for retrieval-time preview
+            cols["payload"] = batch.column("text").cast(pa.large_string())
         return pa.table(cols)
 
 def pack_position_payloads(items: list[tuple[str, int]],

@@ -58,7 +58,8 @@ def md_index(ray_session, md_dir, tmp_path_factory):
     paths = sorted(os.path.join(md_dir, n) for n in DOCS
                    if n.endswith(".md") and not n.startswith(".")
                    and n not in ("nofront.md",))
-    cfg = IndexConfig(num_term_parts=4, num_doc_buckets=1, positions=True)
+    cfg = IndexConfig(num_term_parts=4, num_doc_buckets=1, positions=True,
+                      store_payload=True)
     gstats = build_markdown_index(out, paths, cfg)
     return out, paths, gstats
 
@@ -144,6 +145,30 @@ def test_cross_field_phrase_positions(md_index):
     s = SearchSession(idx, QueryConfig(k=10, params=BM25Params.xapian()))
     hits = s.search_node(Phrase(("body", "about", "merge"), window=3))
     assert _ids(hits) == {_doc_rank(paths, "alpha.md")}
+
+
+def test_payload_storage_and_preview(md_index):
+    """The Document::set_data analog: Storage-mode JSON payloads retrieve
+    per hit (xapian_utils.rs:670-684) and drive the TUI-style preview."""
+    import json
+
+    from markdown_query_ray.query.session import SearchSession
+
+    idx, paths, _ = md_index
+    s = SearchSession(idx, QueryConfig(k=10, params=BM25Params.xapian()))
+    alpha = _doc_rank(paths, "alpha.md")
+    docs = s.get_documents([alpha])
+    payload = json.loads(docs[alpha])
+    assert payload["title"] == "Alpha merge notes"
+    assert payload["authors"] == ["ada"]
+    assert payload["tags"] == ["query", "index"]
+    assert payload["date"] == 1709251200
+    assert "merge strategies" in payload["body"]
+    # preview centers on the first query-term hit in the body
+    pv = s.preview(alpha, "strategies")
+    assert pv is not None and "strategies" in pv
+    # positionless/payloadless doc_id -> None
+    assert s.preview(999999) is None
 
 
 def test_doclen_counts_prefixed_and_stems(md_index):
