@@ -123,6 +123,33 @@ def _phrase_bm25_sql(terms: list[str], k: int, ordered: bool = True,
         f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
 
 
+def _bm25_xapian_restricted_sql(terms: list[str], k: int,
+                                restrict: str) -> str:
+    """Xapian-profile BM25 over the simple tokens, match set restricted by
+    ``restrict`` (SQL yielding doc_ids) — FILTER semantics: the restriction
+    contributes no weight."""
+    tw = "((st.n_docs - df.df + 0.5) / (df.df + 0.5))"
+    tw_floored = f"(CASE WHEN {tw} < 2 THEN {tw} * 0.5 + 1 ELSE {tw} END)"
+    per_term = " UNION ALL ".join(
+        f"SELECT tf.doc_id, "
+        f"ln({tw_floored}) * 2.0 * "
+        f"(tf.tf / ((greatest(dl.dl * (1.0 / st.avgdl), 0.5) * 0.5 + 0.5) "
+        f"+ tf.tf)) AS s "
+        f"FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM toks "
+        f"WHERE term = '{t}' GROUP BY doc_id) tf, "
+        f"(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+        f"WHERE term = '{t}') df, st, dl WHERE dl.doc_id = tf.doc_id "
+        f"AND tf.doc_id IN ({restrict})"
+        for t in terms)
+    return (
+        _TOKS +
+        f", scored AS (SELECT doc_id, sum(s) AS score FROM ({per_term}) "
+        f"GROUP BY doc_id) "
+        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) "
+        f"AS BIGINT) AS rank, doc_id, round(score, 6) AS score "
+        f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
+
+
 def _bool_sql(op: str, t1: str, t2: str) -> str:
     base = ("WITH toks AS (SELECT doc_id, unnest(list_filter("
             "string_split(lower(text), ' '), x -> x <> '')) AS term "
@@ -160,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            k=20),
         # rare term (df=25): exercises nonzero classic idf + WAND pruning
         "bm25_rare_dup": lambda sf: d.bm25_topk(sf, ["dup", "merge"], k=20),
+        "bm25_lang_de": lambda sf: d.bm25_lang_filtered(
+            sf, ["merge", "sort"], "de", k=20),
         "phrase_merge_sort": lambda sf: d.phrase_bm25(sf, ["merge", "sort"],
                                                       k=20),
         "near_merge_sort_w5": lambda sf: d.phrase_bm25(
@@ -206,6 +235,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_single_term": _bm25_sql(["merge"], 20),
         "bm25_or3": _bm25_sql(["merge", "sort", "window"], 20),
         "bm25_rare_dup": _bm25_sql(["dup", "merge"], 20),
+        "bm25_lang_de": _bm25_xapian_restricted_sql(
+            ["merge", "sort"], 20,
+            "SELECT doc_id FROM documents WHERE lang = 'de'"),
         "phrase_merge_sort": _phrase_bm25_sql(["merge", "sort"], 20),
         "near_merge_sort_w5": _phrase_bm25_sql(["merge", "sort"], 20,
                                                ordered=False, window=5),

@@ -34,7 +34,7 @@ def _docs_dataset(sf_dir: str):
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text", "lang"])
 
     def add_url(batch: pa.Table) -> pa.Table:
         urls = [f"doc://{d}" for d in batch.column("doc_id").to_pylist()]
@@ -93,6 +93,21 @@ def phrase_bm25(sf_dir: str, terms: list[str], k: int = 20,
 
     idx = documents_index(sf_dir, positions=True)
     node = Phrase(tuple(terms), window=window or len(terms), ordered=ordered)
+    qcfg = QueryConfig(k=k, params=BM25Params.xapian())
+    out = qx.search(idx, node, qcfg).select(["rank", "doc_id", "score"])
+    out = out.set_column(1, "doc_id", out.column("doc_id").cast(pa.int64()))
+    return _round_col(out, "score")
+
+
+def bm25_lang_filtered(sf_dir: str, terms: list[str], lang: str,
+                       k: int = 20) -> pa.Table:
+    """(rank, doc_id, score): weighted-OR BM25 restricted to docs of one
+    language via the L<lang> boolean facet term (wdf 0 => FILTER semantics:
+    restricts the match set, contributes no weight)."""
+    from ..query.ast import Filter
+
+    idx = documents_index(sf_dir)
+    node = Filter(Or(tuple(Term(t) for t in terms)), Term("L" + lang))
     qcfg = QueryConfig(k=k, params=BM25Params.xapian())
     out = qx.search(idx, node, qcfg).select(["rank", "doc_id", "score"])
     out = out.set_column(1, "doc_id", out.column("doc_id").cast(pa.int64()))

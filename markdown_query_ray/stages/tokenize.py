@@ -42,14 +42,29 @@ class TokenizeStage:
         doclens: list[int] = []
         npos_col: list[list[int]] = []
         poss_col: list[list[bytes]] = []
-        for text in batch.column("text").to_pylist():
+        # boolean (wdf-0) terms: the add_boolean_term analog — the Q<url> id
+        # term (upsert/lookup key, src/document.rs:185-187) plus an L<lang>
+        # facet term when the column exists. wdf 0 => they score 0, never
+        # enter doclen, and serve FILTER / lookup semantics exactly like
+        # Xapian boolean terms.
+        urls = batch.column("url").to_pylist()
+        langs = batch.column("lang").to_pylist() \
+            if "lang" in batch.column_names else None
+        for row_i, text in enumerate(batch.column("text").to_pylist()):
             toks = self.tokenize(text or "", max_bytes)
             counts = term_counts(toks, stemmer=self.stemmer)
+            doclen = sum(counts.values())  # before wdf-0 terms (Xapian)
+            boolean_terms = [f"Q{urls[row_i]}"]
+            if langs is not None and langs[row_i]:
+                boolean_terms.append(f"L{langs[row_i]}")
+            for bt in boolean_terms:
+                if len(bt.encode("utf-8")) <= 245:  # Xapian key-length cap
+                    counts.setdefault(bt, 0)
             # sorted term order: deterministic output regardless of dict order
             items = sorted(counts.items())
             terms_col.append([t for t, _ in items])
             tfs_col.append([c for _, c in items])
-            doclens.append(sum(counts.values()))
+            doclens.append(doclen)
             if with_pos:
                 pos_map: dict[str, list[int]] = {}
                 for i, t in enumerate(toks):

@@ -119,3 +119,40 @@ def test_reader_missing_dir_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         IndexReader(str(tmp_path / "nope"))
+
+
+def test_boolean_terms_lookup_and_facet(ray_session, tmp_path):
+    """Q<url> id terms and L<lang> facet terms: wdf 0 -> score 0, absent
+    from doclen, usable for exact lookup and FILTER facets."""
+    import ray.data
+
+    from markdown_query_ray.index.reader import IndexReader
+    from markdown_query_ray.query.ast import Filter
+
+    out = str(tmp_path / "bool")
+    t = pa.table({
+        "url": pa.array(["u0", "u1", "u2"]),
+        "text": pa.array(["alpha beta", "alpha", "alpha beta gamma"]),
+        "lang": pa.array(["en", "de", "en"]),
+        "doc_id": pa.array(np.arange(3, dtype=np.uint64)),
+    })
+    cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=2,
+                      num_doc_buckets=1)
+    build_index(out, dataset=ray.data.from_arrow(t), cfg=cfg, total_docs=3)
+
+    # exact lookup by id term
+    hits = qx.search(out, Term("Qu1"), QueryConfig(k=5), distributed=False)
+    assert hits.column("doc_id").to_pylist() == [1]
+    assert hits.column("score")[0].as_py() == 0.0
+
+    # facet filter: alpha restricted to lang=en
+    hits = qx.search(out, Filter(Term("alpha"), Term("Len")),
+                     QueryConfig(k=5), distributed=False)
+    assert set(hits.column("doc_id").to_pylist()) == {0, 2}
+
+    # doclen unaffected by boolean terms (u1: one token)
+    r = IndexReader(out)
+    st = r.term_stats(["Qu1", "Len"])
+    assert st["Qu1"]["termfreq"] == 1 and st["Qu1"]["collfreq"] == 0
+    assert st["Len"]["termfreq"] == 2
+    assert r.gstats["total_doclen"] == 6  # 2 + 1 + 3 body tokens only

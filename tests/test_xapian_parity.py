@@ -233,7 +233,7 @@ def _safe_tokens(ours: str, max_expansion: int = 90) -> list[str]:
     t = pads.dataset(_os.path.join(ours, "term_stats")).to_table(
         columns=["term"])
     terms = [x for x in t.column("term").to_pylist()
-             if not x.startswith("Z") and x[0].isalpha()]
+             if x[0].islower() and x[0].isalpha()]  # skip Z/Q/L prefixed
     rng = np.random.default_rng(42)
     picks = rng.choice(len(terms), size=min(240, len(terms)), replace=False)
     out = []
