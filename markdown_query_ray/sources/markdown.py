@@ -257,6 +257,11 @@ class FieldTokenizeStage:
                     if stemmer is not None and self.should_stem(tok):
                         zt = "Z" + prefix + stemmer(tok)
                         counts[zt] = counts.get(zt, 0) + 1
+        # the Q<fullpath> boolean id term (wdf 0: upsert/lookup key,
+        # src/document.rs:185-187) — scores 0, not in doclen
+        qid = "Q" + str(row.get("fullpath", ""))
+        if len(qid.encode("utf-8")) <= 245:
+            counts.setdefault(qid, 0)
         return counts, pos_map
 
     def __call__(self, batch: pa.Table) -> pa.Table:
