@@ -115,11 +115,36 @@ def _phrase_node(text: str, prefix: str = ""):
     return Phrase(tuple(terms), window=len(terms))
 
 
+_WS_RE = re.compile(r"\s+")
+
+
+def _chunk_matches(chunk: str):
+    """mdq's ``expression = many1(alt((quoted, tagged, word, whitespace)))``
+    (xapian_utils.rs:434-436): alternatives tried IN ORDER at the current
+    position, and parsing STOPS at the first character none matches — the
+    rest of the chunk is silently dropped (``at&t`` yields only ``at``;
+    verified against the real engine in tests/test_xapian_parity.py)."""
+    i, n = 0, len(chunk)
+    out = []
+    while i < n:
+        m = _TOKEN_RE.match(chunk, i)
+        if m:
+            out.append(m)
+            i = m.end()
+            continue
+        w = _WS_RE.match(chunk, i)
+        if w:
+            i = w.end()
+            continue
+        break  # nom many1 stops; remainder discarded
+    return out
+
+
 def parse_chunk(chunk: str):
     """Operator-free chunk: tokens parsed individually and OR-joined
     (xapian_utils.rs:455-479)."""
     parts = []
-    for m in _TOKEN_RE.finditer(chunk):
+    for m in _chunk_matches(chunk):
         if m.group("dq") is not None:
             parts.append(_phrase_node(m.group("dq")))
         elif m.group("sq") is not None:

@@ -147,3 +147,29 @@ def test_end_to_end_compile_and_search(built_index):
     out = search(index_dir, parse_user_query("xqzrare"),
                  QueryConfig(k=10, params=BM25Params.xapian()))
     assert set(out.column("doc_id").to_pylist()) == {42, 43, 44, 45, 46, 47}
+
+
+def test_chunk_parse_stops_at_unparseable_char():
+    """mdq's many1 grammar stops at the first char no alternative matches
+    and DROPS the remainder (xapian_utils.rs:434-436): 'at&t' is just 'at',
+    'it's' is just 'it' — verified vs the real engine in the parity suite."""
+    from markdown_query_ray.query.ast import query_terms
+
+    def words(q):
+        node = parse_user_query(q)
+        out = []
+        for t in query_terms(node):
+            if not t.startswith("Z"):
+                out.append(t)
+        return out
+
+    n = parse_user_query("at&t")
+    assert "Zat" in query_terms(n) and "Zt" not in query_terms(n)
+    n2 = parse_user_query("one two&three four")
+    terms = query_terms(n2)
+    assert "Zone" in terms and "Ztwo" in terms
+    assert "Zthree" not in terms and "Zfour" not in terms
+    # quoted phrases keep their content (the quote alternative matches)
+    n3 = parse_user_query('"at&t merger" extra')
+    assert any(isinstance(c, Phrase) for c in
+               (n3.children if hasattr(n3, "children") else [n3]))

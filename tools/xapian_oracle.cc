@@ -50,13 +50,18 @@ static bool word_char(char c) {
     return isalnum((unsigned char)c) || c == '_';
 }
 
+// mdq's expression = many1(alt((quoted, tagged, word, whitespace)))
+// (xapian_utils.rs:434-436): alternatives in order at the current position,
+// and parsing STOPS at the first character none matches — the rest of the
+// chunk is dropped ("at&t" yields only "at").
 static std::vector<std::string> split_tokens(const std::string& q) {
     std::vector<std::string> toks;
     size_t i = 0;
     while (i < q.size()) {
-        if (q[i] == '"') {
-            size_t j = q.find('"', i + 1);
-            if (j == std::string::npos) j = q.size() - 1;
+        if (q[i] == '"' || q[i] == '\'') {
+            char quote = q[i];
+            size_t j = q.find(quote, i + 1);
+            if (j == std::string::npos) break;  // unclosed quote: no match
             toks.push_back(q.substr(i, j - i + 1));
             i = j + 1;
         } else if (word_char(q[i])) {
@@ -67,12 +72,12 @@ static std::vector<std::string> split_tokens(const std::string& q) {
             if (j < q.size() && q[j] == ':' && j + 1 < q.size()) {
                 if (q[j + 1] == '"') {
                     size_t e = q.find('"', j + 2);
-                    if (e == std::string::npos) e = q.size() - 1;
-                    toks.push_back(q.substr(i, e - i + 1));
-                    i = e + 1;
-                    continue;
-                }
-                if (word_char(q[j + 1])) {
+                    if (e != std::string::npos) {
+                        toks.push_back(q.substr(i, e - i + 1));
+                        i = e + 1;
+                        continue;
+                    }
+                } else if (word_char(q[j + 1])) {
                     size_t e = j + 1;
                     while (e < q.size() && word_char(q[e])) ++e;
                     toks.push_back(q.substr(i, e - i));
@@ -82,8 +87,10 @@ static std::vector<std::string> split_tokens(const std::string& q) {
             }
             toks.push_back(q.substr(i, j - i));
             i = j;
-        } else {
+        } else if (isspace((unsigned char)q[i])) {
             ++i;
+        } else {
+            break;  // nom many1 stops; remainder discarded
         }
     }
     return toks;
