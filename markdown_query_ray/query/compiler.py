@@ -2,11 +2,21 @@
 
 Rebuilds the reference's two-layer parse (SURVEY.md §2.4):
 
-1. Operator splitter (src/interactive/xapian_utils.rs:578-654): the query is
-   case-sensitively split on the FIRST occurrence of an operator keyword
-   (in the reference's alternation order), the left chunk is parsed, and the
-   fold continues on the remainder — strictly left-associative, no
-   precedence, depth capped at 50 (xapian_utils.rs:648-650).
+1. Operator splitter (src/interactive/xapian_utils.rs:578-654): the query
+   splits case-sensitively on operator keywords and left-folds with
+   Query::add_right, depth capped at 50 (xapian_utils.rs:648-650).
+   DELIBERATE SUBSET of mdq's exact mechanics, which are buggy upstream
+   (its own boolean-path goldens are #[ignore]d failing,
+   xapian_utils.rs:551-576): mdq's take_until alternation picks operators
+   by PRIORITY ORDER rather than position, matches keywords inside words
+   ("WANDER" splits at AND), and routes every non-final chunk through the
+   raw Xapian QueryParser (whose own boolean grammar, precedence and
+   brackets then apply — field tags phrase-join there). We instead split
+   at the earliest boundary-guarded keyword and parse every chunk through
+   the per-token path — self-consistent, field tags work in all chunks,
+   and the scoring semantics are verified rank-identical against the real
+   xapian library under identical orchestration
+   (tests/test_xapian_parity.py).
 2. Chunk parser (xapian_utils.rs:434-479 + the exercised Xapian QueryParser
    subset): tokens are ``quoted | tagged | word``; with no operator context
    each token is parsed individually and OR-joined, and — because each token
