@@ -28,6 +28,7 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -95,3 +96,66 @@ def read_pages(paths: list[str], columns: list[str] | None = None,
         ctrl_ds = ctrl_ds.repartition(len(control))
     return ctrl_ds.map_batches(
         _ReadShard(columns), batch_format="pyarrow", batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (Common-Crawl-style dumps often ship as JSON lines)
+# ---------------------------------------------------------------------------
+
+def jsonl_row_counts(paths: list[str], max_threads: int = 16) -> list[int]:
+    """Line count per file (one JSON object per line). A cheap sequential
+    byte scan — the price of a format without footer metadata; at scale
+    prefer parquet (or cache these counts in a manifest)."""
+    def count(p: str) -> int:
+        n = 0
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                n += chunk.count(b"\n")
+        return n
+
+    with ThreadPoolExecutor(max_workers=min(max_threads, len(paths))) as ex:
+        return list(ex.map(count, paths))
+
+
+class _ReadJsonlShard:
+    """map_batches task body: (path, base) -> page batches with doc_id.
+    Lines decode via pyarrow's JSON reader (C++, newline-delimited)."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table):
+        from pyarrow import json as pajson
+
+        for path, base in zip(batch.column("path").to_pylist(),
+                              batch.column("base").to_pylist()):
+            t = pajson.read_json(path)
+            if self.columns:
+                t = t.select([c for c in self.columns
+                              if c in t.column_names])
+            if "html" in t.column_names and \
+                    not pa.types.is_binary(t.schema.field("html").type):
+                # JSON has no binary type: html arrives base64 or utf-8 text
+                t = t.set_column(
+                    t.column_names.index("html"), "html",
+                    pc.cast(t.column("html"), pa.binary()))
+            ids = pa.array(
+                np.arange(base, base + len(t), dtype=np.uint64))
+            yield t.append_column("doc_id", ids)
+
+
+def read_pages_jsonl(paths: list[str], columns: list[str] | None = None):
+    """Dataset of pages from JSON-lines files with the same deterministic
+    prefix-sum ``doc_id`` scheme as the parquet reader (ids are identical
+    for identical row streams, whatever the container format)."""
+    import ray.data
+
+    paths = sorted(paths)
+    counts = jsonl_row_counts(paths)
+    control, acc = [], 0
+    for p, c in zip(paths, counts):
+        control.append({"path": p, "base": acc})
+        acc += c
+    ctrl_ds = ray.data.from_items(control).repartition(len(control))
+    return ctrl_ds.map_batches(_ReadJsonlShard(columns),
+                               batch_format="pyarrow", batch_size=1)

@@ -63,3 +63,68 @@ def test_pages_from_documents():
     for html, text in zip(t.column("html").to_pylist()[:25],
                           t.column("text").to_pylist()[:25]):
         assert extract_text(html) == text
+
+
+def test_jsonl_source_matches_parquet(ray_session, tmp_path):
+    """read_pages_jsonl assigns the identical deterministic doc_ids and
+    yields the same rows as the parquet reader over the same stream, and a
+    JSONL-built index equals the parquet-built one."""
+    import json as jsonlib
+
+    import pyarrow.parquet as pq
+
+    from markdown_query_ray.config import IndexConfig, QueryConfig
+    from markdown_query_ray.fixtures import write_pages_corpus
+    from markdown_query_ray.index.build import build_index
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.ast import Term
+    from markdown_query_ray.sources.pages import read_pages_jsonl
+
+    paths = write_pages_corpus(str(tmp_path / "pq"), n_docs=120, n_files=3)
+    jl_paths = []
+    for p in sorted(paths):
+        t = pq.read_table(p, columns=["url", "text"])
+        jp = str(tmp_path / (p.split("/")[-1] + ".jsonl"))
+        with open(jp, "w") as f:
+            for row in t.to_pylist():
+                f.write(jsonlib.dumps(row) + "\n")
+        jl_paths.append(jp)
+
+    ds = read_pages_jsonl(jl_paths, columns=["url", "text"])
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == list(range(120))
+
+    cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=2,
+                      num_doc_buckets=1)
+    idx_a = str(tmp_path / "idx_jsonl")
+    build_index(idx_a, dataset=read_pages_jsonl(
+        jl_paths, columns=["url", "text"]), cfg=cfg, total_docs=120)
+    idx_b = str(tmp_path / "idx_pq")
+    import ray.data
+
+    pq_ds = ray.data.read_parquet(sorted(paths), columns=["url", "text"])
+
+    def add_ids(batch, base={"n": 0}):  # single-threaded fallback ids
+        return batch
+
+    # reuse parquet reader with its own id scheme for the reference build
+    from markdown_query_ray.sources.pages import read_pages
+    # (read_pages loads html; this corpus comparison uses text via jsonl and
+    # html->text via parquet — instead compare against a direct text build)
+    t_all = []
+    for p in sorted(paths):
+        t_all.append(pq.read_table(p, columns=["url", "text"]))
+    import numpy as np
+    import pyarrow as pa
+
+    full = pa.concat_tables(t_all).append_column(
+        "doc_id", pa.array(np.arange(120, dtype=np.uint64)))
+    build_index(idx_b, dataset=ray.data.from_arrow(full), cfg=cfg,
+                total_docs=120)
+
+    for term in ("the", "merge", "xqzrareuno"):
+        a = qx.search(idx_a, Term(term), QueryConfig(k=50),
+                      distributed=False)
+        b = qx.search(idx_b, Term(term), QueryConfig(k=50),
+                      distributed=False)
+        assert a.equals(b), term
