@@ -141,3 +141,26 @@ def test_parallelism_invariance(ray_session, pages_corpus, tmp_path,
         assert a[0].tolist() == b[0].tolist()
         assert a[1].tolist() == b[1].tolist()
         assert a[2].tolist() == b[2].tolist()
+
+
+def test_staging_checkpoint_resume(ray_session, pages_corpus, tmp_path):
+    """The tokenized/ staging checkpoint survives a lost shuffle output:
+    deleting the postings tree and rebuilding skips extract+tokenize
+    entirely (no _SUCCESS re-write) and re-encodes from staging."""
+    import shutil
+
+    from markdown_query_ray.config import IndexConfig
+    from markdown_query_ray.index.build import build_index
+
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(num_term_parts=2, num_doc_buckets=1)
+    build_index(out, paths=pages_corpus, cfg=cfg)
+    tok_mtime = os.path.getmtime(os.path.join(out, "tokenized", "_SUCCESS"))
+    shutil.rmtree(os.path.join(out, "postings"))
+    shutil.rmtree(os.path.join(out, "term_stats_parts"))
+    shutil.rmtree(os.path.join(out, "term_stats"))
+    g = build_index(out, paths=pages_corpus, cfg=cfg)
+    assert os.path.getmtime(
+        os.path.join(out, "tokenized", "_SUCCESS")) == tok_mtime
+    assert g["stage_metrics"]["extract_tokenize"] < 0.5  # skipped
+    assert os.path.isdir(os.path.join(out, "postings"))
