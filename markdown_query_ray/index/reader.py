@@ -171,6 +171,35 @@ class IndexReader:
                             ("first_doc_id", "ascending")]))
 
     # -- docs ----------------------------------------------------------------
+    def doc_ids_in_bucket(self, bucket: int | None) -> "object":
+        """All live doc_ids (sorted numpy array) in one doc-bucket — the
+        <alldocuments> universe for MatchAll / pure-NOT queries. A pruned
+        columnar read of the staging docs table; cached per reader."""
+        import numpy as np
+
+        cache = getattr(self, "_universe_cache", None)
+        if cache is None:
+            cache = self._universe_cache = {}
+        if bucket in cache:
+            return cache[bucket]
+        ids = []
+        for seg in self.segments:
+            d = os.path.join(self.index_dir, seg, "tokenized")
+            if not os.path.isdir(d):
+                continue
+            t = pads.dataset(d).to_table(columns=["doc_id"])
+            ids.append(t.column("doc_id").to_numpy().astype(np.uint64))
+        out = np.sort(np.concatenate(ids)) if ids else             np.empty(0, np.uint64)
+        ts = self.tombstones
+        if len(ts):
+            out = out[~np.isin(out, ts)]
+        if bucket is not None and self.S > 1:
+            dpb = int(self.gstats.get("docs_per_bucket", 1 << 32))
+            keep = (out // dpb) % self.S == bucket
+            out = out[keep]
+        cache[bucket] = out
+        return out
+
     def payloads_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> stored payload (Document::get_data analog). Empty dict
         when the index was built without ``store_payload``."""

@@ -13,6 +13,14 @@ from dataclasses import dataclass, field
 
 
 @dataclass(frozen=True)
+class MatchAll:
+    """Xapian's <alldocuments> postlist: every document, weight 0 (reached
+    via FLAG_PURE_NOT: ``NOT x`` parses to AND_NOT(MatchAll, x)). Requires
+    enumerating the doc universe — inherently a full-bucket scan, priced
+    accordingly at scale."""
+
+
+@dataclass(frozen=True)
 class Term:
     text: str
     wqf: int = 1
@@ -115,6 +123,8 @@ def describe(node) -> str:
     """Stable description string (the analog of Xapian's get_description
     golden strings used by the reference's expression_tests,
     src/interactive/xapian_utils.rs:481-549)."""
+    if isinstance(node, MatchAll):
+        return "<alldocuments>"
     if isinstance(node, Term):
         return node.text if node.wqf == 1 else f"{node.text}#{node.wqf}"
     if isinstance(node, Wildcard):

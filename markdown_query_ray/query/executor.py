@@ -37,6 +37,7 @@ from .ast import (
     AndMaybe,
     AndNot,
     Filter,
+    MatchAll,
     Or,
     Phrase,
     ScaleWeight,
@@ -133,28 +134,39 @@ def _ordered_within(plists: list[np.ndarray], window: int) -> bool:
     return False
 
 
+def _sdr_exists(cands: list[np.ndarray]) -> bool:
+    """System of distinct representatives (small m): backtracking, fewest
+    candidates first."""
+    order = sorted(range(len(cands)), key=lambda i: len(cands[i]))
+    used: set[int] = set()
+
+    def rec(k: int) -> bool:
+        if k == len(order):
+            return True
+        for p in cands[order[k]]:
+            p = int(p)
+            if p not in used:
+                used.add(p)
+                if rec(k + 1):
+                    return True
+                used.discard(p)
+        return False
+
+    return rec(0)
+
+
 def _unordered_within(plists: list[np.ndarray], window: int) -> bool:
-    """True if one position from every list fits in a window-wide span in any
-    order (OP_NEAR). Minimal-cover sweep over the merged position stream."""
-    m = len(plists)
-    merged = np.concatenate(plists)
-    labels = np.concatenate(
-        [np.full(len(p), i, np.int64) for i, p in enumerate(plists)])
-    order = np.argsort(merged, kind="stable")
-    merged, labels = merged[order], labels[order]
-    need = np.zeros(m, np.int64)
-    have = 0
-    lo = 0
-    for hi in range(len(merged)):
-        if need[labels[hi]] == 0:
-            have += 1
-        need[labels[hi]] += 1
-        while merged[hi] - merged[lo] > window - 1:
-            need[labels[lo]] -= 1
-            if need[labels[lo]] == 0:
-                have -= 1
-            lo += 1
-        if have == m:
+    """True if every slot can take a DISTINCT position inside some
+    window-wide span, any order (OP_NEAR). Distinctness matters when the
+    same term fills several slots ("wet NEAR wet" needs two occurrences;
+    verified vs the real engine)."""
+    allpos = np.unique(np.concatenate(plists))
+    for base in allpos:
+        hi = base + window - 1
+        cands = [pl[(pl >= base) & (pl <= hi)] for pl in plists]
+        if any(len(c) == 0 for c in cands):
+            continue
+        if _sdr_exists(cands):
             return True
     return False
 
@@ -282,6 +294,10 @@ class Evaluator:
 
         if isinstance(node, MatchNothing):
             return ScoredSet.empty()
+
+        if isinstance(node, MatchAll):
+            ids = self.reader.doc_ids_in_bucket(self.bucket)
+            return ScoredSet(ids, np.zeros(len(ids), np.float64))
 
         if isinstance(node, Term):
             p = self.postings(node.text)

@@ -106,17 +106,17 @@ def _oracle_phrase_docs(streams, terms: list[str]) -> set[int]:
 
 
 def _oracle_near_docs(streams, terms: list[str], window: int) -> set[int]:
+    import itertools
+
     out = set()
-    tset = set(terms)
     for doc, toks in streams.items():
-        occ = [(i + 1, t) for i, t in enumerate(toks) if t in tset]
-        for j in range(len(occ)):
-            seen = set()
-            for k in range(j, len(occ)):
-                if occ[k][0] - occ[j][0] > window - 1:
-                    break
-                seen.add(occ[k][1])
-            if seen == tset:
+        slots = [[i + 1 for i, x in enumerate(toks) if x == t]
+                 for t in terms]
+        if any(not v for v in slots):
+            continue
+        for combo in itertools.product(*slots):
+            if len(set(combo)) == len(combo) \
+                    and max(combo) - min(combo) <= window - 1:
                 out.add(doc)
                 break
     return out

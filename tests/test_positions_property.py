@@ -43,12 +43,14 @@ def _brute_ordered(toks: list[str], terms: list[str], window: int) -> bool:
 
 
 def _brute_unordered(toks: list[str], terms: list[str], window: int) -> bool:
-    occ = {t: [i + 1 for i, x in enumerate(toks) if x == t] for t in terms}
-    if any(not v for v in occ.values()):
+    # one candidate list PER SLOT (duplicate terms need distinct positions,
+    # matching the real engine: "wet NEAR wet" wants two occurrences)
+    slots = [[i + 1 for i, x in enumerate(toks) if x == t] for t in terms]
+    if any(not v for v in slots):
         return False
     import itertools
 
-    for combo in itertools.product(*occ.values()):
+    for combo in itertools.product(*slots):
         if len(set(combo)) == len(combo) \
                 and max(combo) - min(combo) <= window - 1:
             return True

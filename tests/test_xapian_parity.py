@@ -300,3 +300,134 @@ def test_match_counts_equal_real_xapian(parity_setup):
         got = qx.count_matches(ours, parse_user_query(q),
                                BM25Params.xapian())
         assert got == len(want[i]), q
+
+
+FREETEXT_QUERIES = [
+    "thelhur thest",
+    "thelhur thest ",              # trailing space: no partial
+    "the thelhur AND thest",
+    "the and thelhur",             # any-case boolean
+    "+thelhur thest",
+    "-thelhur thest",
+    "+thelhur +thest theck",
+    "NOT thelhur",
+    "not thelhur",
+    "thelhur NOT thest",
+    "thelhur AND NOT thest",
+    "the (thelhur OR thest)",
+    "(the OR thelhur) AND thest",
+    "thelhur XOR thest",
+    "the xor thelhur or thest",
+    '"at&t merger" thelhur',
+    "the u.n.c.l.e called",        # joiner phrase mid-chunk
+    "1,000,000 the",
+    "thelhur thes",                # partial prefix final
+    "the NEAR thelhur",            # NEAR falls back to a plain term here
+    "xqzrareuno AND (thelhur OR NOT thest)",
+]
+
+
+def test_freetext_matches_raw_queryparser(parity_setup):
+    """compile_freetext vs the REAL qp.parse_query on scored results."""
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.freetext import compile_freetext
+
+    xdb, ours = parity_setup
+    out = subprocess.run([ORACLE, xdb, "query-raw", "100"],
+                         input="".join(q + "\n" for q in FREETEXT_QUERIES),
+                         capture_output=True, text=True, check=True)
+    want: dict[int, list[tuple[int, float]]] = {
+        i: [] for i in range(len(FREETEXT_QUERIES))}
+    descs: dict[int, str] = {}
+    for line in out.stdout.splitlines():
+        parts = line.split("\t")
+        qn = int(parts[0])
+        if parts[1] == "DESC":
+            descs[qn] = parts[2]
+            continue
+        assert parts[1] != "ERROR", (FREETEXT_QUERIES[qn], parts)
+        want[qn].append((int(parts[2]) - 1, float(parts[3])))
+    qcfg = QueryConfig(k=100, params=BM25Params.xapian(), use_wand=False)
+    for i, q in enumerate(FREETEXT_QUERIES):
+        node = compile_freetext(q)
+        got = qx.search(ours, node, qcfg, distributed=False)
+        exp = want[i]
+        assert got.column("doc_id").to_pylist() == [d for d, _ in exp], \
+            f"docid mismatch for {q!r} (xapian: {descs.get(i)})"
+        for (d, w), s in zip(exp, got.column("score").to_pylist()):
+            assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
+                f"score mismatch for {q!r} doc {d} (xapian: {descs.get(i)})"
+
+
+def test_freetext_fuzz_vs_raw_queryparser(parity_setup):
+    """80 seeded random free-text chunks (booleans, brackets, love/hate,
+    quotes, NEAR, trailing-partial variation) vs the real qp.parse_query."""
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.freetext import (
+        FreetextParseError,
+        compile_freetext,
+    )
+
+    xdb, ours = parity_setup
+    toks = _safe_tokens(ours)
+    rng = np.random.default_rng(13)
+
+    def rand_atom():
+        r = rng.random()
+        t1 = toks[int(rng.integers(0, len(toks)))]
+        if r < 0.55:
+            return t1
+        if r < 0.68:
+            return f'"{t1} {toks[int(rng.integers(0, len(toks)))]}"'
+        if r < 0.76:
+            return "+" + t1
+        if r < 0.84:
+            return "-" + t1
+        if r < 0.92:
+            return f"({t1} OR {toks[int(rng.integers(0, len(toks)))]})"
+        return f"{t1} NEAR {toks[int(rng.integers(0, len(toks)))]}"
+
+    OPS = ["", "AND", "OR", "XOR", "NOT", "and", "or"]
+    queries = []
+    for _ in range(80):
+        n = int(rng.integers(1, 4))
+        parts = [rand_atom()]
+        for _ in range(n - 1):
+            op = OPS[int(rng.integers(0, len(OPS)))]
+            parts.append(op + " " + rand_atom() if op else rand_atom())
+        q = " ".join(parts)
+        if rng.random() < 0.3:
+            q += " "  # no partial
+        queries.append(q)
+
+    out = subprocess.run([ORACLE, xdb, "query-raw", "60"],
+                         input="".join(_escape(q) + "\n" for q in queries),
+                         capture_output=True, text=True, check=True)
+    want: dict[int, list] = {i: [] for i in range(len(queries))}
+    errs: set[int] = set()
+    descs: dict[int, str] = {}
+    for line in out.stdout.splitlines():
+        p = line.split("\t")
+        qn = int(p[0])
+        if p[1] == "DESC":
+            descs[qn] = p[2]
+        elif p[1] == "ERROR":
+            errs.add(qn)
+        else:
+            want[qn].append((int(p[2]) - 1, float(p[3])))
+    qcfg = QueryConfig(k=60, params=BM25Params.xapian(), use_wand=False)
+    for i, q in enumerate(queries):
+        if i in errs:
+            with pytest.raises(FreetextParseError):
+                compile_freetext(q)
+            continue
+        node = compile_freetext(q)
+        got = qx.search(ours, node, qcfg, distributed=False)
+        exp = want[i]
+        assert got.column("doc_id").to_pylist() == [d for d, _ in exp], \
+            f"docid mismatch for {q!r} (xapian: {descs.get(i)})"
+        for (d, w), s in zip(exp, got.column("score").to_pylist()):
+            assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
+                f"score mismatch for {q!r} doc {d} (xapian: {descs.get(i)})"

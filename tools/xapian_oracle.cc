@@ -181,6 +181,46 @@ int main(int argc, char** argv) {
         return 0;
     }
 
+    if (mode == "query-raw") {
+        // each line -> ONE qp.parse_query call (the path mdq uses for
+        // chunks BEFORE an operator keyword, xapian_utils.rs:597-600);
+        // prints the query description then the mset rows
+        int k = argc > 3 ? atoi(argv[3]) : 100;
+        Xapian::Database db(dbpath);
+        Xapian::Stem stem("en");
+        Xapian::QueryParser qp;
+        qp.set_stemmer(stem);
+        qp.set_database(db);
+        unsigned flags = Xapian::QueryParser::FLAG_BOOLEAN |
+                         Xapian::QueryParser::FLAG_PHRASE |
+                         Xapian::QueryParser::FLAG_LOVEHATE |
+                         Xapian::QueryParser::FLAG_BOOLEAN_ANY_CASE |
+                         Xapian::QueryParser::FLAG_WILDCARD |
+                         Xapian::QueryParser::FLAG_PURE_NOT |
+                         Xapian::QueryParser::FLAG_PARTIAL |
+                         Xapian::QueryParser::FLAG_SPELLING_CORRECTION;
+        std::string line;
+        int qn = 0;
+        while (std::getline(std::cin, line)) {
+            try {
+                Xapian::Query query = qp.parse_query(unescape(line), flags);
+                std::printf("%d\tDESC\t%s\n", qn,
+                            query.get_description().c_str());
+                Xapian::Enquire enq(db);
+                enq.set_query(query);
+                Xapian::MSet mset = enq.get_mset(0, k);
+                int rank = 1;
+                for (auto it = mset.begin(); it != mset.end(); ++it, ++rank)
+                    std::printf("%d\t%d\t%u\t%.17g\n", qn, rank, *it,
+                                it.get_weight());
+            } catch (const Xapian::Error& e) {
+                std::printf("%d\tERROR\t%s\n", qn, e.get_type());
+            }
+            ++qn;
+        }
+        return 0;
+    }
+
     if (mode == "query") {
         int k = argc > 3 ? atoi(argv[3]) : 100;
         Xapian::Database db(dbpath);
