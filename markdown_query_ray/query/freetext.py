@@ -384,3 +384,53 @@ def _flagless_parse(chunk: str):
     return parts[0] if len(parts) == 1 else Or(tuple(parts))
 
 
+
+
+# ---------------------------------------------------------------------------
+# mdq-exact full-query orchestration (bug-for-bug)
+# ---------------------------------------------------------------------------
+
+# mdq's take_up_to_operator alternation (xapian_utils.rs:687-703): the FIRST
+# keyword IN THIS PRIORITY ORDER that occurs ANYWHERE in the remaining
+# string wins (case-sensitive, NO word boundaries — "WANDER" splits at AND)
+MDQ_OP_ORDER = ["AND MAYBE", "AND NOT", "SYNONYM", "FILTER", "PHRASE",
+                "SCALED", "ELITE", "RANGE", "NEAR", "AND", "XOR", "OR"]
+
+
+def parse_user_query_mdq_exact(q: str):
+    """The reference's parse_user_query, mechanics and all
+    (xapian_utils.rs:578-654): chunks split by priority-ordered take_until;
+    every chunk BEFORE an operator goes through the raw QueryParser grammar
+    (compile_freetext); the FINAL remainder goes through the per-token
+    expression path; left-fold with the operator algebra; depth cap 50.
+    Raises on the same inputs the reference errors on."""
+    from .compiler import QueryError, _fold, parse_chunk
+
+    def find_op(s: str):
+        for kw in MDQ_OP_ORDER:
+            i = s.find(kw)
+            if i != -1:
+                return i, kw
+        return None
+
+    hit = find_op(q)
+    if hit is None:
+        return parse_chunk(q)  # expression_into_query path
+    pos, kw = hit
+    node = compile_freetext(q[:pos])
+    pending = kw
+    rest = q[pos + len(kw):]
+    depth = 0
+    while rest:
+        depth += 1
+        if depth > 50:
+            raise QueryError("mdq depth cap reached")
+        hit = find_op(rest)
+        if hit is None:
+            node = _fold(node, pending, parse_chunk(rest))
+            return node
+        pos, kw = hit
+        node = _fold(node, pending, compile_freetext(rest[:pos]))
+        pending = kw
+        rest = rest[pos + len(kw):]
+    return node

@@ -431,3 +431,57 @@ def test_freetext_fuzz_vs_raw_queryparser(parity_setup):
         for (d, w), s in zip(exp, got.column("score").to_pylist()):
             assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
                 f"score mismatch for {q!r} doc {d} (xapian: {descs.get(i)})"
+
+
+MDQ_EXACT_QUERIES = [
+    "the thelhur AND thest theck",       # non-final chunk: raw QueryParser
+    "thelhur thest OR theck",
+    "the AND thelhur OR xqzrareuno AND thest",
+    "a OR b AND MAYBE thest",            # priority split: AND MAYBE first
+    "WANDER",                            # keyword inside a word splits it
+    "the AND NOT thelhur thest",
+    "thelhur FILTER the",
+    "the not thelhur AND theck",         # lowercase not: QueryParser's NOT
+    "(the OR thelhur) AND thest",
+    "+the thelhur AND thest",
+    "thelhur",
+    "thelhur thest theck",
+]
+
+
+def test_mdq_exact_pipeline_vs_real(parity_setup):
+    """parse_user_query_mdq_exact (priority take_until split + raw
+    QueryParser chunks + per-token final chunk) vs the same orchestration
+    driving the real library (query-mdq driver mode)."""
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.freetext import parse_user_query_mdq_exact
+
+    xdb, ours = parity_setup
+    out = subprocess.run([ORACLE, xdb, "query-mdq", "100"],
+                         input="".join(_escape(q) + "\n"
+                                       for q in MDQ_EXACT_QUERIES),
+                         capture_output=True, text=True, check=True)
+    want: dict[int, list] = {i: [] for i in range(len(MDQ_EXACT_QUERIES))}
+    descs: dict[int, str] = {}
+    errs: set[int] = set()
+    for line in out.stdout.splitlines():
+        p = line.split("\t")
+        qn = int(p[0])
+        if p[1] == "DESC":
+            descs[qn] = p[2]
+        elif p[1] == "ERROR":
+            errs.add(qn)
+        else:
+            want[qn].append((int(p[2]) - 1, float(p[3])))
+    qcfg = QueryConfig(k=100, params=BM25Params.xapian(), use_wand=False)
+    for i, q in enumerate(MDQ_EXACT_QUERIES):
+        assert i not in errs, (q, "xapian errored")
+        node = parse_user_query_mdq_exact(q)
+        got = qx.search(ours, node, qcfg, distributed=False)
+        exp = want[i]
+        assert got.column("doc_id").to_pylist() == [d for d, _ in exp], \
+            f"docid mismatch for {q!r} (xapian: {descs.get(i)})"
+        for (d, w), s in zip(exp, got.column("score").to_pylist()):
+            assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
+                f"score mismatch for {q!r} doc {d} (xapian: {descs.get(i)})"

@@ -221,6 +221,116 @@ int main(int argc, char** argv) {
         return 0;
     }
 
+    if (mode == "query-mdq") {
+        // bug-for-bug mdq parse_user_query (xapian_utils.rs:578-654):
+        // priority-ordered case-sensitive take_until splitting (no word
+        // boundaries), raw parse_query for every chunk before an operator,
+        // the per-token expression path for the final remainder
+        int k = argc > 3 ? atoi(argv[3]) : 100;
+        Xapian::Database db(dbpath);
+        Xapian::Stem stem("en");
+        Xapian::QueryParser qp;
+        qp.set_stemmer(stem);
+        qp.set_database(db);
+        unsigned flags = Xapian::QueryParser::FLAG_BOOLEAN |
+                         Xapian::QueryParser::FLAG_PHRASE |
+                         Xapian::QueryParser::FLAG_LOVEHATE |
+                         Xapian::QueryParser::FLAG_BOOLEAN_ANY_CASE |
+                         Xapian::QueryParser::FLAG_WILDCARD |
+                         Xapian::QueryParser::FLAG_PURE_NOT |
+                         Xapian::QueryParser::FLAG_PARTIAL |
+                         Xapian::QueryParser::FLAG_SPELLING_CORRECTION;
+        struct OpDef { const char* kw; Xapian::Query::op op; };
+        static const OpDef PRIO[] = {
+            {"AND MAYBE", Xapian::Query::OP_AND_MAYBE},
+            {"AND NOT", Xapian::Query::OP_AND_NOT},
+            {"SYNONYM", Xapian::Query::OP_SYNONYM},
+            {"FILTER", Xapian::Query::OP_FILTER},
+            {"ELITE", Xapian::Query::OP_ELITE_SET},
+            {"NEAR", Xapian::Query::OP_NEAR},
+            {"AND", Xapian::Query::OP_AND},
+            {"XOR", Xapian::Query::OP_XOR},
+            {"OR", Xapian::Query::OP_OR},
+        };
+        auto expression_query = [&](const std::string& chunk) {
+            Xapian::Query q = Xapian::Query::MatchNothing;
+            bool first = true;
+            for (const auto& tok : split_tokens(chunk)) {
+                Xapian::Query part;
+                size_t colon = tok.find(':');
+                if (colon != std::string::npos && tok[0] != '"') {
+                    std::string field = tok.substr(0, colon);
+                    for (auto& c : field) c = tolower((unsigned char)c);
+                    std::string prefix = field_prefix(field);
+                    if (!prefix.empty())
+                        part = qp.parse_query(tok.substr(colon + 1), flags,
+                                              prefix);
+                    else
+                        part = qp.parse_query(tok, flags);
+                } else {
+                    part = qp.parse_query(tok, flags);
+                }
+                if (first) { q = part; first = false; }
+                else q = Xapian::Query(Xapian::Query::OP_OR, q, part);
+            }
+            return q;
+        };
+        auto find_op = [&](const std::string& s, size_t& pos,
+                           size_t& len, Xapian::Query::op& op) {
+            for (const auto& d : PRIO) {
+                size_t i = s.find(d.kw);
+                if (i != std::string::npos) {
+                    pos = i; len = strlen(d.kw); op = d.op;
+                    return true;
+                }
+            }
+            return false;
+        };
+        std::string line;
+        int qn = 0;
+        while (std::getline(std::cin, line)) {
+            try {
+                std::string rest = unescape(line);
+                size_t pos, len;
+                Xapian::Query::op op;
+                Xapian::Query query;
+                if (!find_op(rest, pos, len, op)) {
+                    query = expression_query(rest);
+                } else {
+                    query = qp.parse_query(rest.substr(0, pos), flags);
+                    Xapian::Query::op pending = op;
+                    rest = rest.substr(pos + len);
+                    while (!rest.empty()) {
+                        if (!find_op(rest, pos, len, op)) {
+                            query = Xapian::Query(pending, query,
+                                                  expression_query(rest));
+                            rest.clear();
+                            break;
+                        }
+                        query = Xapian::Query(
+                            pending, query,
+                            qp.parse_query(rest.substr(0, pos), flags));
+                        pending = op;
+                        rest = rest.substr(pos + len);
+                    }
+                }
+                std::printf("%d\tDESC\t%s\n", qn,
+                            query.get_description().c_str());
+                Xapian::Enquire enq(db);
+                enq.set_query(query);
+                Xapian::MSet mset = enq.get_mset(0, k);
+                int rank = 1;
+                for (auto it = mset.begin(); it != mset.end(); ++it, ++rank)
+                    std::printf("%d\t%d\t%u\t%.17g\n", qn, rank, *it,
+                                it.get_weight());
+            } catch (const Xapian::Error& e) {
+                std::printf("%d\tERROR\t%s\n", qn, e.get_type());
+            }
+            ++qn;
+        }
+        return 0;
+    }
+
     if (mode == "query") {
         int k = argc > 3 ? atoi(argv[3]) : 100;
         Xapian::Database db(dbpath);
