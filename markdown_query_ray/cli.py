@@ -107,7 +107,7 @@ def cmd_query(args) -> int:
     from .query.session import SearchSession
 
     s = SearchSession(args.index, _qcfg(args))
-    hits = s.search(args.query, with_urls=True)
+    hits = s.search(args.query, with_urls=True, grammar=args.grammar)
     if args.suggest:
         corr = s.suggest_correction(args.query)
         if corr:
@@ -192,6 +192,8 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("query")
     q.add_argument("--suggest", action="store_true")
     q.add_argument("--preview", action="store_true")
+    q.add_argument("--grammar", default="clean",
+                   choices=["clean", "mdq-exact"])
     add_query_opts(q)
     q.set_defaults(fn=cmd_query)
 

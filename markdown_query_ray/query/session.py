@@ -78,12 +78,23 @@ class SearchSession:
         return ev
 
     def search(self, query: str, k: int | None = None,
-               with_urls: bool = False) -> pa.Table:
+               with_urls: bool = False,
+               grammar: str = "clean") -> pa.Table:
         """Compile + execute a user query string; returns
         (rank, doc_id, score[, url]) in MSet order. In-process (serving
         latency path): per-bucket scoring loops over buckets locally, reusing
-        each bucket's postings cache."""
-        node = parse_user_query(query)
+        each bucket's postings cache.
+
+        grammar: "clean" (default; boundary-guarded splitter, per-token
+        chunks — field tags work everywhere) or "mdq-exact" (the
+        reference's literal mechanics, bug-for-bug; see
+        query/freetext.parse_user_query_mdq_exact)."""
+        if grammar == "mdq-exact":
+            from .freetext import parse_user_query_mdq_exact
+
+            node = parse_user_query_mdq_exact(query)
+        else:
+            node = parse_user_query(query)
         return self.search_node(node, k=k, with_urls=with_urls)
 
     def search_node(self, node, k: int | None = None,
