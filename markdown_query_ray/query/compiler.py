@@ -150,11 +150,24 @@ def _chunk_matches(chunk: str):
     return out
 
 
-def parse_chunk(chunk: str):
+_KEYWORD_TOKENS = {"and", "or", "not", "xor"}
+
+
+def parse_chunk(chunk: str, strict_keywords: bool = False):
     """Operator-free chunk: tokens parsed individually and OR-joined
-    (xapian_utils.rs:455-479)."""
+    (xapian_utils.rs:455-479).
+
+    strict_keywords: a lone boolean keyword token makes the per-token
+    ``parse_query`` call throw in the reference (FLAG_BOOLEAN +
+    BOOLEAN_ANY_CASE) and the whole query errors — mdq-exact mode
+    propagates that; the default clean mode stays tolerant."""
     parts = []
     for m in _chunk_matches(chunk):
+        if strict_keywords and m.group("word") is not None \
+                and m.group("word").lower() in _KEYWORD_TOKENS:
+            raise QueryError(
+                f"lone boolean keyword {m.group('word')!r} in per-token "
+                "parse (QueryParserError in the reference)")
         if m.group("dq") is not None:
             parts.append(_phrase_node(m.group("dq")))
         elif m.group("sq") is not None:

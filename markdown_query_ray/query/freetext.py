@@ -227,13 +227,12 @@ class _Parser:
             if t is None or t.kind in ("rpar", "op"):
                 break
             self.i += 1
-            if t.kind in ("love", "hate") and n_elems == 0 and not first:
-                # markers on the FIRST element of a non-initial prob:
-                # love is silently dropped; hate is a hard parser error
-                # ("thest OR -x" throws; raw-oracle verified)
-                if t.kind == "hate":
-                    raise FreetextParseError("hate after operator")
-                continue
+            if t.kind == "hate" and n_elems == 0 and not first:
+                # hate on the FIRST element of a non-initial prob is a hard
+                # parser error ("thest OR -x" throws; raw-oracle verified —
+                # love markers are honored everywhere: a lone love term is
+                # simply itself, which made them LOOK dropped)
+                raise FreetextParseError("hate after operator")
             if t.kind == "posop":
                 # valid ONLY as a single TERM op TERM pair whose left term
                 # is the FIRST NORMAL element of the prob (love/hate
@@ -415,7 +414,7 @@ def parse_user_query_mdq_exact(q: str):
 
     hit = find_op(q)
     if hit is None:
-        return parse_chunk(q)  # expression_into_query path
+        return parse_chunk(q, strict_keywords=True)  # expression path
     pos, kw = hit
     node = compile_freetext(q[:pos])
     pending = kw
@@ -427,7 +426,8 @@ def parse_user_query_mdq_exact(q: str):
             raise QueryError("mdq depth cap reached")
         hit = find_op(rest)
         if hit is None:
-            node = _fold(node, pending, parse_chunk(rest))
+            node = _fold(node, pending,
+                         parse_chunk(rest, strict_keywords=True))
             return node
         pos, kw = hit
         node = _fold(node, pending, compile_freetext(rest[:pos]))

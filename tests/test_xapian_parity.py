@@ -485,3 +485,75 @@ def test_mdq_exact_pipeline_vs_real(parity_setup):
         for (d, w), s in zip(exp, got.column("score").to_pylist()):
             assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
                 f"score mismatch for {q!r} doc {d} (xapian: {descs.get(i)})"
+
+
+def test_mdq_exact_fuzz_vs_real(parity_setup):
+    """60 seeded random FULL queries through the bug-for-bug orchestration
+    on both sides (operator keywords, chunk shapes, trailing variation)."""
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.compiler import QueryError
+    from markdown_query_ray.query.freetext import (
+        FreetextParseError,
+        parse_user_query_mdq_exact,
+    )
+
+    xdb, ours = parity_setup
+    toks = _safe_tokens(ours)
+    rng = np.random.default_rng(29)
+
+    def chunk():
+        n = int(rng.integers(1, 4))
+        ws = [toks[int(rng.integers(0, len(toks)))] for _ in range(n)]
+        if rng.random() < 0.2:
+            ws[0] = "+" + ws[0]
+        if rng.random() < 0.15 and n > 1:
+            ws[-1] = "-" + ws[-1]
+        if rng.random() < 0.2:
+            ws.insert(int(rng.integers(0, len(ws))), "not"
+                      if rng.random() < 0.5 else "and")
+        return " ".join(ws)
+
+    KEYWORDS = ["AND", "OR", "XOR", "AND NOT", "AND MAYBE", "FILTER",
+                "ELITE"]
+    queries = []
+    for _ in range(60):
+        n = int(rng.integers(1, 4))
+        parts = [chunk()]
+        for _ in range(n - 1):
+            parts.append(KEYWORDS[int(rng.integers(0, len(KEYWORDS)))])
+            parts.append(chunk())
+        q = " ".join(parts)
+        if rng.random() < 0.3:
+            q += " "
+        queries.append(q)
+
+    out = subprocess.run([ORACLE, xdb, "query-mdq", "80"],
+                         input="".join(_escape(q) + "\n" for q in queries),
+                         capture_output=True, text=True, check=True)
+    want: dict[int, list] = {i: [] for i in range(len(queries))}
+    errs: set[int] = set()
+    descs: dict[int, str] = {}
+    for line in out.stdout.splitlines():
+        p = line.split("\t")
+        qn = int(p[0])
+        if p[1] == "DESC":
+            descs[qn] = p[2]
+        elif p[1] == "ERROR":
+            errs.add(qn)
+        else:
+            want[qn].append((int(p[2]) - 1, float(p[3])))
+    qcfg = QueryConfig(k=80, params=BM25Params.xapian(), use_wand=False)
+    for i, q in enumerate(queries):
+        if i in errs:
+            with pytest.raises((FreetextParseError, QueryError)):
+                parse_user_query_mdq_exact(q)
+            continue
+        node = parse_user_query_mdq_exact(q)
+        got = qx.search(ours, node, qcfg, distributed=False)
+        exp = want[i]
+        assert got.column("doc_id").to_pylist() == [d for d, _ in exp], \
+            f"docid mismatch for {q!r} (xapian: {descs.get(i)})"
+        for (d, w), s in zip(exp, got.column("score").to_pylist()):
+            assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
+                f"score mismatch for {q!r} doc {d} (xapian: {descs.get(i)})"
