@@ -191,8 +191,12 @@ SCALE_LOW = int(os.environ.get("GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("GRAFT_SCALE_HIGH", "8"))
 
 
+SCALE_REPEATS = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+
+
 def run_scaling(n_docs: int, low: int = SCALE_LOW,
-                high: int = SCALE_HIGH) -> dict:
+                high: int = SCALE_HIGH,
+                repeats: int = SCALE_REPEATS) -> dict:
     """N vs 4N CPU scaling evidence. Defaults are 2 vs 8 (not 8 vs 32): a
     multiprocessing microbenchmark of this sandbox (BASELINE.md "hardware
     capacity") shows the 32-logical-CPU VM sustains only ~6.5-7 cores of
@@ -203,16 +207,22 @@ def run_scaling(n_docs: int, low: int = SCALE_LOW,
     corpus = _ensure_scaling_corpus(n_docs)
     results = {}
     for cpus in (low, high):
-        env = dict(os.environ)
-        env.pop("RAY_ADDRESS", None)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_index-worker",
-             "--corpus", corpus, "--cpus", str(cpus)],
-            capture_output=True, text=True, env=env, cwd=REPO)
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stdout + proc.stderr)
-            raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(max(1, repeats)):  # best-of-N: damps hypervisor
+            env = dict(os.environ)       # steal-time noise on this VM
+            env.pop("RAY_ADDRESS", None)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_index-worker", "--corpus", corpus,
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, env=env, cwd=REPO)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stdout + proc.stderr)
+                raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or r["wall_sec"] < best["wall_sec"]:
+                best = r
+        results[cpus] = best
     tput_lo = results[low]["docs_per_sec"]
     tput_hi = results[high]["docs_per_sec"]
     eff = (tput_hi / tput_lo) / (high / low)
