@@ -1,0 +1,263 @@
+/* _ctok: C fast path for the xapian-semantics tokenizer (ASCII subset).
+ *
+ * Implements, for pure-ASCII text, exactly the term-segmentation rules of
+ * markdown_query_ray/functions/xapian_tokenizer.py (which itself reproduces
+ * the behavior of xapian-core 1.4.17's TermGenerator,
+ * queryparser/termgenerator_internal.cc:140-247 — reimplemented from the
+ * public source's behavior, not copied):
+ *
+ *   - word chars: [A-Za-z0-9_]  (the ASCII slice of L* M* N* Pc)
+ *   - acronym rule: [A-Z](\.[A-Z])+ consumed atomically; a directly
+ *     following '.' is consumed; fails if then followed by a word char
+ *     ("U.N.C.L.E" -> "uncle", "A.B.CD" -> a, b, cd)
+ *   - infix joins: ' and & join runs when the next char is a word char and
+ *     the neighbours are not both digits ("AT&T" -> "at&t", "it's");
+ *     , . ; join digit-digit ("1,000" -> "1,000")
+ *   - suffix rule: a trailing run of 1-3 +/# is kept iff the run is <=3
+ *     long and not followed by a word char ("c++", "c#"; "fish+chips" ->
+ *     fish, chips)
+ *   - terms longer than max_term_bytes are dropped entirely
+ *   - terms are lowercased; acronyms additionally drop their dots
+ *
+ * Non-ASCII input must take the Python/regex path — the loader and the
+ * tokenize stage guarantee text.isascii() before calling in.
+ *
+ * Exposed functions:
+ *   tokenize_ascii(text, max_term_bytes) -> list[str]      (document order)
+ *   count_ascii_terms(text, max_term_bytes) -> dict[str,int] (term -> wdf)
+ *
+ * Parity with the Python implementation is enforced by
+ * tests/test_tokenizer.py (shared golden cases + hypothesis fuzz).
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+
+static inline int is_wc(unsigned char c) {
+    return c == '_' || (c >= '0' && c <= '9') ||
+           ((unsigned char)(c | 32) >= 'a' && (unsigned char)(c | 32) <= 'z');
+}
+static inline int is_dig(unsigned char c) { return c >= '0' && c <= '9'; }
+static inline int is_up(unsigned char c) { return c >= 'A' && c <= 'Z'; }
+static inline unsigned char lowc(unsigned char c) {
+    return is_up(c) ? (unsigned char)(c | 32) : c;
+}
+
+/* ---- token arena: lowercased token bytes + (offset, len) refs ---------- */
+
+typedef struct { char *buf; size_t len, cap; } arena_t;
+typedef struct { size_t off; uint32_t len; } tokref_t;
+
+static int arena_reserve(arena_t *a, size_t need) {
+    if (a->len + need <= a->cap) return 0;
+    size_t ncap = a->cap ? a->cap * 2 : 4096;
+    while (ncap < a->len + need) ncap *= 2;
+    char *nb = (char *)realloc(a->buf, ncap);
+    if (!nb) return -1;
+    a->buf = nb; a->cap = ncap;
+    return 0;
+}
+
+typedef struct {
+    tokref_t *refs; size_t n, cap;
+    arena_t arena;
+} toks_t;
+
+static int toks_push(toks_t *t, const char *src, size_t len, int strip_dots) {
+    if (t->n == t->cap) {
+        size_t ncap = t->cap ? t->cap * 2 : 256;
+        tokref_t *nr = (tokref_t *)realloc(t->refs, ncap * sizeof(tokref_t));
+        if (!nr) return -1;
+        t->refs = nr; t->cap = ncap;
+    }
+    if (arena_reserve(&t->arena, len)) return -1;
+    char *dst = t->arena.buf + t->arena.len;
+    size_t out = 0;
+    for (size_t i = 0; i < len; i++) {
+        unsigned char c = (unsigned char)src[i];
+        if (strip_dots && c == '.') continue;
+        dst[out++] = (char)lowc(c);
+    }
+    t->refs[t->n].off = t->arena.len;
+    t->refs[t->n].len = (uint32_t)out;
+    t->n++;
+    t->arena.len += out;
+    return 0;
+}
+
+/* ---- the scanner ------------------------------------------------------- */
+
+static int scan_tokens(const char *s, Py_ssize_t n, Py_ssize_t max_bytes,
+                       toks_t *t) {
+    Py_ssize_t i = 0;
+    while (i < n) {
+        unsigned char c = (unsigned char)s[i];
+        if (!is_wc(c)) { i++; continue; }
+        Py_ssize_t start = i;
+        /* acronym attempt (atomic: on tail failure, fall through to the
+           general term at the same start position) */
+        if (is_up(c)) {
+            Py_ssize_t k = i + 1;
+            while (k + 1 < n && s[k] == '.' && is_up((unsigned char)s[k + 1]))
+                k += 2;
+            if (k > i + 1) {                       /* >=1 (.X) pair consumed */
+                if (k < n && s[k] == '.') {
+                    if (!(k + 1 < n && is_wc((unsigned char)s[k + 1]))) {
+                        Py_ssize_t letters = (k - i + 1) / 2;
+                        if (letters <= max_bytes &&
+                            toks_push(t, s + i, (size_t)(k - i), 1))
+                            return -1;
+                        i = k + 1;
+                        continue;
+                    }
+                } else if (!(k < n && is_wc((unsigned char)s[k]))) {
+                    Py_ssize_t letters = (k - i + 1) / 2;
+                    if (letters <= max_bytes &&
+                        toks_push(t, s + i, (size_t)(k - i), 1))
+                        return -1;
+                    i = k;
+                    continue;
+                }
+                /* tail failed: general term from `start` */
+            }
+        }
+        /* general term: word-char runs joined by infix separators */
+        Py_ssize_t j = start;
+        while (j < n && is_wc((unsigned char)s[j])) j++;
+        for (;;) {
+            if (j >= n) break;
+            unsigned char c2 = (unsigned char)s[j];
+            if ((c2 == '\'' || c2 == '&') && j + 1 < n &&
+                is_wc((unsigned char)s[j + 1]) &&
+                !(is_dig((unsigned char)s[j - 1]) &&
+                  is_dig((unsigned char)s[j + 1]))) {
+                j++;
+                while (j < n && is_wc((unsigned char)s[j])) j++;
+                continue;
+            }
+            if ((c2 == ',' || c2 == '.' || c2 == ';') &&
+                is_dig((unsigned char)s[j - 1]) && j + 1 < n &&
+                is_dig((unsigned char)s[j + 1])) {
+                j++;
+                while (j < n && is_wc((unsigned char)s[j])) j++;
+                continue;
+            }
+            break;
+        }
+        Py_ssize_t end = j;
+        if (j < n && (s[j] == '+' || s[j] == '#')) {
+            Py_ssize_t run = 0;
+            while (j + run < n && (s[j + run] == '+' || s[j + run] == '#'))
+                run++;
+            if (run <= 3 && !(j + run < n && is_wc((unsigned char)s[j + run])))
+                end = j + run;
+        }
+        if (end - start <= max_bytes &&
+            toks_push(t, s + start, (size_t)(end - start), 0))
+            return -1;
+        i = end;
+    }
+    return 0;
+}
+
+/* ---- hashing for the per-document count table -------------------------- */
+
+static inline uint64_t fnv1a(const char *p, uint32_t len) {
+    uint64_t h = 1469598103934665603ULL;
+    for (uint32_t i = 0; i < len; i++) {
+        h ^= (unsigned char)p[i];
+        h *= 1099511628211ULL;
+    }
+    return h;
+}
+
+typedef struct { uint64_t hash; size_t off; uint32_t len, count; } slot_t;
+
+static PyObject *count_ascii_terms(PyObject *self, PyObject *args) {
+    const char *s; Py_ssize_t n; Py_ssize_t max_bytes = 64;
+    if (!PyArg_ParseTuple(args, "s#|n", &s, &n, &max_bytes)) return NULL;
+    toks_t t; memset(&t, 0, sizeof t);
+    if (scan_tokens(s, n, max_bytes, &t)) goto nomem;
+    size_t cap = 64;
+    while (cap < t.n * 2) cap *= 2;
+    slot_t *tab = (slot_t *)calloc(cap, sizeof(slot_t));
+    if (!tab) goto nomem;
+    size_t nuniq = 0;
+    for (size_t ti = 0; ti < t.n; ti++) {
+        const char *p = t.arena.buf + t.refs[ti].off;
+        uint32_t len = t.refs[ti].len;
+        uint64_t h = fnv1a(p, len);
+        size_t idx = (size_t)h & (cap - 1);
+        for (;;) {
+            slot_t *sl = &tab[idx];
+            if (sl->count == 0) {
+                sl->hash = h; sl->off = t.refs[ti].off;
+                sl->len = len; sl->count = 1; nuniq++;
+                break;
+            }
+            if (sl->hash == h && sl->len == len &&
+                memcmp(t.arena.buf + sl->off, p, len) == 0) {
+                sl->count++;
+                break;
+            }
+            idx = (idx + 1) & (cap - 1);
+        }
+    }
+    PyObject *d = PyDict_New();
+    if (!d) { free(tab); goto nomem; }
+    for (size_t idx = 0; idx < cap && nuniq; idx++) {
+        if (tab[idx].count == 0) continue;
+        nuniq--;
+        PyObject *k = PyUnicode_FromStringAndSize(
+            t.arena.buf + tab[idx].off, tab[idx].len);
+        PyObject *v = k ? PyLong_FromUnsignedLong(tab[idx].count) : NULL;
+        if (!k || !v || PyDict_SetItem(d, k, v) < 0) {
+            Py_XDECREF(k); Py_XDECREF(v); Py_DECREF(d); free(tab);
+            goto nomem;
+        }
+        Py_DECREF(k); Py_DECREF(v);
+    }
+    free(tab);
+    free(t.refs); free(t.arena.buf);
+    return d;
+nomem:
+    free(t.refs); free(t.arena.buf);
+    if (!PyErr_Occurred()) PyErr_NoMemory();
+    return NULL;
+}
+
+static PyObject *tokenize_ascii(PyObject *self, PyObject *args) {
+    const char *s; Py_ssize_t n; Py_ssize_t max_bytes = 64;
+    if (!PyArg_ParseTuple(args, "s#|n", &s, &n, &max_bytes)) return NULL;
+    toks_t t; memset(&t, 0, sizeof t);
+    if (scan_tokens(s, n, max_bytes, &t)) goto nomem;
+    PyObject *lst = PyList_New((Py_ssize_t)t.n);
+    if (!lst) goto nomem;
+    for (size_t i = 0; i < t.n; i++) {
+        PyObject *o = PyUnicode_FromStringAndSize(
+            t.arena.buf + t.refs[i].off, t.refs[i].len);
+        if (!o) { Py_DECREF(lst); goto nomem; }
+        PyList_SET_ITEM(lst, (Py_ssize_t)i, o);
+    }
+    free(t.refs); free(t.arena.buf);
+    return lst;
+nomem:
+    free(t.refs); free(t.arena.buf);
+    if (!PyErr_Occurred()) PyErr_NoMemory();
+    return NULL;
+}
+
+static PyMethodDef Methods[] = {
+    {"count_ascii_terms", count_ascii_terms, METH_VARARGS,
+     "count_ascii_terms(text, max_term_bytes=64) -> dict[term, wdf]"},
+    {"tokenize_ascii", tokenize_ascii, METH_VARARGS,
+     "tokenize_ascii(text, max_term_bytes=64) -> list[str]"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_mdq_ctok",
+    "C fast path for the ASCII subset of the xapian tokenizer", -1, Methods};
+
+PyMODINIT_FUNC PyInit__mdq_ctok(void) { return PyModule_Create(&moduledef); }

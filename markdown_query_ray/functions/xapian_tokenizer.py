@@ -130,6 +130,46 @@ def should_stem(term: str) -> bool:
     return c.islower() or _CAT(c) in ("Lt", "Lm", "Lo")
 
 
+def _load_ctok():
+    """The compiled ASCII fast path (functions/_ctok.c), or None. Resolved
+    lazily so importing this module never triggers a compile."""
+    from .ctok import load
+
+    return load()
+
+
+def fast_tokenize(text: str, max_term_bytes: int = 64):
+    """`tokenize` with the C fast path for pure-ASCII text (identical output,
+    enforced by tests/test_tokenizer.py's fuzz parity suite)."""
+    if text.isascii():
+        ct = _load_ctok()
+        if ct is not None:
+            return ct.tokenize_ascii(text, max_term_bytes)
+    return tokenize(text, max_term_bytes)
+
+
+def fast_term_counts(text: str, stemmer=None, max_term_bytes: int = 64):
+    """(term -> wdf) map for one document straight from text: the composition
+    ``term_counts(tokenize(text))`` with tokenization AND counting done in C
+    for pure-ASCII text. Returns a plain dict on the C path (same contents)."""
+    if text.isascii():
+        ct = _load_ctok()
+        if ct is not None:
+            counts = ct.count_ascii_terms(text, max_term_bytes)
+            if stemmer is not None:
+                zcounts: dict = {}
+                zget = zcounts.get
+                for term, n in counts.items():
+                    # ASCII terms are already lowercased: stemmable iff the
+                    # first char is a lowercase letter (STEM_SOME gate)
+                    if "a" <= term[0] <= "z":
+                        k = "Z" + stemmer(term)
+                        zcounts[k] = zget(k, 0) + n
+                counts.update(zcounts)
+            return counts
+    return term_counts(tokenize(text, max_term_bytes), stemmer=stemmer)
+
+
 def term_counts(tokens: list[str], stemmer=None) -> Counter:
     """(term -> wdf) map for one document, STEM_SOME style: every unstemmed
     token counts 1, and each stemmable token also adds 1 to its ``Z``-prefixed

@@ -219,14 +219,14 @@ class FieldTokenizeStage:
     def __init__(self, cfg):
         from ..functions.snowball import CachingStemmer
         from ..functions.xapian_tokenizer import (
+            fast_tokenize,
             should_stem,
             simple_tokenize,
-            tokenize,
         )
 
         self.cfg = cfg
         self.stemmer = CachingStemmer() if cfg.stem else None
-        self.tokenize = tokenize if cfg.tokenizer == "xapian" \
+        self.tokenize = fast_tokenize if cfg.tokenizer == "xapian" \
             else simple_tokenize
         self.should_stem = should_stem
 

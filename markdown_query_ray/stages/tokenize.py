@@ -23,7 +23,12 @@ import pyarrow as pa
 
 from ..config import IndexConfig
 from ..functions.snowball import CachingStemmer
-from ..functions.xapian_tokenizer import simple_tokenize, term_counts, tokenize
+from ..functions.xapian_tokenizer import (
+    fast_term_counts,
+    fast_tokenize,
+    simple_tokenize,
+    term_counts,
+)
 from ..index.codec import encode_varints
 
 
@@ -31,8 +36,11 @@ class TokenizeStage:
     def __init__(self, cfg: IndexConfig):
         self.cfg = cfg
         self.stemmer = CachingStemmer() if cfg.stem else None
-        self.tokenize = tokenize if cfg.tokenizer == "xapian" \
-            else simple_tokenize
+        # xapian mode rides the C fast path for ASCII docs (identical output,
+        # fuzz-verified); positions mode needs the full token stream so it
+        # uses fast_tokenize + term_counts instead of the fused C counter
+        self.xapian_mode = cfg.tokenizer == "xapian"
+        self.tokenize = fast_tokenize if self.xapian_mode else simple_tokenize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         max_bytes = self.cfg.max_term_bytes
@@ -51,8 +59,13 @@ class TokenizeStage:
         langs = batch.column("lang").to_pylist() \
             if "lang" in batch.column_names else None
         for row_i, text in enumerate(batch.column("text").to_pylist()):
-            toks = self.tokenize(text or "", max_bytes)
-            counts = term_counts(toks, stemmer=self.stemmer)
+            text = text or ""
+            if with_pos or not self.xapian_mode:
+                toks = self.tokenize(text, max_bytes)
+                counts = term_counts(toks, stemmer=self.stemmer)
+            else:
+                counts = fast_term_counts(
+                    text, stemmer=self.stemmer, max_term_bytes=max_bytes)
             doclen = sum(counts.values())  # before wdf-0 terms (Xapian)
             boolean_terms = [f"Q{urls[row_i]}"]
             if langs is not None and langs[row_i]:

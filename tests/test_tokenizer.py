@@ -129,3 +129,65 @@ def test_simple_tokenize():
 def test_empty_and_punct_only():
     assert tokenize("") == []
     assert tokenize("!!! --- ...") == []
+
+
+# ---------------------------------------------------------------------------
+# C fast path (functions/_ctok.c): must be byte-identical to the Python
+# implementation on every pure-ASCII input. Skipped when no C compiler is
+# available (the engine then runs the Python path everywhere).
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from markdown_query_ray.functions import ctok
+from markdown_query_ray.functions.xapian_tokenizer import (
+    fast_term_counts,
+    fast_tokenize,
+)
+
+_ct = ctok.load()
+needs_ctok = pytest.mark.skipif(_ct is None, reason="no C compiler")
+
+_ASCII_CORNERS = [
+    "U.N.C.L.E", "U.N.C.L.E.", "A.B.CD", "A.B.C.d", "A.B.C-x", "A.B..",
+    "xU.N.C", "AT&T", "it's", "1,000", "c++", "c#", "fish+chips", "c++++",
+    "c++x", "x" * 64, "x" * 65, "A.B", "A.B.", "1.5", "3.14.15", "a&1",
+    "1&a", "1&2", "a'b'c", "don''t", "A.", ".A.", "_foo_bar_", "12,34,56",
+    "1,,2", "end.", "I.B.M.'s", "A.B.C+", "A.B.C#x", "1;2;3", "x+#+",
+    "+#x", "a&&b", "", "   ", "...", "C++0x",
+]
+
+
+@needs_ctok
+def test_ctok_matches_python_on_corners():
+    for s in _ASCII_CORNERS:
+        assert _ct.tokenize_ascii(s, 64) == tokenize(s), repr(s)
+        assert _ct.count_ascii_terms(s, 64) == dict(
+            term_counts(tokenize(s))), repr(s)
+
+
+@needs_ctok
+def test_ctok_fuzz_parity():
+    import random
+    import string
+
+    rng = random.Random(0xC70C)
+    alpha = string.ascii_letters + string.digits + "_.'&+#,; \t\n" + '"-:/()'
+    for _ in range(4000):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+        assert _ct.tokenize_ascii(s, 64) == tokenize(s), repr(s)
+        assert _ct.count_ascii_terms(s, 64) == dict(
+            term_counts(tokenize(s))), repr(s)
+
+
+def test_fast_wrappers_dispatch_and_match():
+    stem = CachingStemmer()
+    texts = [
+        "The U.N.C.L.E agents' c++ code costs 1,000 dollars at AT&T",
+        "naïve café résumé — l'école",  # non-ASCII: python path
+        "",
+    ]
+    for t in texts:
+        assert fast_tokenize(t) == tokenize(t)
+        assert dict(fast_term_counts(t, stemmer=stem)) == dict(
+            term_counts(tokenize(t), stemmer=stem))
