@@ -357,7 +357,7 @@ def build_index(out_dir: str,
     t0 = time.perf_counter()
     posts = tokds.map_batches(
         PartialPostingsStage(cfg, docs_per_bucket), batch_format="pyarrow",
-        batch_size=cfg.tokenize_batch_size)
+        batch_size=cfg.postings_batch_size)
     from functools import partial
 
     manifest = posts.groupby("skey").map_groups(
