@@ -165,7 +165,7 @@ static int scan_tokens(const char *s, Py_ssize_t n, Py_ssize_t max_bytes,
 /* ---- hashing for the per-document count table -------------------------- */
 
 static inline uint64_t fnv1a(const char *p, uint32_t len) {
-    uint64_t h = 1469598103934665603ULL;
+    uint64_t h = 14695981039346656037ULL;
     for (uint32_t i = 0; i < len; i++) {
         h ^= (unsigned char)p[i];
         h *= 1099511628211ULL;
@@ -249,7 +249,62 @@ nomem:
     return NULL;
 }
 
+/* ---- shingle hashing for MinHash dedup --------------------------------- *
+ * Tokens = maximal runs between single spaces (' ' only, exactly Python's
+ * text.split(" ") with empty tokens dropped). Token hash = FNV-1a64 over the
+ * token's bytes. Shingle hash = FNV-1a64 over the w consecutive token hashes'
+ * little-endian bytes (one shingle of all tokens when 0 < ntok < w).
+ * Returns the shingle hashes as a bytes object of little-endian uint64s.
+ * The pure-numpy fallback in pipelines/dedup.py computes the identical
+ * function; parity is enforced by tests.                                   */
+
+static PyObject *shingle_hashes64(PyObject *self, PyObject *args) {
+    const char *s; Py_ssize_t n; Py_ssize_t w = 3;
+    if (!PyArg_ParseTuple(args, "s#|n", &s, &n, &w)) return NULL;
+    if (w < 1) w = 1;
+    size_t ntok = 0, captok = 256;
+    uint64_t *th = (uint64_t *)malloc(captok * sizeof(uint64_t));
+    if (!th) return PyErr_NoMemory();
+    Py_ssize_t i = 0;
+    while (i < n) {
+        while (i < n && s[i] == ' ') i++;
+        Py_ssize_t st = i;
+        while (i < n && s[i] != ' ') i++;
+        if (i > st) {
+            if (ntok == captok) {
+                captok *= 2;
+                uint64_t *nt = (uint64_t *)realloc(th, captok * sizeof(uint64_t));
+                if (!nt) { free(th); return PyErr_NoMemory(); }
+                th = nt;
+            }
+            th[ntok++] = fnv1a(s + st, (uint32_t)(i - st));
+        }
+    }
+    size_t nsh = ntok == 0 ? 0
+               : (ntok < (size_t)w ? 1 : ntok - (size_t)w + 1);
+    size_t win = ntok < (size_t)w ? ntok : (size_t)w;
+    PyObject *out = PyBytes_FromStringAndSize(NULL,
+                                              (Py_ssize_t)(nsh * 8));
+    if (!out) { free(th); return NULL; }
+    uint64_t *ob = (uint64_t *)PyBytes_AS_STRING(out);
+    for (size_t sh = 0; sh < nsh; sh++) {
+        uint64_t h = 14695981039346656037ULL;
+        for (size_t j = 0; j < win; j++) {
+            uint64_t v = th[sh + j];
+            for (int b = 0; b < 8; b++) {
+                h ^= (v >> (8 * b)) & 0xFF;
+                h *= 1099511628211ULL;
+            }
+        }
+        ob[sh] = h;  /* little-endian hosts only (x86/arm) */
+    }
+    free(th);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
+    {"shingle_hashes64", shingle_hashes64, METH_VARARGS,
+     "shingle_hashes64(text, w=3) -> bytes of little-endian uint64 hashes"},
     {"count_ascii_terms", count_ascii_terms, METH_VARARGS,
      "count_ascii_terms(text, max_term_bytes=64) -> dict[term, wdf]"},
     {"tokenize_ascii", tokenize_ascii, METH_VARARGS,

@@ -59,21 +59,49 @@ def exact_dedup(ds):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_FNV_OFF = np.uint64(0xcbf29ce484222325)
+_FNV_PRIME = np.uint64(0x100000001b3)
+
+
+def _fnv1a_u64_rows(mat: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a64 over each row of a (n, k) uint64 matrix's
+    little-endian bytes — the shared mixing primitive for shingle and
+    band hashes (identical to functions/_ctok.c:shingle_hashes64's inner
+    loop and textstats.fnv1a_bytes)."""
+    b = np.ascontiguousarray(mat, dtype="<u8").view(np.uint8)
+    b = b.reshape(mat.shape[0], mat.shape[1] * 8)
+    h = np.full(mat.shape[0], _FNV_OFF, np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(b.shape[1]):
+            h = (h ^ b[:, c].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """Hashes of w-token shingles (uint64). Falls back to unigrams for very
-    short docs."""
-    toks = [t for t in (text or "").split(" ") if t]
+    """Hashes of w-token shingles (uint64); one shingle of all tokens for
+    very short docs. Token split is ``text.split(" ")`` with empties
+    dropped; token hash FNV-1a64 over UTF-8 bytes; shingle hash FNV-1a64
+    over the window's token-hash LE bytes. The C path
+    (_ctok.shingle_hashes64) computes the identical function — the space
+    byte never occurs inside a UTF-8 multibyte sequence, so byte-level
+    splitting matches str.split for all text."""
+    from ..functions.ctok import load as _load_ctok
+
+    text = text or ""
+    ct = _load_ctok()
+    if ct is not None:
+        return np.frombuffer(ct.shingle_hashes64(text, w), np.uint64)
+    from .textstats import fnv1a_bytes
+
+    toks = [t for t in text.split(" ") if t]
     if not toks:
         return np.empty(0, np.uint64)
-    if len(toks) < w:
-        grams = [" ".join(toks)]
+    th = np.array([fnv1a_bytes(t.encode("utf-8")) for t in toks], np.uint64)
+    if len(th) < w:
+        windows = th[None, :]
     else:
-        grams = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
-    out = np.empty(len(grams), np.uint64)
-    for i, g in enumerate(grams):
-        d = hashlib.md5(g.encode("utf-8")).digest()
-        out[i] = int.from_bytes(d[:8], "little")
-    return out
+        windows = np.lib.stride_tricks.sliding_window_view(th, w)
+    return _fnv1a_u64_rows(windows)
 
 
 class MinHashStage:
@@ -109,36 +137,67 @@ class MinHashStage:
         })
 
 
+_LSH_BUCKETS = 64  # shuffle-coarsening groups for the band groupby
+
+
 def band_explode_batch(batch: pa.Table, bands: int = 16,
                        rows: int = 8) -> pa.Table:
-    """signature -> (band_id, band_hash, doc_id) rows for the LSH groupby."""
-    doc_ids, band_ids, band_hashes = [], [], []
-    for doc, sig in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("minhash").to_pylist()):
-        for b in range(bands):
-            seg = sig[b * rows:(b + 1) * rows]
-            h = hashlib.md5(
-                np.asarray(seg, np.uint64).tobytes()).hexdigest()[:16]
-            doc_ids.append(doc)
-            band_ids.append(b)
-            band_hashes.append(h)
+    """signatures -> (bucket, band_id, band_hash, doc_id) rows, fully
+    vectorized: band_hash = FNV-1a64 over the band's row hashes, computed
+    for all docs x bands in one numpy pass. ``bucket`` coarsens the LSH
+    groupby to ~_LSH_BUCKETS groups (equal band_hash => equal bucket) so the
+    shuffle pays a handful of vectorized group calls, not one Python call
+    per near-singleton band bucket."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            "bucket": pa.array([], pa.int32()),
+            "band_id": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+        })
+    import pyarrow.compute as pc
+
+    sig = pc.list_flatten(batch.column("minhash")).to_numpy() \
+        .astype(np.uint64).reshape(n, bands * rows)
+    bh = _fnv1a_u64_rows(sig.reshape(n * bands, rows))
     return pa.table({
-        "band_id": pa.array(band_ids, pa.int32()),
-        "band_hash": pa.array(band_hashes, pa.string()),
-        "doc_id": pa.array(doc_ids, pa.int64()),
+        "bucket": pa.array((bh % np.uint64(_LSH_BUCKETS)).astype(np.int32)),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(bh),
+        "doc_id": pa.array(np.repeat(
+            batch.column("doc_id").to_numpy().astype(np.int64), bands)),
     })
 
 
-def _bucket_pairs(group):
-    import pandas as pd
-
-    ids = sorted(group["doc_id"].tolist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+def _bucket_pair_scan(group: pa.Table) -> pa.Table:
+    """All same-(band_id, band_hash) doc pairs within one coarse bucket:
+    one lexsort + segment scan; only multi-doc segments (actual collisions)
+    reach Python."""
+    bid = group.column("band_id").to_numpy()
+    bh = group.column("band_hash").to_numpy()
+    ids = group.column("doc_id").to_numpy()
+    order = np.lexsort((ids, bh, bid))
+    bid_s, bh_s, ids_s = bid[order], bh[order], ids[order]
+    n = len(ids_s)
+    change = np.ones(n, bool)
+    change[1:] = (bid_s[1:] != bid_s[:-1]) | (bh_s[1:] != bh_s[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        seg = ids_s[s:e]
+        for i in range(len(seg)):
+            for j in range(i + 1, len(seg)):
+                out_a.append(int(seg[i]))
+                out_b.append(int(seg[j]))
+    return pa.table({
+        "doc_a": pa.array(out_a, pa.int64()),
+        "doc_b": pa.array(out_b, pa.int64()),
+    })
 
 
 def jaccard(text_a: str, text_b: str, w: int = 3) -> float:
@@ -166,8 +225,8 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
     bands_ds = sigs.map_batches(
         partial(band_explode_batch, bands=bands, rows=rows),
         batch_format="pyarrow")
-    cand = bands_ds.groupby(["band_hash", "band_id"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
+    cand = bands_ds.groupby("bucket").map_groups(
+        _bucket_pair_scan, batch_format="pyarrow")
     cand_pd = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     cand_pd = cand_pd.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
