@@ -302,7 +302,48 @@ static PyObject *shingle_hashes64(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* FNV-1a64 of each string in an Arrow-layout string column: `offs` is the
+ * (n+1)-long offsets vector (int32, or int64 when wide != 0) as raw bytes,
+ * `data` the UTF-8 data buffer. Returns n little-endian uint64 hashes as
+ * bytes. Used to assign term-hash shuffle partitions without surfacing
+ * every term as a Python object. */
+static PyObject *fnv1a64_offsets(PyObject *self, PyObject *args) {
+    Py_buffer offs, data;
+    int wide = 0;
+    if (!PyArg_ParseTuple(args, "y*y*|i", &offs, &data, &wide)) return NULL;
+    size_t item = wide ? 8 : 4;
+    if (offs.len < (Py_ssize_t)item) {
+        PyBuffer_Release(&offs); PyBuffer_Release(&data);
+        return PyBytes_FromStringAndSize(NULL, 0);
+    }
+    size_t n = (size_t)offs.len / item - 1;
+    PyObject *out = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(n * 8));
+    if (!out) { PyBuffer_Release(&offs); PyBuffer_Release(&data); return NULL; }
+    uint64_t *ob = (uint64_t *)PyBytes_AS_STRING(out);
+    const char *d = (const char *)data.buf;
+    for (size_t i = 0; i < n; i++) {
+        int64_t a, b;
+        if (wide) {
+            a = ((const int64_t *)offs.buf)[i];
+            b = ((const int64_t *)offs.buf)[i + 1];
+        } else {
+            a = ((const int32_t *)offs.buf)[i];
+            b = ((const int32_t *)offs.buf)[i + 1];
+        }
+        if (a < 0 || b < a || b > (int64_t)data.len) {
+            Py_DECREF(out); PyBuffer_Release(&offs); PyBuffer_Release(&data);
+            PyErr_SetString(PyExc_ValueError, "offsets out of range");
+            return NULL;
+        }
+        ob[i] = fnv1a(d + a, (uint32_t)(b - a));
+    }
+    PyBuffer_Release(&offs); PyBuffer_Release(&data);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
+    {"fnv1a64_offsets", fnv1a64_offsets, METH_VARARGS,
+     "fnv1a64_offsets(offsets_bytes, data_bytes, wide=0) -> uint64 LE bytes"},
     {"shingle_hashes64", shingle_hashes64, METH_VARARGS,
      "shingle_hashes64(text, w=3) -> bytes of little-endian uint64 hashes"},
     {"count_ascii_terms", count_ascii_terms, METH_VARARGS,

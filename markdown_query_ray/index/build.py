@@ -16,7 +16,7 @@ restructured for streaming execution over a multi-node cluster:
       -> manifest rows (lineage + throughput metrics)
     postings metadata cols -> term_stats/               [small groupby]
 
-Shuffle key ``skey = crc32(term) % P * S + doc_bucket``: P term-hash parts
+Shuffle key ``skey = fnv1a64(term) % P * S + doc_bucket``: P term-hash parts
 give posting-merge parallelism; S doc-range salt shards are the explicit skew
 handling — a stopword-grade term (60%+ of docs) splits into S groups bounded
 by its per-doc-range postings, and because posting blocks are keyed
@@ -34,8 +34,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -49,8 +47,13 @@ from .codec import encode_partition
 
 
 def term_part(term: str, num_parts: int) -> int:
-    """Stable term-hash partition (process-invariant, unlike ``hash()``)."""
-    return zlib.crc32(term.encode("utf-8")) % num_parts
+    """Stable term-hash partition (process-invariant, unlike ``hash()``).
+    FNV-1a64 so the build can batch-hash terms straight out of Arrow string
+    buffers (functions/hashing.py) — this scalar form is the query-side
+    single-term lookup of the same function."""
+    from ..functions.hashing import fnv1a_bytes
+
+    return fnv1a_bytes(term.encode("utf-8")) % num_parts
 
 
 class PartialPostingsStage:
@@ -68,15 +71,14 @@ class PartialPostingsStage:
     once per batch, numerics ship as varints), which is what makes the wide
     step scale — the sort-based shuffle moves bytes, not rows.
 
-    Stateful actor: the term->part map is cached across batches (Zipf =>
-    ~100% hit rate); the hash runs once per UNIQUE term via dictionary
-    encoding. All packing is numpy prefix-sum arithmetic, no Python loops
-    over postings."""
+    Partition hashes run once per UNIQUE term via dictionary encoding,
+    batch-hashed straight out of the Arrow string buffers (C fast path in
+    functions/hashing.py — no per-term Python objects). All packing is numpy
+    prefix-sum arithmetic, no Python loops over postings."""
 
     def __init__(self, cfg: IndexConfig, docs_per_bucket: int):
         self.cfg = cfg
         self.docs_per_bucket = max(1, docs_per_bucket)
-        self._part_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .codec import _segment_binary, encode_varints
@@ -92,17 +94,16 @@ class PartialPostingsStage:
         doclens = np.repeat(
             batch.column("doclen").to_numpy().astype(np.uint64), lens)
 
-        cache = self._part_cache
+        from ..functions.hashing import fnv1a64_strings
+
         P = cfg.num_term_parts
         denc = flat_terms.dictionary_encode()
-        uniq = denc.dictionary.to_pylist()
-        uniq_parts = np.empty(max(len(uniq), 1), np.uint32)
-        for j, t in enumerate(uniq):
-            p = cache.get(t)
-            if p is None:
-                p = term_part(t, P)
-                cache[t] = p
-            uniq_parts[j] = p
+        # hash every unique term straight out of the Arrow buffers (C path:
+        # no per-term Python objects); scalar term_part() is the same hash
+        uniq_parts = (fnv1a64_strings(denc.dictionary)
+                      % np.uint64(P)).astype(np.uint32)
+        if len(uniq_parts) == 0:
+            uniq_parts = np.zeros(1, np.uint32)
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(codes)
         if n == 0:
@@ -290,8 +291,10 @@ def build_index(out_dir: str,
             # the ramp-up IS the job
             concurrency = cfg.tokenize_concurrency
             if concurrency is None:
+                # exactly the cluster's CPUs: max(2, ...) would oversubscribe
+                # a 1-CPU cluster and skew scaling measurements
                 concurrency = max(
-                    2, int(ray.cluster_resources().get("CPU", 2)))
+                    1, int(ray.cluster_resources().get("CPU", 2)))
             tok = ds.map_batches(
                 TokenizeStage(cfg), batch_format="pyarrow",
                 batch_size=cfg.tokenize_batch_size,

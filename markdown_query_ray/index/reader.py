@@ -7,7 +7,7 @@ dictionary-encoded and files are sorted by term, so row-group statistics
 prune reads to the query's terms).
 
 Partition pruning: a query touching terms T and doc-bucket b needs only the
-files ``part-{crc32(t) % P * S + b}`` — the scorer never lists, let alone
+files ``part-{fnv1a64(t) % P * S + b}`` — the scorer never lists, let alone
 reads, unrelated partitions.
 """
 

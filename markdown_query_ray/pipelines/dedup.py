@@ -256,29 +256,27 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
 # ---------------------------------------------------------------------------
 
 class SimHashStage:
-    """64-bit SimHash over token FNV hashes, weighted by tf."""
+    """64-bit SimHash over token FNV hashes, weighted by tf.
 
-    def __init__(self):
-        self.bits = np.arange(64, dtype=np.uint64)
+    Vectorized: token hashes come from ``shingle_hashes(text, w=1)`` (the
+    C-accelerated per-token FNV-1a64), and summing +-1 bit contributions
+    over ALL token occurrences is identical to the tf-weighted unique-token
+    sum. Bit i of the signature is set when more (tf-weighted) tokens have
+    bit i set than clear."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        from .textstats import fnv1a_bytes
-
-        out = []
-        for t in batch.column("text").to_pylist():
-            toks = [x for x in (t or "").split(" ") if x]
-            acc = np.zeros(64, np.int64)
-            for tok, tf in Counter(toks).items():
-                h = fnv1a_bytes(tok.encode("utf-8"))
-                bits = (h >> self.bits) & np.uint64(1)
-                acc += np.where(bits == 1, tf, -tf)
-            sig = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    sig |= 1 << i
-            out.append(sig)
+        out = np.empty(batch.num_rows, np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            th = shingle_hashes(t or "", 1)
+            if len(th) == 0:
+                out[i] = 0
+                continue
+            bits = np.unpackbits(
+                th.view(np.uint8).reshape(len(th), 8),
+                axis=1, bitorder="little")
+            acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(th)
+            out[i] = (weights[acc > 0]).sum()
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "simhash": pa.array(out, pa.uint64()),

@@ -147,13 +147,7 @@ _FNV_OFFSET = np.uint64(0xcbf29ce484222325)
 _FNV_PRIME = np.uint64(0x100000001b3)
 
 
-def fnv1a_bytes(data: bytes) -> int:
-    """FNV-1a 64-bit — a public, trivially portable hash used for
-    fingerprints and shingles (stable across processes, unlike hash())."""
-    h = 0xcbf29ce484222325
-    for b in data:
-        h = ((h ^ b) * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
-    return h
+from ..functions.hashing import fnv1a_bytes  # canonical definition (re-export)
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

@@ -191,3 +191,51 @@ def test_fast_wrappers_dispatch_and_match():
         assert fast_tokenize(t) == tokenize(t)
         assert dict(fast_term_counts(t, stemmer=stem)) == dict(
             term_counts(tokenize(t), stemmer=stem))
+
+
+@needs_ctok
+def test_fnv1a64_offsets_matches_python():
+    import numpy as np
+    import pyarrow as pa
+
+    from markdown_query_ray.functions.hashing import (
+        fnv1a64_strings,
+        fnv1a_bytes,
+    )
+
+    words = ["", "a", "hello", "naïve", "x" * 100, "1,000", "AT&T"] * 3
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(words, typ)
+        expect = np.array([fnv1a_bytes(w.encode("utf-8")) for w in words],
+                          np.uint64)
+        assert np.array_equal(fnv1a64_strings(arr), expect)
+        # sliced arrays (non-zero offset) hash the right windows
+        assert np.array_equal(fnv1a64_strings(arr.slice(2, 5)), expect[2:7])
+
+
+@needs_ctok
+def test_shingle_hashes_c_matches_numpy_fallback():
+    import numpy as np
+
+    from markdown_query_ray.pipelines.dedup import (
+        _fnv1a_u64_rows,
+        shingle_hashes,
+    )
+    from markdown_query_ray.functions.hashing import fnv1a_bytes
+
+    def py_shingles(text, w):
+        toks = [t for t in (text or "").split(" ") if t]
+        if not toks:
+            return np.empty(0, np.uint64)
+        th = np.array([fnv1a_bytes(t.encode("utf-8")) for t in toks],
+                      np.uint64)
+        win = th[None, :] if len(th) < w else \
+            np.lib.stride_tricks.sliding_window_view(th, w)
+        return _fnv1a_u64_rows(win)
+
+    cases = ["", " ", "a", "a b c d e", "  double  spaces ",
+             "naïve café s’il", "tab\tnot a split", "x " * 50]
+    for s in cases:
+        for w in (1, 2, 3, 5):
+            assert np.array_equal(shingle_hashes(s, w), py_shingles(s, w)), \
+                (repr(s), w)
