@@ -262,21 +262,26 @@ class SimHashStage:
     C-accelerated per-token FNV-1a64), and summing +-1 bit contributions
     over ALL token occurrences is identical to the tf-weighted unique-token
     sum. Bit i of the signature is set when more (tf-weighted) tokens have
-    bit i set than clear."""
+    bit i set than clear. The bit counting runs once per BATCH: all docs'
+    token hashes concatenate into one (T, 64) unpackbits matrix and
+    ``np.add.reduceat`` sums per-doc segments."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, np.uint64)
-        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            th = shingle_hashes(t or "", 1)
-            if len(th) == 0:
-                out[i] = 0
-                continue
-            bits = np.unpackbits(
-                th.view(np.uint8).reshape(len(th), 8),
-                axis=1, bitorder="little")
-            acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(th)
-            out[i] = (weights[acc > 0]).sum()
+        out = np.zeros(batch.num_rows, np.uint64)
+        per_doc = [shingle_hashes(t or "", 1)
+                   for t in batch.column("text").to_pylist()]
+        lens = np.array([len(h) for h in per_doc], np.int64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            all_h = np.concatenate([per_doc[i] for i in nonempty])
+            bits = np.unpackbits(all_h.view(np.uint8).reshape(len(all_h), 8),
+                                 axis=1, bitorder="little")
+            starts = np.zeros(len(nonempty), np.int64)
+            np.cumsum(lens[nonempty[:-1]], out=starts[1:])
+            sums = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            majority = (sums * 2 - lens[nonempty, None]) > 0
+            out[nonempty] = np.packbits(
+                majority, axis=1, bitorder="little").view(np.uint64).ravel()
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "simhash": pa.array(out, pa.uint64()),
@@ -289,34 +294,47 @@ def simhash_pairs(ds, max_hamming: int = 3):
     sigs = ds.map_batches(SimHashStage, batch_format="pyarrow",
                           concurrency=2)
     pdf = sigs.to_pandas()
-    ids = pdf["doc_id"].to_numpy()
+    ids = pdf["doc_id"].to_numpy().astype(np.int64)
     sh = pdf["simhash"].to_numpy().astype(np.uint64)
-    # band blocking: equal 16-bit slice => candidate
-    cands = set()
+    # band blocking: equal 16-bit slice => candidate. One sort + segment
+    # expansion per band, all numpy; only genuinely colliding segments
+    # produce pair rows (dedup'd across bands at the end).
+    pair_a: list[np.ndarray] = []
+    pair_b: list[np.ndarray] = []
     for b in range(4):
         seg = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-        order = np.argsort(seg, kind="stable")
-        seg_s = seg[order]
-        start = 0
-        for i in range(1, len(seg_s) + 1):
-            if i == len(seg_s) or seg_s[i] != seg_s[start]:
-                if i - start > 1:
-                    grp = order[start:i]
-                    for x in range(len(grp)):
-                        for y in range(x + 1, len(grp)):
-                            a, bb = ids[grp[x]], ids[grp[y]]
-                            cands.add((min(a, bb), max(a, bb)))
-                start = i
-    out_a, out_b, out_h = [], [], []
+        order = np.lexsort((ids, seg))
+        seg_s, ids_s = seg[order], ids[order]
+        n = len(seg_s)
+        change = np.ones(n, bool)
+        change[1:] = seg_s[1:] != seg_s[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            grp = ids_s[s:e]
+            ii, jj = np.triu_indices(len(grp), k=1)
+            pair_a.append(grp[ii])
+            pair_b.append(grp[jj])
+    if not pair_a:
+        return pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        })
+    a = np.concatenate(pair_a)
+    b = np.concatenate(pair_b)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
     sig_of = dict(zip(ids.tolist(), sh.tolist()))
-    for a, b in sorted(cands):
-        d = bin(sig_of[a] ^ sig_of[b]).count("1")
-        if d <= max_hamming:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_h.append(d)
+    xor = np.array([sig_of[int(x)] for x in uniq[:, 0]], np.uint64) ^ \
+        np.array([sig_of[int(x)] for x in uniq[:, 1]], np.uint64)
+    ham = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
+                        axis=1).sum(axis=1).astype(np.int64)
+    keep = ham <= max_hamming
     return pa.table({
-        "doc_a": pa.array(out_a, pa.int64()),
-        "doc_b": pa.array(out_b, pa.int64()),
-        "hamming": pa.array(out_h, pa.int64()),
+        "doc_a": pa.array(uniq[keep, 0], pa.int64()),
+        "doc_b": pa.array(uniq[keep, 1], pa.int64()),
+        "hamming": pa.array(ham[keep], pa.int64()),
     })

@@ -14,8 +14,11 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 if [ ! -f "$PREFIX/lib/libxapian.a" ]; then
     [ -d "$SRC" ] || tar xf "$TARBALL" -C /tmp
     cd "$SRC"
-    ./configure --disable-shared --prefix="$PREFIX" CXXFLAGS="-O1 -g0"
-    make -j"$(python3 -c 'import os;print(os.cpu_count())")" || make
+    # -include limits: xapian 1.4.17 predates GCC13's pruned transitive
+    # includes (numeric_limits used without <limits> in api/omdocument.cc)
+    ./configure --disable-shared --prefix="$PREFIX" \
+        CXXFLAGS="-O1 -g0 -include limits"
+    make -j"$(nproc)" || make
     make install
 fi
 
