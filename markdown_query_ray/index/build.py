@@ -409,6 +409,8 @@ def build_index(out_dir: str,
             merged, sort_keys=[("term", "ascending")]))
         _write_atomic(merged, os.path.join(ts_dir, "part-000000.parquet"),
                       row_group_size=1 << 16)
+        gstats["wdf_ub_global"] = int(
+            pc.max(merged.column("wdf_ub")).as_py() or 0)
     else:
         term_stats = ray.data.read_parquet(
             tsp_dir, file_extensions=["parquet"]).groupby("term").aggregate(
@@ -417,6 +419,13 @@ def build_index(out_dir: str,
             Max("wdf_ub", alias_name="wdf_ub"),
         )
         term_stats.write_parquet(ts_dir)
+        from ray.data.aggregate import Max as _Max
+        mx = ray.data.read_parquet(
+            tsp_dir, file_extensions=["parquet"]).aggregate(
+            _Max("wdf_ub", alias_name="m"))
+        # glass version-file wdf_ubound analog (glass_version.h:260-262):
+        # exact global max wdf, input to the per-term xapian wdf bound
+        gstats["wdf_ub_global"] = int(mx["m"] or 0)
     _mark("term_stats", t0)
     metrics["total"] = round(time.perf_counter() - t_start, 3)
     if gstats["n_docs"]:

@@ -65,6 +65,57 @@ class IndexReader:
         return self.gstats["doclen_lb"]
 
     @property
+    def doclen_ub(self) -> int:
+        return self.gstats["doclen_ub"]
+
+    @property
+    def wdf_ub_global(self) -> int | None:
+        """Exact global max wdf (glass version-file wdf_ubound,
+        glass_version.h:260-262); None on indexes built before the stat
+        existed."""
+        return self.gstats.get("wdf_ub_global")
+
+    def first_wdf(self, terms: list[str]) -> dict[str, int]:
+        """wdf of each term's first (lowest-doc_id) posting, across all
+        buckets/segments — the input to glass's loose per-term wdf upper
+        bound (glass_postlist.cc:176-191: ``max(cf - first_wdf,
+        first_wdf)``), which drives ELITE_SET selection parity. Reads only
+        the terms' block_id==0 rows' metadata + one leading varint each;
+        results are cached. On tombstoned (updated) indexes the first
+        posting may be a deleted doc — a documented divergence (glass
+        rewrites the chunk on delete; we'd need a decode pass)."""
+        cache = getattr(self, "_first_wdf_cache", None)
+        if cache is None:
+            cache = self._first_wdf_cache = {}
+        missing = [t for t in set(terms) if t not in cache]
+        if missing:
+            best: dict[str, tuple[int, bytes]] = {}
+            for p in self.posting_paths(missing):
+                t = pq.read_table(
+                    p, columns=["term", "first_doc_id", "tfs_enc"],
+                    filters=[("term", "in", missing), ("block_id", "=", 0)])
+                for term, did, enc in zip(
+                        t.column("term").to_pylist(),
+                        t.column("first_doc_id").to_pylist(),
+                        t.column("tfs_enc").to_pylist()):
+                    cur = best.get(term)
+                    if cur is None or did < cur[0]:
+                        best[term] = (did, enc)
+            for term in missing:
+                hit = best.get(term)
+                if hit is None:
+                    cache[term] = 0
+                    continue
+                v = shift = 0
+                for b in hit[1]:  # leading LEB128 varint of the tf stream
+                    v |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                cache[term] = v
+        return {t: cache[t] for t in set(terms)}
+
+    @property
     def has_positions(self) -> bool:
         return bool(self.gstats.get("positions", False))
 

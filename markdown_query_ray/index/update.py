@@ -183,6 +183,8 @@ def update_index(index_dir: str,
         "doclen_lb": min(g["doclen_lb"], gseg["doclen_lb"])
         if gseg["n_docs"] else g["doclen_lb"],
         "doclen_ub": max(g["doclen_ub"], gseg["doclen_ub"]),
+        "wdf_ub_global": max(g.get("wdf_ub_global", 0),
+                             gseg.get("wdf_ub_global", 0)),
     })
     with open(os.path.join(index_dir, "global_stats.json"), "w") as f:
         json.dump(g, f, indent=1)

@@ -77,6 +77,17 @@ class Synonym:
 
 
 @dataclass(frozen=True)
+class EliteSet:
+    """OP_ELITE_SET: OR of the ``set_size`` highest-maxweight sub-postlists
+    after OR-like flattening (api/queryinternal.cc:1248-1280,
+    OrContext::select_elite_set :188-197; default set_size 10,
+    queryinternal.h:29-30,369-371). Ties at the cut are unspecified in
+    xapian (nth_element); the executor keeps the earliest in query order."""
+    children: tuple = field(default_factory=tuple)
+    set_size: int = 10
+
+
+@dataclass(frozen=True)
 class Phrase:
     """Positional window op (OP_PHRASE when ordered, OP_NEAR when not;
     window 0 means len(terms) — the Xapian default for both). On an index
@@ -106,7 +117,7 @@ def query_terms(node) -> list[str]:
             out.extend(n.terms)
         elif isinstance(n, Wildcard):
             pass
-        elif isinstance(n, (Or, And, Xor, Synonym)):
+        elif isinstance(n, (Or, And, Xor, Synonym, EliteSet)):
             for c in n.children:
                 walk(c)
         elif isinstance(n, (AndNot, AndMaybe, Filter)):
@@ -137,6 +148,9 @@ def describe(node) -> str:
         return "(" + " XOR ".join(describe(c) for c in node.children) + ")"
     if isinstance(node, Synonym):
         return "(SYNONYM " + " ".join(describe(c) for c in node.children) + ")"
+    if isinstance(node, EliteSet):
+        return ("(ELITE_SET " + str(node.set_size) + " "
+                + " ".join(describe(c) for c in node.children) + ")")
     if isinstance(node, AndNot):
         return f"({describe(node.left)} AND_NOT {describe(node.right)})"
     if isinstance(node, AndMaybe):

@@ -34,10 +34,12 @@ word chunks (true OP_PHRASE/OP_NEAR on an index built with positions=True;
 AND degradation otherwise — see ast.Phrase). Known divergences (documented):
 RANGE/``>``/``<`` parse but match nothing (the reference sets no value
 slots, so Xapian's value ops match nothing there too — SURVEY.md §2.5 L10);
-SCALED applies scale 1.0; ELITE evaluates as OR — exact vs xapian up to
-10 flattened leaves (DEFAULT_ELITE_SET_SIZE; beyond that xapian keeps the
-10 highest-maxweight leaves with unspecified nth_element tie handling,
-queryinternal.cc:1268).
+SCALED applies scale 1.0; ELITE compiles to an EliteSet node — the
+executor keeps the 10 highest-maxweight flattened sub-postlists
+(DEFAULT_ELITE_SET_SIZE) exactly as xapian does (queryinternal.cc:1268,
+select_elite_set :188-197), except that ties at the selection cut take
+the earliest in query order where xapian's nth_element subset is
+unspecified.
 """
 
 from __future__ import annotations
@@ -51,6 +53,7 @@ from .ast import (
     And,
     AndMaybe,
     AndNot,
+    EliteSet,
     Filter,
     Or,
     Phrase,
@@ -200,12 +203,20 @@ def _fold(left, op: str, right):
     like ops annihilate, AND_NOT/AND_MAYBE/FILTER keep the left."""
     lempty = isinstance(left, MatchNothing)
     rempty = isinstance(right, MatchNothing)
-    if op == "OR" or op == "ELITE":
+    if op == "OR":
         if lempty:
             return right
         if rempty:
             return left
         return Or((left, right))
+    if op == "ELITE":
+        # Query(OP_ELITE_SET, l, r) with default set_size 10
+        # (queryinternal.h:29-30); done() drops MatchNothing sides
+        if lempty:
+            return right
+        if rempty:
+            return left
+        return EliteSet((left, right))
     if op == "XOR":
         if lempty:
             return right

@@ -36,6 +36,7 @@ from .ast import (
     And,
     AndMaybe,
     AndNot,
+    EliteSet,
     Filter,
     MatchAll,
     Or,
@@ -267,7 +268,7 @@ class Evaluator:
             elif isinstance(n, Wildcard):
                 terms.extend(self.reader.expand_wildcard(
                     n.prefix, n.limit, n.most_frequent))
-            elif isinstance(n, (Or, And, Xor, Synonym)):
+            elif isinstance(n, (Or, And, Xor, Synonym, EliteSet)):
                 for c in n.children:
                     walk(c)
             elif isinstance(n, (AndNot, AndMaybe, Filter)):
@@ -318,6 +319,10 @@ class Evaluator:
             parts = [self.evaluate(c) for c in node.children]
             return _accumulate([p.ids for p in parts if len(p.ids)],
                                [p.scores for p in parts if len(p.ids)])
+
+        if isinstance(node, EliteSet):
+            selected = self._elite_select(node)
+            return self.evaluate(Or(tuple(selected)))
 
         if isinstance(node, And):
             parts = [self.evaluate(c) for c in node.children]
@@ -461,6 +466,104 @@ class Evaluator:
         np.maximum.at(dls, inv, all_dls)  # doclen identical across terms
         wdf = np.minimum(wdf, dls)  # clamp to doclen
         return ScoredSet(uniq, w.sumpart(wdf, dls))
+
+    # -- ELITE_SET selection -------------------------------------------------
+    def _elite_select(self, node: EliteSet) -> list:
+        """OR-like flattening + top-set_size-by-maxweight selection,
+        mirroring QueryBranch::do_or_like(elite_set_size)
+        (queryinternal.cc:1248-1280): OR children flatten into the same
+        candidate pool, nested ELITE children apply their own selection
+        first, everything else is one candidate postlist. Selection keeps
+        the set_size highest-maxweight candidates
+        (OrContext::select_elite_set :188-197); xapian's nth_element leaves
+        ties at the cut unspecified — we keep the earliest in query order."""
+        units: list = []
+
+        def add(n):
+            if isinstance(n, Or):
+                for c in n.children:
+                    add(c)
+            elif isinstance(n, EliteSet):
+                units.extend(self._elite_select(n))
+            else:
+                units.append(n)
+
+        for c in node.children:
+            add(c)
+        if len(units) <= node.set_size:
+            return units
+        mw = np.array([self._maxweight(u) for u in units], np.float64)
+        keep = np.argsort(-mw, kind="stable")[:node.set_size]
+        return [units[i] for i in np.sort(keep)]
+
+    def _maxweight(self, node) -> float:
+        """PostList::get_maxweight of a subtree: per-term BM25 upper bound
+        (BM25Weight::get_maxpart, bm25weight.cc:176-201, evaluated at the
+        term's wdf_ub and the global doclen lower bound), summed across
+        weighted branches (OR/AND/AND_MAYBE/XOR add child maxweights;
+        AND_NOT/FILTER take the left side; SYNONYM bounds its pseudo-term
+        at wdf_ub = global doclen UPPER bound per Weight::init_'s synonym
+        overload, weight.cc:85-104)."""
+        from .compiler import MatchNothing
+
+        if isinstance(node, (MatchNothing, MatchAll)):
+            return 0.0
+        if isinstance(node, Term):
+            st = self.reader.term_stats([node.text]).get(node.text)
+            if not st or st["termfreq"] == 0:
+                return 0.0
+            w = self.weight(node.text, node.wqf, termfreq=st["termfreq"])
+            # xapian's wdf bound is NOT the exact per-term max: glass stores
+            # only (tf, cf, first posting) per term, so its bound is
+            # cf if tf==1 else min(max(cf-first_wdf, first_wdf), global max
+            # wdf) (glass_postlist.cc:176-191, glass_database.cc:797-803).
+            # Reproduce it — the value changes which sub-postlists ELITE
+            # keeps. (Our WAND pruning keeps the exact/tighter stored bound:
+            # any valid upper bound preserves rank-identity there.)
+            tf, cf = st["termfreq"], st["collfreq"]
+            if cf == 0 or tf == 1:
+                wub = cf
+            else:
+                fw = self.reader.first_wdf([node.text])[node.text]
+                wub = max(cf - fw, fw)
+                g = self.reader.wdf_ub_global
+                if g is not None:
+                    wub = min(wub, g)
+            return w.maxpart_global(wub, self.reader.doclen_lb)
+        if isinstance(node, Wildcard):
+            return self._maxweight(Synonym((node,)))
+        if isinstance(node, Synonym):
+            terms: list[str] = []
+            for c in node.children:
+                if isinstance(c, Term):
+                    terms.append(c.text)
+                elif isinstance(c, Wildcard):
+                    terms.extend(self.reader.expand_wildcard(
+                        c.prefix, c.limit, c.most_frequent))
+                else:
+                    raise TypeError("SYNONYM supports term/wildcard children")
+            terms = list(dict.fromkeys(terms))
+            stats = self.reader.term_stats(terms)
+            freqs = [stats[t]["termfreq"] for t in terms if t in stats]
+            est_tf = synonym_termfreq_estimate(freqs, self.reader.n_docs)
+            if est_tf == 0:
+                return 0.0
+            w = self.weight("", wqf=1, termfreq=est_tf)
+            return w.maxpart_global(self.reader.doclen_ub,
+                                    self.reader.doclen_lb)
+        if isinstance(node, (Or, And, AndMaybe, Xor)):
+            kids = node.children if hasattr(node, "children") \
+                else (node.left, node.right)
+            return sum(self._maxweight(c) for c in kids)
+        if isinstance(node, EliteSet):
+            return sum(self._maxweight(c) for c in self._elite_select(node))
+        if isinstance(node, (AndNot, Filter)):
+            return self._maxweight(node.left)
+        if isinstance(node, Phrase):
+            return sum(self._maxweight(Term(t)) for t in node.terms)
+        if isinstance(node, ScaleWeight):
+            return node.factor * self._maxweight(node.child)
+        raise TypeError(f"unknown query node {node!r}")
 
 
 # ---------------------------------------------------------------------------

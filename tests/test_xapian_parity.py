@@ -288,6 +288,69 @@ def test_randomized_query_parity(parity_setup):
                 f"score mismatch for {q!r} doc {d}"
 
 
+def test_elite_set_selection_parity(parity_setup):
+    """ELITE beyond 10 flattened leaves: xapian keeps the 10 highest-
+    maxweight sub-postlists (select_elite_set, queryinternal.cc:188-197).
+    Rank-identity is only well-defined when no maxweight tie straddles
+    the selection cut (nth_element tie subsets are unspecified; ties
+    wholly above or below the cut don't affect the kept SET), so the test
+    samples token sets until the 10th and 11th largest unit maxweights
+    are cleanly separated, then asserts identical top-k docids +
+    weights."""
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.index.reader import IndexReader
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.ast import EliteSet
+    from markdown_query_ray.query.compiler import parse_user_query
+
+    xdb, ours = parity_setup
+    toks = _safe_tokens(ours)
+    assert len(toks) >= 20
+    reader = IndexReader(ours)
+    ev = qx.Evaluator(reader, BM25Params.xapian())
+    rng = np.random.default_rng(11)
+
+    queries = []
+    tried = 0
+    while len(queries) < 5 and tried < 200:
+        tried += 1
+        words = [toks[int(i)] for i in
+                 rng.choice(len(toks), size=7, replace=False)]
+        q = " ELITE ".join(words)  # 7 chunks x 2 units = 14 > 10
+        node = parse_user_query(q)
+        assert isinstance(node, EliteSet)
+        units = []
+
+        def flat(n):
+            from markdown_query_ray.query.ast import Or
+            if isinstance(n, Or):
+                for c in n.children:
+                    flat(c)
+            elif isinstance(n, EliteSet):
+                for c in n.children:
+                    flat(c)
+            else:
+                units.append(n)
+
+        flat(node)
+        assert len(units) == 14
+        mw = sorted((ev._maxweight(u) for u in units), reverse=True)
+        if mw[9] > mw[10] * (1 + 1e-9) + 1e-12:
+            queries.append(q)
+    assert len(queries) == 5, "could not find tie-free ELITE samples"
+
+    want = _xapian_results(xdb, queries, 60)
+    qcfg = QueryConfig(k=60, params=BM25Params.xapian())
+    for i, q in enumerate(queries):
+        got = qx.search(ours, parse_user_query(q), qcfg, distributed=False)
+        exp = want[i]
+        assert got.column("doc_id").to_pylist() == [d for d, _ in exp], \
+            f"docid mismatch for {q!r}"
+        for (d, w), s in zip(exp, got.column("score").to_pylist()):
+            assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
+                f"score mismatch for {q!r} doc {d}"
+
+
 def test_match_counts_equal_real_xapian(parity_setup):
     """Every query's full match SET (not just top-k) agrees."""
     from markdown_query_ray.config import BM25Params
