@@ -341,9 +341,59 @@ static PyObject *fnv1a64_offsets(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* FNV-1a 128-bit over the same Arrow string-buffer layout; emits per string
+ * 16 LE bytes (lo64 then hi64). 128 bits keep exact-dedup content keys
+ * collision-safe at trillion-doc scale (64-bit birthday-bounds at ~4e9). */
+static PyObject *fnv1a128_offsets(PyObject *self, PyObject *args) {
+    Py_buffer offs, data;
+    int wide = 0;
+    if (!PyArg_ParseTuple(args, "y*y*|i", &offs, &data, &wide)) return NULL;
+    size_t item = wide ? 8 : 4;
+    if (offs.len < (Py_ssize_t)item) {
+        PyBuffer_Release(&offs); PyBuffer_Release(&data);
+        return PyBytes_FromStringAndSize(NULL, 0);
+    }
+    size_t n = (size_t)offs.len / item - 1;
+    PyObject *out = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(n * 16));
+    if (!out) { PyBuffer_Release(&offs); PyBuffer_Release(&data); return NULL; }
+    uint64_t *ob = (uint64_t *)PyBytes_AS_STRING(out);
+    const char *d = (const char *)data.buf;
+    const __uint128_t basis =
+        ((__uint128_t)0x6c62272e07bb0142ULL << 64) | 0x62b821756295c58dULL;
+    const __uint128_t prime = ((__uint128_t)0x0000000001000000ULL << 64) |
+        0x000000000000013BULL;
+    for (size_t i = 0; i < n; i++) {
+        int64_t a, b;
+        if (wide) {
+            a = ((const int64_t *)offs.buf)[i];
+            b = ((const int64_t *)offs.buf)[i + 1];
+        } else {
+            a = ((const int32_t *)offs.buf)[i];
+            b = ((const int32_t *)offs.buf)[i + 1];
+        }
+        if (a < 0 || b < a || b > (int64_t)data.len) {
+            Py_DECREF(out); PyBuffer_Release(&offs); PyBuffer_Release(&data);
+            PyErr_SetString(PyExc_ValueError, "offsets out of range");
+            return NULL;
+        }
+        __uint128_t h = basis;
+        for (int64_t j = a; j < b; j++) {
+            h ^= (unsigned char)d[j];
+            h *= prime;
+        }
+        ob[i * 2] = (uint64_t)h;
+        ob[i * 2 + 1] = (uint64_t)(h >> 64);
+    }
+    PyBuffer_Release(&offs); PyBuffer_Release(&data);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
     {"fnv1a64_offsets", fnv1a64_offsets, METH_VARARGS,
      "fnv1a64_offsets(offsets_bytes, data_bytes, wide=0) -> uint64 LE bytes"},
+    {"fnv1a128_offsets", fnv1a128_offsets, METH_VARARGS,
+     "fnv1a128_offsets(offsets_bytes, data_bytes, wide=0) -> "
+     "per-string 16 LE bytes (lo64, hi64)"},
     {"shingle_hashes64", shingle_hashes64, METH_VARARGS,
      "shingle_hashes64(text, w=3) -> bytes of little-endian uint64 hashes"},
     {"count_ascii_terms", count_ascii_terms, METH_VARARGS,

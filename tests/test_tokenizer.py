@@ -214,6 +214,29 @@ def test_fnv1a64_offsets_matches_python():
 
 
 @needs_ctok
+def test_fnv1a128_offsets_matches_python():
+    import numpy as np
+    import pyarrow as pa
+
+    from markdown_query_ray.functions.hashing import (
+        fnv1a128_bytes,
+        fnv1a128_strings,
+    )
+
+    words = ["", "a", "hello", "naïve", "x" * 100, "1,000", "AT&T"] * 3
+    vals = [fnv1a128_bytes(w.encode("utf-8")) for w in words]
+    exp_lo = np.array([v & 0xFFFFFFFFFFFFFFFF for v in vals], np.uint64)
+    exp_hi = np.array([v >> 64 for v in vals], np.uint64)
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(words, typ)
+        lo, hi = fnv1a128_strings(arr)
+        assert np.array_equal(lo, exp_lo) and np.array_equal(hi, exp_hi)
+        lo_s, hi_s = fnv1a128_strings(arr.slice(2, 5))
+        assert np.array_equal(lo_s, exp_lo[2:7])
+        assert np.array_equal(hi_s, exp_hi[2:7])
+
+
+@needs_ctok
 def test_shingle_hashes_c_matches_numpy_fallback():
     import numpy as np
 
