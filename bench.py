@@ -92,6 +92,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     pq.write_table(pages, pages_path, row_group_size=512)
     n_docs = len(pages)
     del pages
+    # warm the cluster (worker startup, import, first-task costs) so the
+    # headline timing measures the engine, not Ray session bring-up — the
+    # same methodology --scaling mode already uses (_warm below)
+    import ray.data as _rd
+    _rd.range(1000).map_batches(lambda b: b).count()
+
     idx_dir = os.path.join(scratch, "index")
     with timed("index_build"):
         _build_pages_index([pages_path], idx_dir)
