@@ -25,6 +25,8 @@
  * Exposed functions:
  *   tokenize_ascii(text, max_term_bytes) -> list[str]      (document order)
  *   count_ascii_terms(text, max_term_bytes) -> dict[str,int] (term -> wdf)
+ *   count_ascii_terms_positions(text, max_term_bytes)
+ *       -> dict[str, (wdf, varint-packed 1-based positions)]
  *
  * Parity with the Python implementation is enforced by
  * tests/test_tokenizer.py (shared golden cases + hypothesis fuzz).
@@ -228,6 +230,108 @@ nomem:
     return NULL;
 }
 
+/* count_ascii_terms_positions: one-pass fusion of tokenize + count +
+ * per-term position-list packing for positional indexes. Returns
+ * dict[term, (wdf, payload)] where payload is the term's 1-based token
+ * positions delta-packed as LEB128 varints [first, gap, gap, ...] — the
+ * exact byte format index/codec.py's encode_varints produces, so the
+ * Python fallback (term_counts + pos_map + pack_position_payloads) is
+ * byte-identical (fuzz-parity-tested). */
+static PyObject *count_ascii_terms_positions(PyObject *self, PyObject *args) {
+    const char *s; Py_ssize_t n; Py_ssize_t max_bytes = 64;
+    if (!PyArg_ParseTuple(args, "s#|n", &s, &n, &max_bytes)) return NULL;
+    toks_t t; memset(&t, 0, sizeof t);
+    uint32_t *tok_slot = NULL, *positions = NULL, *slot_start = NULL,
+             *slot_fill = NULL;
+    slot_t *tab = NULL;
+    unsigned char *scratch = NULL;
+    if (scan_tokens(s, n, max_bytes, &t)) goto nomem;
+    size_t cap = 64;
+    while (cap < t.n * 2) cap *= 2;
+    tab = (slot_t *)calloc(cap, sizeof(slot_t));
+    tok_slot = (uint32_t *)malloc((t.n ? t.n : 1) * sizeof(uint32_t));
+    if (!tab || !tok_slot) goto nomem;
+    size_t nuniq = 0;
+    for (size_t ti = 0; ti < t.n; ti++) {
+        const char *p = t.arena.buf + t.refs[ti].off;
+        uint32_t len = t.refs[ti].len;
+        uint64_t h = fnv1a(p, len);
+        size_t idx = (size_t)h & (cap - 1);
+        for (;;) {
+            slot_t *sl = &tab[idx];
+            if (sl->count == 0) {
+                sl->hash = h; sl->off = t.refs[ti].off;
+                sl->len = len; sl->count = 1; nuniq++;
+                break;
+            }
+            if (sl->hash == h && sl->len == len &&
+                memcmp(t.arena.buf + sl->off, p, len) == 0) {
+                sl->count++;
+                break;
+            }
+            idx = (idx + 1) & (cap - 1);
+        }
+        tok_slot[ti] = (uint32_t)idx;
+    }
+    /* group token positions by slot: prefix-sum starts, then a fill pass
+       in token order keeps each group's positions ascending */
+    positions = (uint32_t *)malloc((t.n ? t.n : 1) * sizeof(uint32_t));
+    slot_start = (uint32_t *)malloc(cap * sizeof(uint32_t));
+    slot_fill = (uint32_t *)calloc(cap, sizeof(uint32_t));
+    if (!positions || !slot_start || !slot_fill) goto nomem;
+    {
+        uint32_t acc = 0;
+        for (size_t idx = 0; idx < cap; idx++) {
+            slot_start[idx] = acc;
+            acc += tab[idx].count;
+        }
+    }
+    for (size_t ti = 0; ti < t.n; ti++) {
+        uint32_t sl = tok_slot[ti];
+        positions[slot_start[sl] + slot_fill[sl]++] = (uint32_t)(ti + 1);
+    }
+    scratch = (unsigned char *)malloc(t.n ? t.n * 5 : 1);
+    if (!scratch) goto nomem;
+    PyObject *d = PyDict_New();
+    if (!d) goto nomem;
+    for (size_t idx = 0; idx < cap && nuniq; idx++) {
+        if (tab[idx].count == 0) continue;
+        nuniq--;
+        uint32_t cnt = tab[idx].count;
+        const uint32_t *pos = positions + slot_start[idx];
+        size_t blen = 0;
+        uint32_t prev = 0;
+        for (uint32_t k = 0; k < cnt; k++) {
+            uint32_t v = pos[k] - prev;
+            prev = pos[k];
+            while (v >= 0x80) {
+                scratch[blen++] = (unsigned char)(v | 0x80);
+                v >>= 7;
+            }
+            scratch[blen++] = (unsigned char)v;
+        }
+        PyObject *k = PyUnicode_FromStringAndSize(
+            t.arena.buf + tab[idx].off, tab[idx].len);
+        PyObject *v = k ? Py_BuildValue(
+            "(Iy#)", cnt, (const char *)scratch, (Py_ssize_t)blen) : NULL;
+        if (!k || !v || PyDict_SetItem(d, k, v) < 0) {
+            Py_XDECREF(k); Py_XDECREF(v); Py_DECREF(d);
+            goto nomem;
+        }
+        Py_DECREF(k); Py_DECREF(v);
+    }
+    free(scratch); free(slot_fill); free(slot_start);
+    free(positions); free(tok_slot); free(tab);
+    free(t.refs); free(t.arena.buf);
+    return d;
+nomem:
+    free(scratch); free(slot_fill); free(slot_start);
+    free(positions); free(tok_slot); free(tab);
+    free(t.refs); free(t.arena.buf);
+    if (!PyErr_Occurred()) PyErr_NoMemory();
+    return NULL;
+}
+
 static PyObject *tokenize_ascii(PyObject *self, PyObject *args) {
     const char *s; Py_ssize_t n; Py_ssize_t max_bytes = 64;
     if (!PyArg_ParseTuple(args, "s#|n", &s, &n, &max_bytes)) return NULL;
@@ -398,6 +502,9 @@ static PyMethodDef Methods[] = {
      "shingle_hashes64(text, w=3) -> bytes of little-endian uint64 hashes"},
     {"count_ascii_terms", count_ascii_terms, METH_VARARGS,
      "count_ascii_terms(text, max_term_bytes=64) -> dict[term, wdf]"},
+    {"count_ascii_terms_positions", count_ascii_terms_positions, METH_VARARGS,
+     "count_ascii_terms_positions(text, max_term_bytes=64) -> "
+     "dict[term, (wdf, varint position payload)]"},
     {"tokenize_ascii", tokenize_ascii, METH_VARARGS,
      "tokenize_ascii(text, max_term_bytes=64) -> list[str]"},
     {NULL, NULL, 0, NULL}};

@@ -170,6 +170,55 @@ def fast_term_counts(text: str, stemmer=None, max_term_bytes: int = 64):
     return term_counts(tokenize(text, max_term_bytes), stemmer=stemmer)
 
 
+def fast_positional_counts(text: str, stemmer=None,
+                           max_term_bytes: int = 64):
+    """Positional analog of :func:`fast_term_counts`: returns
+    ``(term -> wdf incl. Z-stems, term -> (npos, varint position payload))``
+    for one document, with tokenize + count + position packing fused in C
+    for pure-ASCII text (byte-identical to the Python fallback; positions
+    are 1-based token indices delta-packed [first, gap, ...],
+    termgenerator_internal.cc:269-277). Z-stems carry wdf only — STEM_SOME
+    adds stems as non-positional postings."""
+    if text.isascii():
+        ct = _load_ctok()
+        if ct is not None and hasattr(ct, "count_ascii_terms_positions"):
+            cp = ct.count_ascii_terms_positions(text, max_term_bytes)
+            counts = {t: v[0] for t, v in cp.items()}
+            if stemmer is not None:
+                zget = counts.get
+                zadd: dict = {}
+                for term, n in counts.items():
+                    if "a" <= term[0] <= "z":
+                        k = "Z" + stemmer(term)
+                        zadd[k] = zadd.get(k, 0) + n
+                for k, n in zadd.items():
+                    counts[k] = zget(k, 0) + n
+            return counts, cp
+    toks = tokenize(text, max_term_bytes)
+    return term_counts(toks, stemmer=stemmer), position_payloads(toks)
+
+
+def position_payloads(tokens: list[str]) -> dict:
+    """(term -> (npos, varint position payload)) from a token stream:
+    1-based positions delta-packed [first, gap, ...] — the pure-Python
+    equivalent of the C fused path's payloads (byte-identical)."""
+    from ..index.codec import encode_varints
+    import numpy as np
+
+    pos_map: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        pos_map.setdefault(t, []).append(i + 1)
+    pos_of: dict = {}
+    for t, plist in pos_map.items():
+        orig = np.asarray(plist, np.uint64)
+        deltas = np.empty_like(orig)
+        deltas[0] = orig[0]
+        deltas[1:] = orig[1:] - orig[:-1]
+        payload, _ = encode_varints(deltas)
+        pos_of[t] = (len(plist), payload.tobytes())
+    return pos_of
+
+
 def term_counts(tokens: list[str], stemmer=None) -> Counter:
     """(term -> wdf) map for one document, STEM_SOME style: every unstemmed
     token counts 1, and each stemmable token also adds 1 to its ``Z``-prefixed

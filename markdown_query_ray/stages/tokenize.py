@@ -24,8 +24,10 @@ import pyarrow as pa
 from ..config import IndexConfig
 from ..functions.snowball import CachingStemmer
 from ..functions.xapian_tokenizer import (
+    fast_positional_counts,
     fast_term_counts,
     fast_tokenize,
+    position_payloads,
     simple_tokenize,
     term_counts,
 )
@@ -58,11 +60,20 @@ class TokenizeStage:
         urls = batch.column("url").to_pylist()
         langs = batch.column("lang").to_pylist() \
             if "lang" in batch.column_names else None
-        for row_i, text in enumerate(batch.column("text").to_pylist()):
+        texts = batch.column("text").to_pylist()
+        for row_i, text in enumerate(texts):
             text = text or ""
-            if with_pos or not self.xapian_mode:
-                toks = self.tokenize(text, max_bytes)
-                counts = term_counts(toks, stemmer=self.stemmer)
+            if with_pos:
+                if self.xapian_mode:
+                    counts, pos_of = fast_positional_counts(
+                        text, stemmer=self.stemmer, max_term_bytes=max_bytes)
+                else:
+                    toks = self.tokenize(text, max_bytes)
+                    counts = term_counts(toks, stemmer=self.stemmer)
+                    pos_of = position_payloads(toks)
+            elif not self.xapian_mode:
+                counts = term_counts(self.tokenize(text, max_bytes),
+                                     stemmer=self.stemmer)
             else:
                 counts = fast_term_counts(
                     text, stemmer=self.stemmer, max_term_bytes=max_bytes)
@@ -79,12 +90,10 @@ class TokenizeStage:
             tfs_col.append([c for _, c in items])
             doclens.append(doclen)
             if with_pos:
-                pos_map: dict[str, list[int]] = {}
-                for i, t in enumerate(toks):
-                    pos_map.setdefault(t, []).append(i + 1)
-                np_, po_ = pack_position_payloads(items, pos_map)
-                npos_col.append(np_)
-                poss_col.append(po_)
+                npos_col.append([pos_of[t][0] if t in pos_of else 0
+                                 for t, _ in items])
+                poss_col.append([pos_of[t][1] if t in pos_of else b""
+                                 for t, _ in items])
         cols = {
             "doc_id": batch.column("doc_id"),
             "url": batch.column("url"),

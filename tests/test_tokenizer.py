@@ -194,6 +194,50 @@ def test_fast_wrappers_dispatch_and_match():
 
 
 @needs_ctok
+def test_ctok_positions_fuzz_parity():
+    """count_ascii_terms_positions (fused C) is byte-identical to the
+    Python path (term_counts + position_payloads) — counts AND varint
+    position payloads."""
+    import random
+    import string
+
+    from markdown_query_ray.functions.xapian_tokenizer import (
+        position_payloads,
+    )
+
+    rng = random.Random(0x905)
+    alpha = string.ascii_letters + string.digits + "_.'&+#,; \t\n" + '"-:/()'
+    cases = [""] + ["".join(rng.choice(alpha)
+                            for _ in range(rng.randint(0, 80)))
+                    for _ in range(2000)]
+    for s in cases:
+        cp = _ct.count_ascii_terms_positions(s, 64)
+        toks = tokenize(s)
+        assert {t: v[0] for t, v in cp.items()} == dict(term_counts(toks)), \
+            repr(s)
+        assert dict(cp) == position_payloads(toks), repr(s)
+
+
+def test_fast_positional_counts_dispatch():
+    """The stage-facing wrapper: C path for ASCII, Python path otherwise,
+    identical results, and Z-stems carry wdf but no positions."""
+    from markdown_query_ray.functions.xapian_tokenizer import (
+        fast_positional_counts,
+        position_payloads,
+    )
+
+    stem = CachingStemmer()
+    for text in ["the merges merging mergers 1,000 c++",
+                 "naïve café the naïve"]:
+        counts, pos_of = fast_positional_counts(text, stemmer=stem)
+        toks = tokenize(text)
+        assert counts == dict(term_counts(toks, stemmer=stem))
+        assert dict(pos_of) == position_payloads(toks)
+        for z in [t for t in counts if t.startswith("Z")]:
+            assert z not in pos_of
+
+
+@needs_ctok
 def test_fnv1a64_offsets_matches_python():
     import numpy as np
     import pyarrow as pa
