@@ -406,6 +406,29 @@ static PyObject *shingle_hashes64(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* Order-sensitive rolling document fingerprint over the space-split token
+ * stream (same split as shingle_hashes64): h starts at the FNV-1a64 offset
+ * basis and folds each token as h = (h ^ (fnv1a(token) + index)) * prime.
+ * Identical to pipelines/textstats.fingerprint_batch's Python fold. */
+static PyObject *rolling_fingerprint64(PyObject *self, PyObject *args) {
+    const char *s; Py_ssize_t n;
+    if (!PyArg_ParseTuple(args, "s#", &s, &n)) return NULL;
+    uint64_t h = 14695981039346656037ULL;
+    uint64_t idx = 0;
+    Py_ssize_t i = 0;
+    while (i < n) {
+        while (i < n && s[i] == ' ') i++;
+        Py_ssize_t st = i;
+        while (i < n && s[i] != ' ') i++;
+        if (i > st) {
+            uint64_t th = fnv1a(s + st, (uint32_t)(i - st));
+            h = (h ^ (th + idx)) * 1099511628211ULL;
+            idx++;
+        }
+    }
+    return PyLong_FromUnsignedLongLong(h);
+}
+
 /* FNV-1a64 of each string in an Arrow-layout string column: `offs` is the
  * (n+1)-long offsets vector (int32, or int64 when wide != 0) as raw bytes,
  * `data` the UTF-8 data buffer. Returns n little-endian uint64 hashes as
@@ -500,6 +523,8 @@ static PyMethodDef Methods[] = {
      "per-string 16 LE bytes (lo64, hi64)"},
     {"shingle_hashes64", shingle_hashes64, METH_VARARGS,
      "shingle_hashes64(text, w=3) -> bytes of little-endian uint64 hashes"},
+    {"rolling_fingerprint64", rolling_fingerprint64, METH_VARARGS,
+     "rolling_fingerprint64(text) -> int (order-sensitive doc fingerprint)"},
     {"count_ascii_terms", count_ascii_terms, METH_VARARGS,
      "count_ascii_terms(text, max_term_bytes=64) -> dict[term, wdf]"},
     {"count_ascii_terms_positions", count_ascii_terms_positions, METH_VARARGS,

@@ -29,10 +29,16 @@ def _tokens(text: str) -> list[str]:
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    counts = [len(_tokens(t)) for t in batch.column("text").to_pylist()]
+    """Whitespace token count, vectorized: tokens are maximal runs of
+    non-space chars (``text.split(" ")`` with empties dropped), counted by
+    one Arrow RE2 kernel pass over the column."""
+    import pyarrow.compute as pc
+
+    counts = pc.count_substring_regex(
+        pc.fill_null(batch.column("text"), ""), "[^ ]+")
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "n_tokens": pa.array(counts, pa.int64()),
+        "n_tokens": counts.cast(pa.int64()),
     })
 
 
@@ -43,21 +49,20 @@ BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 class BpeCountStage:
-    """Stateful map_batches body: the compiled pattern lives once per actor
-    (regex compilation of Unicode property classes is the setup cost)."""
-
-    def __init__(self):
-        import regex
-
-        self.pat = regex.compile(BPE_PATTERN)
+    """BPE-ish token counting via Arrow's RE2 kernel — one vectorized
+    ``count_substring_regex`` pass per batch, and the SAME regex engine
+    the DuckDB oracle uses (``regexp_extract_all`` is RE2 too), so Ray and
+    oracle agree by construction even on exotic whitespace where Python's
+    ``regex`` module and RE2 diverge (e.g. \\x0b in \\s classes)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        findall = self.pat.findall
-        counts = [len(findall(t or ""))
-                  for t in batch.column("text").to_pylist()]
+        import pyarrow.compute as pc
+
+        counts = pc.count_substring_regex(
+            pc.fill_null(batch.column("text"), ""), BPE_PATTERN)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_bpe_tokens": pa.array(counts, pa.int64()),
+            "n_bpe_tokens": counts.cast(pa.int64()),
         })
 
 
@@ -94,19 +99,29 @@ def term_df(ds, top_n: int | None = None):
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Integer quality features (stopword hits, token count, char count) —
     ratio computation left to the consumer so the columns stay exactly
-    SQL-comparable."""
-    stopset = set(STOPWORDS)
-    n_stop, n_tok, n_chars = [], [], []
-    for t in batch.column("text").to_pylist():
-        toks = _tokens(t)
-        n_tok.append(len(toks))
-        n_stop.append(sum(1 for w in toks if w in stopset))
-        n_chars.append(len(t or ""))
+    SQL-comparable. Fully vectorized: token counts via one RE2 kernel
+    pass; stopword hits (all occurrences, like the oracle's list_filter)
+    via split + flatten + is_in + per-parent bincount."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column("text"), "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    n_tok = pc.count_substring_regex(col, "[^ ]+")
+    parts = pc.split_pattern(col, " ")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    hit = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False)
+    n_stop = np.bincount(parent[hit], minlength=n) if len(parent) \
+        else np.zeros(n, np.int64)
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "n_tokens": pa.array(n_tok, pa.int64()),
-        "n_stopwords": pa.array(n_stop, pa.int64()),
-        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_tokens": n_tok.cast(pa.int64()),
+        "n_stopwords": pa.array(n_stop.astype(np.int64)),
+        "n_chars": pc.utf8_length(col).cast(pa.int64()),
     })
 
 
@@ -122,24 +137,49 @@ _LANG_PROFILES = {
 
 
 class LangIdStage:
-    """Actor-pool stage: profiles built once per actor."""
+    """Actor-pool stage: per-language profile-word table built once per
+    actor. Vectorized scoring: lowercase + split + flatten once per batch,
+    keep only profile words, dedupe (doc, word) pairs (hits count DISTINCT
+    words), then one bincount per language; prediction is the
+    lexicographically-first language with the strictly-highest hit count,
+    'und' when nothing matches."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = sorted(_LANG_PROFILES)
+        uniq = sorted({w for p in _LANG_PROFILES.values() for w in p})
+        self.words = pa.array(uniq, pa.string())
+        self.word_index = {w: i for i, w in enumerate(uniq)}
+        # a profile word may belong to several languages ("la": fr AND es)
+        self.owners = np.zeros((len(uniq), len(self.langs)), np.int64)
+        for li, lang in enumerate(self.langs):
+            for w in _LANG_PROFILES[lang]:
+                self.owners[self.word_index[w], li] = 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch.column("text").to_pylist():
-            toks = set(_tokens((t or "").lower()))
-            best, best_hits = "und", 0
-            for lang in sorted(self.profiles):
-                hits = len(toks & self.profiles[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
+        import pyarrow.compute as pc
+
+        col = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        parts = pc.split_pattern(col, " ")
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        keep = pc.is_in(flat, value_set=self.words).to_numpy(
+            zero_copy_only=False)
+        hits = np.zeros((n, len(self.langs)), np.int64)
+        if keep.any():
+            kept_parent = parent[keep]
+            kept_words = pc.filter(flat, pa.array(keep)).to_pylist()
+            wid = np.array([self.word_index[w] for w in kept_words], np.int64)
+            pairs = np.unique(np.stack([kept_parent, wid], axis=1), axis=0)
+            np.add.at(hits, pairs[:, 0], self.owners[pairs[:, 1]])
+        best = hits.argmax(axis=1)  # first max in sorted-lang order
+        langs_arr = np.array(self.langs, object)
+        preds = np.where(hits.max(axis=1) > 0, langs_arr[best], "und")
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "lang_pred": pa.array(preds, pa.string()),
+            "lang_pred": pa.array(preds.tolist(), pa.string()),
         })
 
 
@@ -152,13 +192,25 @@ from ..functions.hashing import fnv1a_bytes  # canonical definition (re-export)
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Order-sensitive rolling document fingerprint: FNV-1a over the token
-    stream with position mixing."""
+    stream with position mixing. C fast path (one call per doc, no
+    per-token Python); identical pure-Python fold as fallback."""
+    from ..functions.ctok import load as _load_ctok
+
+    ct = _load_ctok()
+    fp_c = getattr(ct, "rolling_fingerprint64", None) if ct else None
     fps = []
     for t in batch.column("text").to_pylist():
+        t = t or ""
+        if fp_c is not None:
+            fps.append(fp_c(t))
+            continue
         h = 0xcbf29ce484222325
         for i, tok in enumerate(_tokens(t)):
             th = fnv1a_bytes(tok.encode("utf-8"))
-            h = ((h ^ (th + i)) * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+            # (th + i) wraps mod 2^64 — keeps the fold identical to the
+            # C kernel's native uint64 arithmetic
+            h = ((h ^ ((th + i) & 0xFFFFFFFFFFFFFFFF))
+                 * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
         fps.append(h)
     return pa.table({
         "doc_id": batch.column("doc_id"),
