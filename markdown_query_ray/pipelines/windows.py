@@ -82,18 +82,50 @@ def hopping_counts(ds, size_minutes: int = 60, hop_minutes: int = 30):
         Sum("sum_part", alias_name="sum_value"))
 
 
-def sessionize(ds, gap_minutes: int = 30):
+def sessionize(ds, gap_minutes: int = 30, buckets: int = 64):
     """Per-user session assignment: a new session starts when the gap from
     the previous event exceeds ``gap_minutes``. Returns
     (event_id, user_id, session_id) where session_id numbers a user's
     sessions from 1 in ts order — expressible in SQL as a windowed cumulative
-    sum over a lag comparison (the oracle)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    sum over a lag comparison (the oracle).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["session_id"] = new.cumsum().astype("int64")
-        return g[["event_id", "user_id", "session_id"]]
+    Shape: the shuffle key is a HASH BUCKET of user_id, not user_id itself
+    — ``groupby(user_id).map_groups`` pays one Python call per user, which
+    collapses at millions of users. Each bucket frame sessionizes ALL its
+    users in one vectorized pass (sort by user/ts, gap-or-user-change flag,
+    per-user cumsum). Same per-user semantics; only the group granularity
+    changes."""
+    gap_us = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        # multiply-shift over the int64 id: deterministic, spreads
+        # consecutive ids across buckets
+        with np.errstate(over="ignore"):
+            h = uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "bucket", pa.array((h >> np.uint64(40)).astype(np.int64)
+                               % buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        new = np.ones(len(g), bool)
+        if len(g) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        # per-user session numbering: global cumsum minus the user's offset
+        csum = np.cumsum(new)
+        user_change = np.zeros(len(g), bool)
+        user_change[0] = True
+        if len(g) > 1:
+            user_change[1:] = uid[1:] != uid[:-1]
+        base = np.zeros(len(g), np.int64)
+        base[user_change] = csum[user_change] - 1
+        np.maximum.accumulate(base, out=base)
+        out = g[["event_id", "user_id"]].copy()
+        out["session_id"] = (csum - base).astype("int64")
+        return out
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
