@@ -238,13 +238,27 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
     cand_pd = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     cand_pd = cand_pd.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
-    needset = set(cand_pd["doc_a"]) | set(cand_pd["doc_b"])
+    # fetch candidate texts DISTRIBUTIVELY: broadcast the (small) needed-id
+    # set once via ray.put, filter inside map_batches so the corpus scan
+    # stays on the workers and only candidate rows reach the driver
+    import ray
+
+    need_ref = ray.put(
+        np.unique(np.concatenate([cand_pd["doc_a"].to_numpy(np.int64),
+                                  cand_pd["doc_b"].to_numpy(np.int64)]))
+        if len(cand_pd) else np.empty(0, np.int64))
+
+    def _keep_needed(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        mask = np.isin(batch.column("doc_id").to_numpy().astype(np.int64),
+                       need)
+        return batch.select(["doc_id", "text"]).filter(pa.array(mask))
+
     texts = {}
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for d, t in zip(b.column("doc_id").to_pylist(),
-                        b.column("text").to_pylist()):
-            if d in needset:
-                texts[d] = t
+    for b in ds.map_batches(_keep_needed, batch_format="pyarrow") \
+            .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        texts.update(zip(b.column("doc_id").to_pylist(),
+                         b.column("text").to_pylist()))
     out_a, out_b, out_j = [], [], []
     for da, db in zip(cand_pd["doc_a"], cand_pd["doc_b"]):
         j = jaccard(texts.get(da, ""), texts.get(db, ""), w)
@@ -296,53 +310,96 @@ class SimHashStage:
         })
 
 
+def _simhash_band_explode(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) -> one row per 16-bit band slice:
+    (bucket, band, seg, doc_id, simhash). ``bucket`` coarsens (band, seg)
+    by FNV to ~_LSH_BUCKETS shuffle groups — same trick as the MinHash
+    band groupby — so the wide step moves 4 x ~26 bytes per doc, never the
+    text, and lands in a handful of vectorized group calls."""
+    n = batch.num_rows
+    sh = batch.column("simhash").to_numpy().astype(np.uint64)
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    band = np.tile(np.arange(4, dtype=np.uint64), n)
+    seg = (np.repeat(sh, 4) >> (band * np.uint64(16))) & np.uint64(0xFFFF)
+    bh = _fnv1a_u64_rows(np.stack([band, seg], axis=1))
+    return pa.table({
+        "bucket": pa.array((bh % np.uint64(_LSH_BUCKETS)).astype(np.int32)),
+        "band": pa.array(band.astype(np.int32)),
+        "seg": pa.array(seg),
+        "doc_id": pa.array(np.repeat(ids, 4)),
+        "simhash": pa.array(np.repeat(sh, 4)),
+    })
+
+
+def _simhash_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
+    """Same-(band, seg) pairs within one coarse bucket, Hamming-verified
+    in place (signatures ride the shuffle, so no second corpus pass):
+    one lexsort + segment scan; only colliding segments expand."""
+    band = group.column("band").to_numpy()
+    seg = group.column("seg").to_numpy()
+    ids = group.column("doc_id").to_numpy()
+    sh = group.column("simhash").to_numpy().astype(np.uint64)
+    order = np.lexsort((ids, seg, band))
+    band_s, seg_s, ids_s, sh_s = band[order], seg[order], ids[order], sh[order]
+    n = len(ids_s)
+    change = np.ones(n, bool)
+    change[1:] = (band_s[1:] != band_s[:-1]) | (seg_s[1:] != seg_s[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    pa_, pb_, ha_ = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        ii, jj = np.triu_indices(e - s, k=1)
+        xor = sh_s[s:e][ii] ^ sh_s[s:e][jj]
+        ham = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        pa_.append(ids_s[s:e][ii[keep]])
+        pb_.append(ids_s[s:e][jj[keep]])
+        ha_.append(ham[keep])
+    cat = (lambda xs, dt: np.concatenate(xs).astype(dt) if xs
+           else np.empty(0, dt))
+    return pa.table({
+        "doc_a": pa.array(cat(pa_, np.int64), pa.int64()),
+        "doc_b": pa.array(cat(pb_, np.int64), pa.int64()),
+        "hamming": pa.array(cat(ha_, np.int64), pa.int64()),
+    })
+
+
 def simhash_pairs(ds, max_hamming: int = 3):
     """Candidate near-dup pairs by 4x16-bit band blocking on SimHash, verified
-    by Hamming distance <= max_hamming. Returns (doc_a, doc_b, hamming)."""
+    by Hamming distance <= max_hamming. Returns (doc_a, doc_b, hamming).
+
+    Scale shape: signature -> band-explode -> coarse-bucket ``groupby``
+    (the only shuffle; ~104 bytes/doc) -> per-group pair scan with the
+    Hamming verify INSIDE the group (signatures travel with the rows).
+    Only verified pairs — orders of magnitude smaller than the corpus —
+    reach the driver, where duplicates across bands are dropped."""
     sigs = ds.map_batches(SimHashStage, batch_format="pyarrow",
                           concurrency=2)
-    pdf = sigs.to_pandas()
-    ids = pdf["doc_id"].to_numpy().astype(np.int64)
-    sh = pdf["simhash"].to_numpy().astype(np.uint64)
-    # band blocking: equal 16-bit slice => candidate. One sort + segment
-    # expansion per band, all numpy; only genuinely colliding segments
-    # produce pair rows (dedup'd across bands at the end).
-    pair_a: list[np.ndarray] = []
-    pair_b: list[np.ndarray] = []
-    for b in range(4):
-        seg = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-        order = np.lexsort((ids, seg))
-        seg_s, ids_s = seg[order], ids[order]
-        n = len(seg_s)
-        change = np.ones(n, bool)
-        change[1:] = seg_s[1:] != seg_s[:-1]
-        starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], n)
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            grp = ids_s[s:e]
-            ii, jj = np.triu_indices(len(grp), k=1)
-            pair_a.append(grp[ii])
-            pair_b.append(grp[jj])
-    if not pair_a:
-        return pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "hamming": pa.array([], pa.int64()),
-        })
-    a = np.concatenate(pair_a)
-    b = np.concatenate(pair_b)
+    bands = sigs.map_batches(_simhash_band_explode, batch_format="pyarrow")
+    pairs = bands.groupby("bucket").map_groups(
+        partial(_simhash_bucket_pairs, max_hamming=max_hamming),
+        batch_format="pyarrow")
+    chunks = list(pairs.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"))
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "hamming": pa.array([], pa.int64()),
+    })
+    t = pa.concat_tables(chunks) if chunks else empty
+    a = t.column("doc_a").to_numpy()
+    b = t.column("doc_b").to_numpy()
+    h = t.column("hamming").to_numpy()
+    if not len(a):
+        return empty
     lo, hi = np.minimum(a, b), np.maximum(a, b)
-    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
-    sig_of = dict(zip(ids.tolist(), sh.tolist()))
-    xor = np.array([sig_of[int(x)] for x in uniq[:, 0]], np.uint64) ^ \
-        np.array([sig_of[int(x)] for x in uniq[:, 1]], np.uint64)
-    ham = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
-                        axis=1).sum(axis=1).astype(np.int64)
-    keep = ham <= max_hamming
+    uniq, first = np.unique(np.stack([lo, hi], axis=1), axis=0,
+                            return_index=True)
     return pa.table({
-        "doc_a": pa.array(uniq[keep, 0], pa.int64()),
-        "doc_b": pa.array(uniq[keep, 1], pa.int64()),
-        "hamming": pa.array(ham[keep], pa.int64()),
+        "doc_a": pa.array(uniq[:, 0], pa.int64()),
+        "doc_b": pa.array(uniq[:, 1], pa.int64()),
+        "hamming": pa.array(h[first], pa.int64()),
     })

@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import pyarrow as pa
 
@@ -74,6 +76,67 @@ class _BruteForceScore:
         })
 
 
+def _partial_topk_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Per-query top-k WITHIN one batch of (query_idx, vec_id, sim) partials
+    — the tree-reduce combiner. Vectorized: one lexsort groups by query and
+    orders by (sim desc, vec_id asc), then each query segment's first k rows
+    are kept."""
+    if batch.num_rows == 0:
+        return batch
+    q = batch.column("query_idx").to_numpy()
+    v = batch.column("vec_id").to_numpy()
+    s = batch.column("sim").to_numpy()
+    order = np.lexsort((v, -s, q))
+    q_s = q[order]
+    seg_start = np.ones(len(q_s), bool)
+    seg_start[1:] = q_s[1:] != q_s[:-1]
+    # rank within each query segment = position - segment start position
+    pos = np.arange(len(q_s))
+    rank_in_seg = pos - np.maximum.accumulate(np.where(seg_start, pos, 0))
+    keep = order[rank_in_seg < k]
+    return batch.take(pa.array(np.sort(keep)))
+
+
+def _merge_topk_partials(partials, k: int) -> pa.Table:
+    """(query_idx, vec_id, sim) partials -> final per-query top-k table
+    (query_idx, rank, vec_id, sim), ties broken by vec_id asc.
+
+    Scale shape: one shuffle-free tree-reduce level (``map_batches`` with a
+    large batch_size coalesces many per-task partial blocks and re-applies
+    the per-query top-k, shrinking the stream ~batch/(q*k)-fold), then the
+    driver folds the remainder through the same combiner while STREAMING
+    ``iter_batches`` — never a full ``to_pandas`` of the partials."""
+    reduced = partials.map_batches(partial(_partial_topk_batch, k=k),
+                                   batch_format="pyarrow", batch_size=65536)
+    acc: pa.Table | None = None
+    for b in reduced.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        acc = b if acc is None else _partial_topk_batch(
+            pa.concat_tables([acc, b]), k)
+    if acc is None or acc.num_rows == 0:
+        return pa.table({
+            "query_idx": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        })
+    q = acc.column("query_idx").to_numpy()
+    v = acc.column("vec_id").to_numpy()
+    s = acc.column("sim").to_numpy()
+    order = np.lexsort((v, -s, q))
+    q_s = q[order]
+    pos = np.arange(len(q_s))
+    seg_start = np.ones(len(q_s), bool)
+    seg_start[1:] = q_s[1:] != q_s[:-1]
+    rank = pos - np.maximum.accumulate(np.where(seg_start, pos, 0))
+    sel = rank < k
+    return pa.table({
+        "query_idx": pa.array(q_s[sel], pa.int64()),
+        "rank": pa.array(rank[sel] + 1, pa.int64()),
+        "vec_id": pa.array(v[order][sel], pa.int64()),
+        "sim": pa.array(s[order][sel], pa.float64()),
+    })
+
+
 def knn_bruteforce(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
     """Exact cosine top-k for each query row. Returns
     (query_idx, rank, vec_id, sim) with ties broken by vec_id asc."""
@@ -82,22 +145,7 @@ def knn_bruteforce(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
     qref = ray.put(np.asarray(queries, np.float64))
     partials = ds.map_batches(_BruteForceScore(qref, k),
                               batch_format="pyarrow", batch_size=8192)
-    pdf = partials.to_pandas()
-    out_q, out_r, out_v, out_s = [], [], [], []
-    for qi, grp in pdf.groupby("query_idx"):
-        grp = grp.sort_values(["sim", "vec_id"],
-                              ascending=[False, True]).head(k)
-        for r, (_, row) in enumerate(grp.iterrows(), start=1):
-            out_q.append(int(qi))
-            out_r.append(r)
-            out_v.append(int(row["vec_id"]))
-            out_s.append(float(row["sim"]))
-    return pa.table({
-        "query_idx": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_r, pa.int64()),
-        "vec_id": pa.array(out_v, pa.int64()),
-        "sim": pa.array(out_s, pa.float64()),
-    })
+    return _merge_topk_partials(partials, k)
 
 
 class LshBucketStage:
@@ -138,58 +186,94 @@ class LshBucketStage:
         })
 
 
+class _LshCandidateScore:
+    """Distributed LSH candidate+rerank stage: each task recreates the plane
+    set from the seed (cheap, deterministic), signatures its OWN batch,
+    matches against the broadcast per-query probe-bucket lookup, and exactly
+    scores only the matched (query, vector) pairs — emitting per-batch
+    per-query top-k partials. ONE streaming pass over the corpus; neither
+    the bucket table nor the embeddings ever materialize on the driver."""
+
+    def __init__(self, dim: int, n_planes: int, n_tables: int, seed: int,
+                 queries_ref, member_ref, k: int):
+        self.stage = LshBucketStage(dim, n_planes, n_tables, seed)
+        self.queries_ref = queries_ref
+        self.member_ref = member_ref
+        self.k = k
+        self._queries = self._member = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._queries is None:
+            self._queries = ray.get(self.queries_ref)
+            self._member = ray.get(self.member_ref)
+        mat = _to_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q: list[np.ndarray] = []
+        out_v: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        if len(mat):
+            sigs = self.stage.signatures(mat)  # (n, n_tables)
+            # matched[qi, row] = any table where row's bucket is probed by qi
+            matched = np.zeros((len(self._queries), len(mat)), bool)
+            for t in range(sigs.shape[1]):
+                matched |= self._member[t][:, sigs[:, t]]
+            for qi in range(len(self._queries)):
+                rows = np.nonzero(matched[qi])[0]
+                if not len(rows):
+                    continue
+                sims = _cosine(self._queries[qi:qi + 1], mat[rows])[0]
+                kk = min(self.k, len(rows))
+                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(rows) \
+                    else np.arange(len(rows))
+                order = idx[np.lexsort((vec_ids[rows][idx], -sims[idx]))]
+                out_q.append(np.full(len(order), qi, np.int64))
+                out_v.append(vec_ids[rows][order].astype(np.int64))
+                out_s.append(sims[order])
+        cat = (lambda xs, dt: np.concatenate(xs) if xs
+               else np.empty(0, dt))
+        return pa.table({
+            "query_idx": pa.array(cat(out_q, np.int64), pa.int64()),
+            "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
+            "sim": pa.array(cat(out_s, np.float64), pa.float64()),
+        })
+
+
 def lsh_ann(ds, queries: np.ndarray, k: int = 10, n_planes: int = 5,
             n_tables: int = 12, seed: int = 11,
             multiprobe: int = 0) -> pa.Table:
     """ANN via multi-table hyperplane LSH: candidates = union over tables of
     the query's bucket (plus Hamming-``multiprobe`` neighbor buckets),
-    exact cosine rerank. Returns (query_idx, rank, vec_id, sim)."""
+    exact cosine rerank. Returns (query_idx, rank, vec_id, sim).
+
+    Scale shape: the per-query probe buckets are a tiny
+    (n_tables, n_queries, 2^n_planes) boolean lookup broadcast once via
+    ``ray.put``; candidate matching AND the exact rerank both run inside
+    ``map_batches`` (one pass over the corpus), then the standard top-k
+    partial merge. Nothing corpus-sized touches the driver."""
+    import ray
+
+    if n_planes > 16:
+        raise ValueError("probe lookup table needs n_planes <= 16")
+    queries = np.asarray(queries, np.float64)
     dim = queries.shape[1]
     stage = LshBucketStage(dim, n_planes, n_tables, seed)
-    buckets = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
-    qsigs = stage.signatures(np.asarray(queries, np.float64))
-
-    def probes(sig: int):
-        yield sig
-        for j in range(n_planes if multiprobe >= 1 else 0):
-            yield sig ^ (1 << j)
-
-    by_tb = buckets.groupby(["table", "bucket"])["vec_id"] \
-        .apply(list).to_dict()
-    cand_of = []
-    need = set()
-    for qi in range(len(queries)):
-        cand = set()
+    qsigs = stage.signatures(queries)
+    nq = len(queries)
+    member = np.zeros((n_tables, nq, 1 << n_planes), bool)
+    for qi in range(nq):
         for t in range(n_tables):
-            for b in probes(int(qsigs[qi, t])):
-                cand.update(by_tb.get((t, b), ()))
-        cand_of.append(sorted(cand))
-        need.update(cand)
-    emb = {}
-    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        ids = b.column("vec_id").to_pylist()
-        mat = _to_matrix(b.column("embedding"))
-        for i, v in enumerate(ids):
-            if v in need:
-                emb[v] = mat[i]
-    out_q, out_r, out_v, out_s = [], [], [], []
-    for qi, cand in enumerate(cand_of):
-        if not cand:
-            continue
-        mat = np.stack([emb[v] for v in cand])
-        sims = _cosine(queries[qi:qi + 1], mat)[0]
-        order = np.lexsort((cand, -sims))[:k]
-        for r, oi in enumerate(order, start=1):
-            out_q.append(qi)
-            out_r.append(r)
-            out_v.append(int(cand[oi]))
-            out_s.append(float(sims[oi]))
-    return pa.table({
-        "query_idx": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_r, pa.int64()),
-        "vec_id": pa.array(out_v, pa.int64()),
-        "sim": pa.array(out_s, pa.float64()),
-    })
+            sig = int(qsigs[qi, t])
+            member[t, qi, sig] = True
+            if multiprobe >= 1:
+                for j in range(n_planes):
+                    member[t, qi, sig ^ (1 << j)] = True
+    partials = ds.map_batches(
+        _LshCandidateScore(dim, n_planes, n_tables, seed,
+                           ray.put(queries), ray.put(member), k),
+        batch_format="pyarrow", batch_size=8192)
+    return _merge_topk_partials(partials, k)
 
 
 class _NearDupStage:
@@ -261,49 +345,77 @@ def kmeans_lite(mat: np.ndarray, k: int, iters: int = 5,
     return centroids
 
 
+class _IvfProbeScore:
+    """Distributed IVF probe+rerank stage: each task assigns its batch's
+    vectors to the nearest broadcast centroid, keeps the (query, vector)
+    pairs whose list the query probes, scores them exactly, and emits
+    per-batch per-query top-k partials — ONE pass, nothing corpus-sized on
+    the driver."""
+
+    def __init__(self, centroids_ref, queries_ref, probe_ref, k: int):
+        self.centroids_ref = centroids_ref
+        self.queries_ref = queries_ref
+        self.probe_ref = probe_ref
+        self.k = k
+        self._c = self._q = self._probe = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._c is None:
+            self._c = ray.get(self.centroids_ref)
+            self._q = ray.get(self.queries_ref)
+            self._probe = ray.get(self.probe_ref)  # (nq, n_lists) bool
+        mat = _to_matrix(batch.column("embedding"))
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q: list[np.ndarray] = []
+        out_v: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        if len(mat):
+            d = ((mat[:, None, :] - self._c[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for qi in range(len(self._q)):
+                rows = np.nonzero(self._probe[qi][assign])[0]
+                if not len(rows):
+                    continue
+                sims = _cosine(self._q[qi:qi + 1], mat[rows])[0]
+                kk = min(self.k, len(rows))
+                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(rows) \
+                    else np.arange(len(rows))
+                order = idx[np.lexsort((vec_ids[rows][idx], -sims[idx]))]
+                out_q.append(np.full(len(order), qi, np.int64))
+                out_v.append(vec_ids[rows][order].astype(np.int64))
+                out_s.append(sims[order])
+        cat = (lambda xs, dt: np.concatenate(xs) if xs
+               else np.empty(0, dt))
+        return pa.table({
+            "query_idx": pa.array(cat(out_q, np.int64), pa.int64()),
+            "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
+            "sim": pa.array(cat(out_s, np.float64), pa.float64()),
+        })
+
+
 def ivf_ann(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
             nprobe: int = 4, seed: int = 13) -> pa.Table:
-    """IVF ANN: coarse k-means partition (trained on a driver-side sample),
-    probe the ``nprobe`` nearest lists, exact rerank within them."""
+    """IVF ANN: coarse k-means partition (trained on a driver-side sample —
+    the one deliberately small materialization), probe the ``nprobe``
+    nearest lists per query, exact rerank within them.
+
+    Scale shape: centroids + per-query probed-list mask broadcast via
+    ``ray.put``; assignment, probing and rerank all happen inside one
+    ``map_batches`` pass, then the standard top-k partial merge."""
+    import ray
+
     sample = ds.limit(2048).to_pandas()
     smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     centroids = kmeans_lite(smat, n_lists, seed=seed)
-
-    import ray
-
-    cref = ray.put(centroids)
-
-    def assign_batch(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
-        mat = _to_matrix(batch.column("embedding"))
-        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-        return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "list_id": pa.array(d.argmin(1), pa.int64()),
-            "embedding": batch.column("embedding"),
-        })
-
-    assigned = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
-    qd = ((np.asarray(queries)[:, None, :] - centroids[None, :, :]) ** 2
-          ).sum(-1)
-    out_q, out_r, out_v, out_s = [], [], [], []
+    queries = np.asarray(queries, np.float64)
+    qd = ((queries[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe = np.zeros((len(queries), len(centroids)), bool)
     for qi in range(len(queries)):
-        lists = np.argsort(qd[qi])[:nprobe]
-        cand = assigned[assigned["list_id"].isin(lists)]
-        if not len(cand):
-            continue
-        mat = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
-        sims = _cosine(queries[qi:qi + 1], mat)[0]
-        ids = cand["vec_id"].to_numpy()
-        order = np.lexsort((ids, -sims))[:k]
-        for r, oi in enumerate(order, start=1):
-            out_q.append(qi)
-            out_r.append(r)
-            out_v.append(int(ids[oi]))
-            out_s.append(float(sims[oi]))
-    return pa.table({
-        "query_idx": pa.array(out_q, pa.int64()),
-        "rank": pa.array(out_r, pa.int64()),
-        "vec_id": pa.array(out_v, pa.int64()),
-        "sim": pa.array(out_s, pa.float64()),
-    })
+        probe[qi, np.argsort(qd[qi])[:nprobe]] = True
+    partials = ds.map_batches(
+        _IvfProbeScore(ray.put(centroids), ray.put(queries),
+                       ray.put(probe), k),
+        batch_format="pyarrow", batch_size=8192)
+    return _merge_topk_partials(partials, k)
