@@ -377,7 +377,7 @@ def simhash_pairs(ds, max_hamming: int = 3):
     Only verified pairs — orders of magnitude smaller than the corpus —
     reach the driver, where duplicates across bands are dropped."""
     sigs = ds.map_batches(SimHashStage, batch_format="pyarrow",
-                          concurrency=2)
+                          concurrency=(1, 16))
     bands = sigs.map_batches(_simhash_band_explode, batch_format="pyarrow")
     pairs = bands.groupby("bucket").map_groups(
         partial(_simhash_bucket_pairs, max_hamming=max_hamming),

@@ -160,7 +160,7 @@ def bpe_token_counts(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     t = _collect(ds.map_batches(BpeCountStage, batch_format="pyarrow",
-                                concurrency=2))
+                                concurrency=(1, 16)))
     return t.sort_by("doc_id")
 
 
@@ -411,7 +411,7 @@ def langid_preds(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return _collect(ds.map_batches(LangIdStage, batch_format="pyarrow",
-                                   concurrency=2)).sort_by("doc_id")
+                                   concurrency=(1, 16))).sort_by("doc_id")
 
 
 def fingerprints(sf_dir: str) -> pa.Table:
@@ -452,7 +452,7 @@ def audio_chunk_feats(sf_dir: str) -> pa.Table:
 
     ds = ray.data.from_arrow(make_audio_table(100))
     t = _collect(ds.map_batches(AudioChunkStage, batch_format="pyarrow",
-                                batch_size=32, concurrency=2))
+                                batch_size=32, concurrency=(1, 16)))
     return t.sort_by([("media_id", "ascending"), ("chunk_idx", "ascending")])
 
 

@@ -120,7 +120,7 @@ class ResizeStage:
 def media_features(ds, batch_size: int = 64):
     """Full decode->features pipeline (actor pool, small batches)."""
     return ds.map_batches(MediaFeatureStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=2)
+                          batch_size=batch_size, concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
@@ -196,11 +196,12 @@ class FrameSampleStage:
 def video_frame_features(ds, n_samples: int = 4, batch_size: int = 32):
     """video -> sampled frames -> per-frame features: two actor-pool stages
     composed through the shared media schema."""
-    frames = ds.map_batches(FrameSampleStage(n_samples),
+    frames = ds.map_batches(FrameSampleStage,
+                            fn_constructor_args=(n_samples,),
                             batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=2)
+                            concurrency=(1, 8))
     return frames.map_batches(MediaFeatureStage, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=2)
+                              batch_size=batch_size, concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
