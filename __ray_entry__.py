@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- rows-only (non-SQL-expressible; driver records weaker check) ----
         "flagship_xapian_search": lambda sf: d.flagship_search(sf),
         "minhash_dedup_pairs": d.minhash_pairs,
+        "embedding_neardup_lsh": d.embedding_neardup_lsh,
         "simhash_pairs": d.simhash_near_pairs,
         "lsh_ann_top10": d.lsh_ann_topk,
         "ivf_ann_top10": d.ivf_ann_topk,

@@ -81,6 +81,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
 
 
 ROWS_ONLY = ["flagship_xapian_search", "minhash_dedup_pairs",
+             "embedding_neardup_lsh",
              "simhash_pairs", "lsh_ann_top10", "ivf_ann_top10", "langid",
              "doc_fingerprints", "multimodal_features",
              "video_frame_features", "audio_chunk_features"]

@@ -66,6 +66,30 @@ def test_bruteforce_self_retrieval(emb_ds, queries):
         assert r["sim"] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_lsh_neardup_recall_and_precision(emb_ds):
+    """The LSH-blocked near-dup scale path: every emitted pair must pass the
+    exact-cosine threshold (precision 1 by construction) and recall vs the
+    exhaustive baseline must clear the LSH collision bound's ballpark."""
+    from markdown_query_ray.pipelines.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    thr = 0.4
+    exact = {(r["vec_a"], r["vec_b"]): r["sim"]
+             for r in cosine_neardup_pairs(emb_ds, threshold=thr).to_pylist()}
+    approx = {(r["vec_a"], r["vec_b"]): r["sim"]
+              for r in cosine_neardup_pairs_lsh(
+                  emb_ds, threshold=thr, n_planes=4,
+                  n_tables=16).to_pylist()}
+    for pair, sim in approx.items():
+        assert pair in exact, f"false positive {pair}"
+        assert sim == pytest.approx(exact[pair], abs=1e-9)
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"LSH near-dup recall too low: {recall}"
+
+
 def test_minhash_candidates_are_true_near_dups(ray_session):
     """Every pair minhash emits passes the true n-gram Jaccard threshold
     (the verify step is built in), and the known planted duplicates at
