@@ -90,6 +90,59 @@ def test_lsh_neardup_recall_and_precision(emb_ds):
         assert recall >= 0.5, f"LSH near-dup recall too low: {recall}"
 
 
+def test_partial_topk_matches_naive():
+    """The tree-reduce combiner keeps exactly the per-query top-k by
+    (sim desc, vec_id asc) for arbitrary interleavings, including ties."""
+    import pyarrow as pa
+
+    from markdown_query_ray.pipelines.similarity import _partial_topk_batch
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    n, k = 500, 7
+    q = rng.integers(0, 5, n)
+    v = rng.integers(0, 60, n)
+    s = rng.integers(0, 9, n).astype(np.float64) / 4.0  # force ties
+    batch = pa.table({"query_idx": pa.array(q, pa.int64()),
+                      "vec_id": pa.array(v, pa.int64()),
+                      "sim": pa.array(s, pa.float64())})
+    out = _partial_topk_batch(batch, k)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["query_idx"], []).append((-r["sim"], r["vec_id"]))
+    for qi in np.unique(q):
+        rows = sorted((-s[i], v[i]) for i in np.nonzero(q == qi)[0])
+        assert sorted(got[qi]) == rows[:k], qi
+
+
+def test_merge_topk_partials_matches_naive(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from markdown_query_ray.pipelines.similarity import _merge_topk_partials
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n, k = 2000, 5
+    q = rng.integers(0, 4, n)
+    v = np.arange(n)  # unique ids
+    s = rng.random(n)
+    ds = ray.data.from_arrow(pa.table({
+        "query_idx": pa.array(q, pa.int64()),
+        "vec_id": pa.array(v, pa.int64()),
+        "sim": pa.array(s, pa.float64()),
+    })).repartition(8)
+    out = _merge_topk_partials(ds, k)
+    per_q = {}
+    for r in out.to_pylist():
+        per_q.setdefault(r["query_idx"], []).append(
+            (r["rank"], r["vec_id"], r["sim"]))
+    for qi in np.unique(q):
+        idx = np.nonzero(q == qi)[0]
+        naive = sorted(zip(-s[idx], v[idx]))[:k]
+        expect = [(r + 1, int(vid), -negs)
+                  for r, (negs, vid) in enumerate(naive)]
+        assert [(a, b, pytest.approx(c)) for a, b, c in per_q[qi]] == expect
+
+
 def test_minhash_candidates_are_true_near_dups(ray_session):
     """Every pair minhash emits passes the true n-gram Jaccard threshold
     (the verify step is built in), and the known planted duplicates at
