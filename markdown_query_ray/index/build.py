@@ -185,6 +185,19 @@ def _manifest_row(skey: int, path: str, n_blocks: int, n_postings: int,
     })
 
 
+def _clear_parquet_dir(d: str) -> None:
+    """Remove stale parquet output (incl. write tmp files) from an
+    incomplete multi-file write so a re-run starts clean."""
+    if not os.path.isdir(d):
+        return
+    for f in os.listdir(d):
+        if f.endswith(".parquet") or ".parquet.tmp" in f or ".tmp-" in f:
+            try:
+                os.remove(os.path.join(d, f))
+            except FileNotFoundError:
+                pass
+
+
 def _write_atomic(table: pa.Table, path: str, **kw) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp-{os.getpid()}"
@@ -277,6 +290,11 @@ def build_index(out_dir: str,
     # ---- stage 1: extract + tokenize -> staging checkpoint -----------------
     t0 = time.perf_counter()
     if not os.path.exists(tok_done):
+        # a crash mid-write leaves partial staging files with no _SUCCESS;
+        # the rewrite would ADD fresh files beside them (Ray names output
+        # files per run) and the reader would see duplicated docs — clear
+        # stale output before rewriting
+        _clear_parquet_dir(tok_dir)
         if dataset is None:
             ds = read_pages(sorted(paths), columns=["url", "html"])
         else:
@@ -392,6 +410,7 @@ def build_index(out_dir: str,
     ts_dir = os.path.join(out_dir, "term_stats")
     tsp_dir = os.path.join(out_dir, "term_stats_parts")
     t0 = time.perf_counter()
+    _clear_parquet_dir(ts_dir)  # always recomputed; drop any stale output
     partial_rows = sum(
         pq.ParquetFile(os.path.join(tsp_dir, f)).metadata.num_rows
         for f in os.listdir(tsp_dir) if f.endswith(".parquet"))

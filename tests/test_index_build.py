@@ -143,6 +143,30 @@ def test_parallelism_invariance(ray_session, pages_corpus, tmp_path,
         assert a[2].tolist() == b[2].tolist()
 
 
+def test_staging_partial_write_cleared(ray_session, pages_corpus, tmp_path):
+    """A crash mid-staging-write (parquet files present, no _SUCCESS) must
+    NOT double the corpus on re-run: the rebuild clears stale staging
+    output before re-tokenizing (Ray names output files per run, so a
+    plain rewrite would leave both generations in the directory)."""
+    import shutil
+
+    from markdown_query_ray.config import IndexConfig
+    from markdown_query_ray.index.build import build_index
+
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(num_term_parts=2, num_doc_buckets=1)
+    g1 = build_index(out, paths=pages_corpus, cfg=cfg)
+    # simulate the crash: staging files exist but the success marker and
+    # downstream outputs do not
+    os.remove(os.path.join(out, "tokenized", "_SUCCESS"))
+    shutil.rmtree(os.path.join(out, "postings"))
+    shutil.rmtree(os.path.join(out, "term_stats_parts"))
+    shutil.rmtree(os.path.join(out, "term_stats"))
+    g2 = build_index(out, paths=pages_corpus, cfg=cfg)
+    assert g2["n_docs"] == g1["n_docs"]
+    assert g2["total_doclen"] == g1["total_doclen"]
+
+
 def test_staging_checkpoint_resume(ray_session, pages_corpus, tmp_path):
     """The tokenized/ staging checkpoint survives a lost shuffle output:
     deleting the postings tree and rebuilding skips extract+tokenize
