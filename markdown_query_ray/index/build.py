@@ -205,6 +205,15 @@ def _write_atomic(table: pa.Table, path: str, **kw) -> None:
     os.replace(tmp, path)
 
 
+def _write_text_atomic(text: str, path: str) -> None:
+    """Crash-safe metadata write (tmp + rename): a torn global_stats /
+    manifest / segments file must never be observable."""
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
 def _stats_partial_from_blocks(blocks: pa.Table) -> pa.Table:
     """Exact per-term stats for one shuffle group, from its block metadata
     (the group holds ALL postings of its (term-part, doc-bucket) slice):
@@ -386,9 +395,9 @@ def build_index(out_dir: str,
         batch_format="pyarrow")
     man_table = pa.Table.from_pandas(manifest.to_pandas(), preserve_index=False)
     man_path = os.path.join(out_dir, "_manifest.jsonl")
-    with open(man_path, "w") as f:
-        for row in man_table.to_pylist():
-            f.write(json.dumps(row) + "\n")
+    _write_text_atomic(
+        "".join(json.dumps(row) + "\n" for row in man_table.to_pylist()),
+        man_path)
     _mark("merge_shuffle_encode", t0)
     # skew evidence: with doc-range salting no shuffle group should be much
     # larger than the mean even though stopword-grade terms hit 60%+ of docs
@@ -450,8 +459,16 @@ def build_index(out_dir: str,
     if gstats["n_docs"]:
         metrics["docs_per_sec"] = round(gstats["n_docs"] / metrics["total"], 2)
     gstats["stage_metrics"] = metrics
-    with open(os.path.join(out_dir, "global_stats.json"), "w") as f:
-        json.dump(gstats, f, indent=1)
-    with open(os.path.join(out_dir, "_metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
+    _write_text_atomic(json.dumps(gstats, indent=1),
+                       os.path.join(out_dir, "global_stats.json"))
+    _write_text_atomic(json.dumps(metrics, indent=1),
+                       os.path.join(out_dir, "_metrics.json"))
+    # initial segment registry: updates treat segments.json as the atomic
+    # commit point, and its embedded stats snapshot is what lets a crashed
+    # update re-run without double-counting — so it must exist (and hold
+    # the untainted base stats) BEFORE any update mutates global_stats.json
+    _write_text_atomic(
+        json.dumps({"segments": ["."], "next_doc_id": gstats["n_docs"],
+                    "next_gen": 1, "global_stats": gstats}, indent=1),
+        os.path.join(out_dir, "segments.json"))
     return gstats

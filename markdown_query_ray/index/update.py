@@ -39,7 +39,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..config import IndexConfig
-from .build import _write_atomic, build_index
+from .build import _write_atomic, _write_text_atomic, build_index
 
 
 def _segments_path(index_dir: str) -> str:
@@ -56,9 +56,13 @@ def load_segments(index_dir: str) -> dict:
     return {"segments": ["."], "next_doc_id": g["n_docs"], "next_gen": 1}
 
 
-def _live_url_ids(index_dir: str, segs: dict, urls: list[str]) -> pa.Table:
-    """(doc_id, url, doclen) of LIVE docs among ``urls`` across segments."""
-    ts = _tombstone_ids(index_dir)
+def _live_url_ids(index_dir: str, segs: dict, urls: list[str],
+                  exclude_gen: int | None = None) -> pa.Table:
+    """(doc_id, url, doclen) of LIVE docs among ``urls`` across segments.
+    ``exclude_gen`` ignores that generation's own tombstones — a re-run
+    after a crash mid-commit must recompute the SAME replaced set, not an
+    empty one (its first attempt's tombstones already cover the urls)."""
+    ts = _tombstone_ids(index_dir, exclude_gen=exclude_gen)
     tabs = []
     for seg in segs["segments"]:
         tok = os.path.join(index_dir, seg, "tokenized")
@@ -80,12 +84,17 @@ def _live_url_ids(index_dir: str, segs: dict, urls: list[str]) -> pa.Table:
     return out
 
 
-def _tombstone_ids(index_dir: str) -> np.ndarray:
+def _tombstone_ids(index_dir: str,
+                   exclude_gen: int | None = None) -> np.ndarray:
     d = os.path.join(index_dir, "tombstones")
     if not os.path.isdir(d):
         return np.empty(0, np.uint64)
+    skip = f"gen-{exclude_gen:04d}.parquet" if exclude_gen is not None \
+        else None
     ids = []
     for f in sorted(os.listdir(d)):
+        if f == skip:
+            continue
         if f.endswith(".parquet"):
             ids.append(pq.read_table(os.path.join(d, f))
                        .column("doc_id").to_numpy().astype(np.uint64))
@@ -136,13 +145,18 @@ def update_index(index_dir: str,
     old version (old doc_id tombstoned). Returns the updated global stats."""
     with open(os.path.join(index_dir, "global_stats.json")) as f:
         g = json.load(f)
+    segs = load_segments(index_dir)
+    # the stats snapshot inside segments.json is authoritative once updates
+    # exist: segments.json is the atomic commit point, so a crash between
+    # the global_stats.json write and the segments.json write must not let
+    # a re-run double-count the uncommitted segment
+    g = segs.get("global_stats", g)
     if cfg is None:
         cfg = IndexConfig(
             block_size=g["block_size"], num_term_parts=g["num_term_parts"],
             num_doc_buckets=g["num_doc_buckets"], tokenizer=g["tokenizer"],
             stem=g["stem"], positions=g.get("positions", False),
             docs_per_bucket=g.get("docs_per_bucket", 1 << 32))
-    segs = load_segments(index_dir)
     gen = segs["next_gen"]
     seg_rel = os.path.join("updates", f"gen-{gen:04d}")
     seg_dir = os.path.join(index_dir, seg_rel)
@@ -159,7 +173,7 @@ def update_index(index_dir: str,
     # ---- tombstone replaced urls + exact stat deltas -----------------------
     new_tok = pads.dataset(os.path.join(seg_dir, "tokenized"))
     new_urls = new_tok.to_table(columns=["url"]).column("url").to_pylist()
-    old = _live_url_ids(index_dir, segs, new_urls)
+    old = _live_url_ids(index_dir, segs, new_urls, exclude_gen=gen)
     old_ids = old.column("doc_id").to_numpy().astype(np.uint64)
     os.makedirs(os.path.join(index_dir, "tombstones"), exist_ok=True)
     _write_atomic(pa.table({"doc_id": pa.array(old_ids)}),
@@ -186,14 +200,14 @@ def update_index(index_dir: str,
         "wdf_ub_global": max(g.get("wdf_ub_global", 0),
                              gseg.get("wdf_ub_global", 0)),
     })
-    with open(os.path.join(index_dir, "global_stats.json"), "w") as f:
-        json.dump(g, f, indent=1)
+    _write_text_atomic(json.dumps(g, indent=1),
+                       os.path.join(index_dir, "global_stats.json"))
 
     segs["segments"].append(seg_rel)
     segs["next_doc_id"] = segs["next_doc_id"] + gseg["n_docs"]
     segs["next_gen"] = gen + 1
-    with open(_segments_path(index_dir), "w") as f:
-        json.dump(segs, f, indent=1)
+    segs["global_stats"] = g  # snapshot travels with the commit point
+    _write_text_atomic(json.dumps(segs, indent=1), _segments_path(index_dir))
     return g
 
 
@@ -220,12 +234,9 @@ def compact(index_dir: str, out_dir: str,
     tok_dirs = [d for d in tok_dirs if os.path.isdir(d)]
     ds = ray.data.read_parquet(tok_dirs, file_extensions=["parquet"])
     if len(ts):
-        ts_list = set(int(x) for x in ts)
-
         def drop_dead(batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").to_numpy().astype(np.uint64)
-            keep = np.array([int(i) not in ts_list for i in ids], bool)
-            return batch.filter(pa.array(keep))
+            return batch.filter(pa.array(~np.isin(ids, ts)))
 
         ds = ds.map_batches(drop_dead, batch_format="pyarrow")
     return build_index(out_dir, dataset=ds, cfg=cfg)

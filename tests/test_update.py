@@ -75,6 +75,43 @@ def test_update_adds_and_replaces(base_index, tmp_path):
     assert alpha_ids == (set(range(20)) - {3}) | {20}
 
 
+def test_update_crash_before_commit_is_idempotent(base_index, tmp_path):
+    """segments.json is the atomic commit point. Simulate a crash AFTER the
+    segment build / tombstones / global_stats.json write but BEFORE the
+    segments.json write, then re-run the same update: stats must not
+    double-count, replaced docs must stay dead, and results must equal a
+    clean single-run update."""
+    import json
+    import shutil
+
+    import ray.data
+
+    idx, rows = base_index
+    p = str(tmp_path / "upd.parquet")
+    _pages([("u3", "alpha delta replaced"), ("u100", "delta newcomer")],
+           p, base_id=20)
+
+    seg_path = os.path.join(idx, "segments.json")
+    pre_segments = (open(seg_path).read()
+                    if os.path.exists(seg_path) else None)
+    g = update_index(idx, dataset=ray.data.read_parquet(p))
+    # rewind ONLY the commit point — everything else (segment dir,
+    # tombstones, deltas, global_stats.json) is the crashed state
+    if pre_segments is None:
+        os.remove(seg_path)
+    else:
+        with open(seg_path, "w") as f:
+            f.write(pre_segments)
+
+    g2 = update_index(idx, dataset=ray.data.read_parquet(p))
+    assert g2["n_docs"] == g["n_docs"] == 21
+    assert g2["total_doclen"] == g["total_doclen"]
+    assert _search_ids(idx, "delta") == {20, 21}
+    gamma_ids = _search_ids(idx, "gamma")
+    assert 3 not in gamma_ids  # replaced doc must stay tombstoned
+    assert _search_ids(idx, "alpha") == (set(range(20)) - {3}) | {20}
+
+
 def test_update_exact_term_stats(base_index, tmp_path):
     import ray.data
 
