@@ -206,12 +206,21 @@ def _write_atomic(table: pa.Table, path: str, **kw) -> None:
 
 
 def _write_text_atomic(text: str, path: str) -> None:
-    """Crash-safe metadata write (tmp + rename): a torn global_stats /
-    manifest / segments file must never be observable."""
+    """Crash-safe metadata write (tmp + fsync + rename + dir fsync): a torn
+    global_stats / manifest / segments file must never be observable, even
+    across power loss — without the fsyncs the rename can hit disk before
+    the data blocks on some filesystems."""
     tmp = path + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _stats_partial_from_blocks(blocks: pa.Table) -> pa.Table:
@@ -349,14 +358,17 @@ def build_index(out_dir: str,
         if f.endswith(".parquet"))
 
     def doclen_partial(batch: pa.Table) -> pa.Table:
-        rows = {"n": [], "s": [], "lo": [], "hi": []}
+        rows = {"n": [], "s": [], "lo": [], "hi": [], "max_id": []}
         for p in batch.column("path").to_pylist():
-            a = pq.read_table(p, columns=["doclen"]).column("doclen")
+            t = pq.read_table(p, columns=["doclen", "doc_id"])
+            a = t.column("doclen")
             n = len(a)
             rows["n"].append(n)
             rows["s"].append(int(pc.sum(a).as_py() or 0))
             rows["lo"].append(int(pc.min(a).as_py()) if n else None)
             rows["hi"].append(int(pc.max(a).as_py()) if n else None)
+            rows["max_id"].append(
+                int(pc.max(t.column("doc_id")).as_py()) if n else None)
         return pa.table({k: pa.array(v, pa.int64())
                          for k, v in rows.items()})
 
@@ -367,6 +379,11 @@ def build_index(out_dir: str,
     total_doclen = sum(r["s"] for r in partials)
     los = [r["lo"] for r in partials if r["lo"] is not None]
     his = [r["hi"] for r in partials if r["hi"] is not None]
+    max_ids = [r["max_id"] for r in partials if r["max_id"] is not None]
+    # compacted indexes preserve doc_ids across tombstone holes, so the
+    # next free id is max(live id)+1, NOT n_docs — conflating the two would
+    # hand a later update an id that is already live
+    next_doc_id = (max(max_ids) + 1) if max_ids else 0
     gstats = {
         "n_docs": n_docs,
         "total_doclen": total_doclen,
@@ -468,7 +485,7 @@ def build_index(out_dir: str,
     # update re-run without double-counting — so it must exist (and hold
     # the untainted base stats) BEFORE any update mutates global_stats.json
     _write_text_atomic(
-        json.dumps({"segments": ["."], "next_doc_id": gstats["n_docs"],
+        json.dumps({"segments": ["."], "next_doc_id": next_doc_id,
                     "next_gen": 1, "global_stats": gstats}, indent=1),
         os.path.join(out_dir, "segments.json"))
     return gstats

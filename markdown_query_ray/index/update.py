@@ -157,9 +157,24 @@ def update_index(index_dir: str,
             num_doc_buckets=g["num_doc_buckets"], tokenizer=g["tokenizer"],
             stem=g["stem"], positions=g.get("positions", False),
             docs_per_bucket=g.get("docs_per_bucket", 1 << 32))
+    if not os.path.exists(_segments_path(index_dir)):
+        # legacy index without a registry: persist the synthesized one (with
+        # the still-untainted stats snapshot) BEFORE any mutation, so this
+        # update too gets the crash-idempotence the commit point provides
+        segs.setdefault("global_stats", g)
+        _write_text_atomic(json.dumps(segs, indent=1),
+                           _segments_path(index_dir))
     gen = segs["next_gen"]
     seg_rel = os.path.join("updates", f"gen-{gen:04d}")
     seg_dir = os.path.join(index_dir, seg_rel)
+    if os.path.isdir(seg_dir):
+        # an uncommitted generation dir from a crashed attempt may hold a
+        # staged build of DIFFERENT input; its checkpoints would silently
+        # short-circuit this run's build (and drop this run's docs), so
+        # clear it — correctness over resuming one in-flight update batch
+        import shutil
+
+        shutil.rmtree(seg_dir)
 
     # ---- build the delta segment as a complete mini-index ------------------
     import ray.data

@@ -26,6 +26,11 @@ import pyarrow as pa
 MERSENNE61 = (1 << 61) - 1
 
 
+def _cat(xs: list[np.ndarray], dtype) -> np.ndarray:
+    """Concatenate-or-empty for accumulated per-segment arrays."""
+    return np.concatenate(xs).astype(dtype) if xs else np.empty(0, dtype)
+
+
 def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """128-bit FNV-1a content key per row as (h_lo, h_hi) uint64 columns,
     hashed straight out of the Arrow string buffers (C kernel, no per-row
@@ -358,12 +363,10 @@ def _simhash_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
         pa_.append(ids_s[s:e][ii[keep]])
         pb_.append(ids_s[s:e][jj[keep]])
         ha_.append(ham[keep])
-    cat = (lambda xs, dt: np.concatenate(xs).astype(dt) if xs
-           else np.empty(0, dt))
     return pa.table({
-        "doc_a": pa.array(cat(pa_, np.int64), pa.int64()),
-        "doc_b": pa.array(cat(pb_, np.int64), pa.int64()),
-        "hamming": pa.array(cat(ha_, np.int64), pa.int64()),
+        "doc_a": pa.array(_cat(pa_, np.int64), pa.int64()),
+        "doc_b": pa.array(_cat(pb_, np.int64), pa.int64()),
+        "hamming": pa.array(_cat(ha_, np.int64), pa.int64()),
     })
 
 

@@ -22,6 +22,8 @@ from functools import partial
 import numpy as np
 import pyarrow as pa
 
+from .dedup import _cat
+
 
 def _to_matrix(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix (zero-copy-ish)."""
@@ -62,10 +64,10 @@ class _BruteForceScore:
         k = min(self.k, sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            # partial top-k within the batch (argpartition, then exact sort)
-            idx = np.argpartition(-row, k - 1)[:k] if k < len(row) \
-                else np.arange(len(row))
-            order = idx[np.lexsort((vec_ids[idx], -row[idx]))]
+            # full (sim desc, vec_id asc) sort before the cut: argpartition
+            # on sim alone would drop the wrong member of a tie that
+            # straddles k, permanently (each vector lives in ONE batch)
+            order = np.lexsort((vec_ids, -row))[:k]
             out_q.extend([qi] * len(order))
             out_v.extend(vec_ids[order].tolist())
             out_s.extend(row[order].tolist())
@@ -224,19 +226,15 @@ class _LshCandidateScore:
                 if not len(rows):
                     continue
                 sims = _cosine(self._queries[qi:qi + 1], mat[rows])[0]
-                kk = min(self.k, len(rows))
-                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(rows) \
-                    else np.arange(len(rows))
-                order = idx[np.lexsort((vec_ids[rows][idx], -sims[idx]))]
+                # full sort before the cut: ties at k must break vec_id-asc
+                order = np.lexsort((vec_ids[rows], -sims))[:self.k]
                 out_q.append(np.full(len(order), qi, np.int64))
                 out_v.append(vec_ids[rows][order].astype(np.int64))
                 out_s.append(sims[order])
-        cat = (lambda xs, dt: np.concatenate(xs) if xs
-               else np.empty(0, dt))
         return pa.table({
-            "query_idx": pa.array(cat(out_q, np.int64), pa.int64()),
-            "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
-            "sim": pa.array(cat(out_s, np.float64), pa.float64()),
+            "query_idx": pa.array(_cat(out_q, np.int64), pa.int64()),
+            "vec_id": pa.array(_cat(out_v, np.int64), pa.int64()),
+            "sim": pa.array(_cat(out_s, np.float64), pa.float64()),
         })
 
 
@@ -396,12 +394,10 @@ def _neardup_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
         pa_.append(ids_s[s:e][ii[keep]])
         pb_.append(ids_s[s:e][jj[keep]])
         ps_.append(sims[ii[keep], jj[keep]])
-    cat = (lambda xs, dt: np.concatenate(xs).astype(dt) if xs
-           else np.empty(0, dt))
     return pa.table({
-        "vec_a": pa.array(cat(pa_, np.int64), pa.int64()),
-        "vec_b": pa.array(cat(pb_, np.int64), pa.int64()),
-        "sim": pa.array(cat(ps_, np.float64), pa.float64()),
+        "vec_a": pa.array(_cat(pa_, np.int64), pa.int64()),
+        "vec_b": pa.array(_cat(pb_, np.int64), pa.int64()),
+        "sim": pa.array(_cat(ps_, np.float64), pa.float64()),
     })
 
 
@@ -505,19 +501,15 @@ class _IvfProbeScore:
                 if not len(rows):
                     continue
                 sims = _cosine(self._q[qi:qi + 1], mat[rows])[0]
-                kk = min(self.k, len(rows))
-                idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(rows) \
-                    else np.arange(len(rows))
-                order = idx[np.lexsort((vec_ids[rows][idx], -sims[idx]))]
+                # full sort before the cut: ties at k must break vec_id-asc
+                order = np.lexsort((vec_ids[rows], -sims))[:self.k]
                 out_q.append(np.full(len(order), qi, np.int64))
                 out_v.append(vec_ids[rows][order].astype(np.int64))
                 out_s.append(sims[order])
-        cat = (lambda xs, dt: np.concatenate(xs) if xs
-               else np.empty(0, dt))
         return pa.table({
-            "query_idx": pa.array(cat(out_q, np.int64), pa.int64()),
-            "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
-            "sim": pa.array(cat(out_s, np.float64), pa.float64()),
+            "query_idx": pa.array(_cat(out_q, np.int64), pa.int64()),
+            "vec_id": pa.array(_cat(out_v, np.int64), pa.int64()),
+            "sim": pa.array(_cat(out_s, np.float64), pa.float64()),
         })
 
 

@@ -112,6 +112,64 @@ def test_update_crash_before_commit_is_idempotent(base_index, tmp_path):
     assert _search_ids(idx, "alpha") == (set(range(20)) - {3}) | {20}
 
 
+def test_crashed_segment_with_different_input_not_reused(base_index,
+                                                         tmp_path):
+    """If update A crashes before commit and the user instead runs update B
+    with different docs, B must not silently reuse A's staged segment
+    (whose _SUCCESS marker would short-circuit B's build): A's docs stay
+    out, B's docs get indexed."""
+    import ray.data
+
+    idx, rows = base_index
+    seg_path = os.path.join(idx, "segments.json")
+    pre_segments = open(seg_path).read()
+
+    pa_ = str(tmp_path / "a.parquet")
+    _pages([("u200", "zebrafirst abandoned")], pa_, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(pa_))
+    with open(seg_path, "w") as f:  # rewind the commit point: A "crashed"
+        f.write(pre_segments)
+
+    pb = str(tmp_path / "b.parquet")
+    _pages([("u201", "yaksecond committed")], pb, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(pb))
+    assert _search_ids(idx, "yaksecond") == {20}
+    assert _search_ids(idx, "zebrafirst") == set()
+
+
+def test_compact_next_doc_id_skips_live_ids(base_index, tmp_path):
+    """Compaction preserves doc_ids across tombstone holes; a later update
+    on the compacted index must allocate ids ABOVE the live maximum, not at
+    n_docs (which a replaced doc makes a live id)."""
+    import ray.data
+
+    idx, rows = base_index
+    p = str(tmp_path / "upd.parquet")
+    _pages([("u3", "alpha delta replaced")], p, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(p))
+    # live ids now {0..19}-{3} + {20}: n_docs == 20 but max live id == 20
+    out2 = str(tmp_path / "compacted")
+    compact(idx, out2)
+    p2 = str(tmp_path / "upd2.parquet")
+    _pages([("u300", "omega fresh")], p2, base_id=0)  # ids reassigned inside
+    import json
+
+    with open(os.path.join(out2, "segments.json")) as f:
+        next_id = json.load(f)["next_doc_id"]
+    assert next_id == 21  # max live id 20 + 1, NOT n_docs == 20
+
+    from markdown_query_ray.sources.pages import read_pages  # noqa: F401
+
+    upd = pa.table({
+        "url": pa.array(["u300"], pa.string()),
+        "text": pa.array(["omega fresh"], pa.string()),
+        "doc_id": pa.array([next_id], pa.uint64()),
+    })
+    update_index(out2, dataset=ray.data.from_arrow(upd))
+    assert _search_ids(out2, "omega") == {21}
+    assert _search_ids(out2, "delta") == {20}  # untouched live doc
+
+
 def test_update_exact_term_stats(base_index, tmp_path):
     import ray.data
 
