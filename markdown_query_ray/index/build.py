@@ -239,7 +239,8 @@ def _stats_partial_from_blocks(blocks: pa.Table) -> pa.Table:
 
 
 def encode_write_group(group: pa.Table, out_dir: str,
-                       cfg: IndexConfig) -> pa.Table:
+                       cfg: IndexConfig,
+                       docs_per_bucket: int | None = None) -> pa.Table:
     """map_groups body for one shuffle group of PACKED partial posting rows:
     decode+merge to (term, doc_id) order, encode varint blocks, write one
     parquet file atomically (plus the group's exact per-term stats partial),
@@ -266,8 +267,12 @@ def encode_write_group(group: pa.Table, out_dir: str,
     pos_kw = {}
     if len(decoded) > 4:
         pos_kw = {"npos": decoded[4], "pos_payloads": decoded[5]}
+    # stripe-align blocks (see codec.encode_partition): only needed when
+    # multiple buckets interleave id stripes
+    stripe = docs_per_bucket if cfg.num_doc_buckets > 1 else None
     blocks = encode_partition(terms, doc_ids, tfs, dls,
-                              block_size=cfg.block_size, **pos_kw)
+                              block_size=cfg.block_size,
+                              stripe_size=stripe, **pos_kw)
     _write_atomic(_stats_partial_from_blocks(blocks), spath)
     _write_atomic(blocks, path, row_group_size=4096,
                   use_dictionary=["term"])  # postings last: the resume marker
@@ -408,7 +413,8 @@ def build_index(out_dir: str,
     from functools import partial
 
     manifest = posts.groupby("skey").map_groups(
-        partial(encode_write_group, out_dir=out_dir, cfg=cfg),
+        partial(encode_write_group, out_dir=out_dir, cfg=cfg,
+                docs_per_bucket=docs_per_bucket),
         batch_format="pyarrow")
     man_table = pa.Table.from_pandas(manifest.to_pandas(), preserve_index=False)
     man_path = os.path.join(out_dir, "_manifest.jsonl")

@@ -83,11 +83,29 @@ def decode_varints(buf: np.ndarray | bytes) -> np.ndarray:
     return vals
 
 
+_INT32_MAX = (1 << 31) - 1
+
+
+def _check_binary_size(total_bytes: int) -> None:
+    """Arrow ``binary`` carries int32 offsets; a partition payload past
+    2 GiB would silently wrap into negative offsets. Web-scale partitions
+    are sized by num_term_parts x num_doc_buckets — fail loudly and point
+    at the knob instead of corrupting the index."""
+    if total_bytes > _INT32_MAX:
+        raise ValueError(
+            f"posting partition payload {total_bytes} bytes exceeds the "
+            f"2 GiB Arrow binary-offset limit; raise "
+            f"IndexConfig.num_term_parts / num_doc_buckets so each "
+            f"shuffle partition stays under 2 GiB")
+
+
 def _segment_binary(payload: np.ndarray, value_ends: np.ndarray,
                     seg_value_counts: np.ndarray) -> pa.BinaryArray:
     """Split a packed varint stream into per-segment binary values, where
     segment i holds seg_value_counts[i] consecutive varints. Zero-copy over
     the payload buffer."""
+    if len(value_ends):
+        _check_binary_size(int(value_ends[-1]))
     cum_vals = np.cumsum(seg_value_counts)
     byte_ends = np.zeros(len(seg_value_counts) + 1, np.int32)
     nz = cum_vals > 0
@@ -104,7 +122,8 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
                      tfs: np.ndarray, doclens: np.ndarray,
                      block_size: int = BLOCK_SIZE_DEFAULT,
                      npos: np.ndarray | None = None,
-                     pos_payloads: np.ndarray | None = None) -> pa.Table:
+                     pos_payloads: np.ndarray | None = None,
+                     stripe_size: int | None = None) -> pa.Table:
     """Encode one shuffle partition — rows sorted by (term, doc_id) — into
     posting-block rows. ``terms`` is an object/str numpy array aligned with
     the numeric columns.
@@ -116,7 +135,18 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
     columns are emitted: ``npos_enc`` (varint count per posting) and
     ``pos_enc`` (the block's payload bytes concatenated) — the positional
     analog of glass's ``position.`` B-tree (backends/glass/glass_positionlist.cc),
-    kept alongside the posting block so phrase evaluation reads no extra file."""
+    kept alongside the posting block so phrase evaluation reads no extra file.
+
+    ``stripe_size`` (the index's docs_per_bucket) forces an extra block
+    split wherever consecutive postings cross a doc-bucket stripe boundary
+    (doc_id // stripe_size changes). With S>1 buckets each bucket owns the
+    id stripes {b*dpb + k*S*dpb}; once updates push ids past dpb*S a
+    bucket's id set is two-plus disjoint intervals, and a block spanning
+    the wrap would have a [first,last] range overlapping ANOTHER bucket's
+    blocks — the whole-index reader sorts blocks by first_doc_id and would
+    silently emit non-monotone doc_ids into the searchsorted-based AND /
+    WAND paths. Stripe-aligned blocks keep every block inside one disjoint
+    interval, so block order == global doc order by construction."""
     n = len(doc_ids)
     if n == 0:
         return _empty_blocks_table(with_positions=npos is not None)
@@ -139,8 +169,16 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
     # index of each row within its term's posting list
     within = np.arange(n) - np.repeat(
         term_start_idx, np.diff(np.append(term_start_idx, n)))
-    block_id = within // block_size
     block_start = within % block_size == 0
+    if stripe_size and stripe_size > 0:
+        stripe = doc_ids // np.uint64(stripe_size)
+        block_start[1:] |= stripe[1:] != stripe[:-1]
+    # per-term running block number (with stripe splits the natural
+    # ``within // block_size`` numbering no longer holds)
+    starts_cum = np.cumsum(block_start)
+    term_counts = np.diff(np.append(term_start_idx, n))
+    block_id = starts_cum - np.repeat(starts_cum[term_start_idx],
+                                      term_counts)
     bstart_idx = np.nonzero(block_start)[0]
     bcounts = np.diff(np.append(bstart_idx, n))
     nblocks = len(bstart_idx)
@@ -174,6 +212,8 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
             plens = np.fromiter((len(b) for b in pos_payloads), np.int64, n)
             pends = np.cumsum(plens)
             pbuf = b"".join(pos_payloads)
+        if len(pends):
+            _check_binary_size(int(pends[-1]))
         bends = np.zeros(nblocks + 1, np.int32)
         cum_rows = np.cumsum(bcounts)
         bends[1:] = pends[cum_rows - 1]
@@ -336,6 +376,7 @@ def decode_partial_group(group: pa.Table) -> tuple:
         nz = cum > 0
         post_ends[1:][nz] = val_ends[cum[nz] - 1]
         np.maximum.accumulate(post_ends, out=post_ends)
+        _check_binary_size(int(post_ends[-1]))
         payloads = pa.BinaryArray.from_buffers(
             pa.binary(), total,
             [None, pa.py_buffer(post_ends.astype(np.int32).tobytes()),

@@ -99,18 +99,23 @@ _TOKEN_RE = re.compile(
 DEPTH_CAP = 50
 
 
-def _partial_term(tok: str, prefix: str = ""):
+def _partial_term(tok: str, prefix: str = "", stem: bool | None = None):
     """FLAG_PARTIAL compile of one token:
     OR(SYNONYM(WILDCARD prefix+tok*), <exact side>), where the exact side
     is the Z-stemmed term for stemmable words and the PLAIN term otherwise
-    (STEM_SOME gates on the leading character — digits don't stem, so
-    ``2024`` compiles to OR(WILDCARD 2024*, 2024), not a Z-term;
-    queryparser_internal.cc:506-530 + termgenerator_internal.cc:63-73,
-    verified against the real library in tests/test_xapian_parity.py)."""
+    (STEM_SOME gates on the leading character OF THE RAW TOKEN — digits
+    and uppercase-initial words don't stem, so ``2024`` compiles to
+    OR(WILDCARD 2024*, 2024) and ``Paris`` to OR(WILDCARD paris*, paris),
+    never a Z-term; queryparser_internal.cc:506-530 +
+    termgenerator_internal.cc:63-73, verified against the real library in
+    tests/test_xapian_parity.py). Callers that lowercased the token
+    earlier must pass the raw-case gate result via ``stem``."""
     from ..functions.xapian_tokenizer import should_stem
 
+    if stem is None:
+        stem = should_stem(tok)
     tok = tok.lower()
-    exact = Term("Z" + prefix + snowball_stem(tok)) if should_stem(tok) \
+    exact = Term("Z" + prefix + snowball_stem(tok)) if stem \
         else Term(prefix + tok)
     # FLAG_PARTIAL wildcards keep the 100 MOST FREQUENT matches
     # (max_partial_expansion=100, WILDCARD_LIMIT_MOST_FREQUENT;
@@ -304,12 +309,12 @@ def _synonym_terms(node) -> list[str]:
 
     if isinstance(node, MatchNothing):
         return []
-    terms = query_terms(node)
-    # include wildcard prefixes' stems too? keep concrete terms only
-    if not terms and isinstance(node, Or):
-        # partial-compiled single token: take the Z-stem term
-        pass
-    return terms
+    # concrete terms only: SYNONYM over a chunk that compiled to
+    # wildcard-only nodes yields no terms (and hence MatchNothing) — a
+    # documented divergence (xapian synonyms over full subtrees including
+    # wildcard expansions; see the SYNONYM exclusion note in
+    # tests/test_xapian_parity.py QUERIES)
+    return query_terms(node)
 
 
 def parse_user_query(q: str):

@@ -181,6 +181,20 @@ class Evaluator:
         self.params = params
         self.bucket = bucket
         self._postings_cache: dict[str, Postings] = {}
+        # term -> stats dict (None = known-absent): every weight() /
+        # _maxweight call would otherwise issue its own parquet dataset
+        # scan over the term_stats of every segment
+        self._stats_cache: dict[str, dict | None] = {}
+
+    def term_stats_for(self, terms: list[str]) -> dict[str, dict]:
+        """Batched, cached reader.term_stats (absent terms omitted)."""
+        missing = [t for t in set(terms) if t not in self._stats_cache]
+        if missing:
+            got = self.reader.term_stats(missing)
+            for t in missing:
+                self._stats_cache[t] = got.get(t)
+        return {t: s for t in set(terms)
+                if (s := self._stats_cache[t]) is not None}
 
     # -- postings access -----------------------------------------------------
     def _load_terms(self, terms: list[str]) -> None:
@@ -279,12 +293,14 @@ class Evaluator:
 
         walk(node)
         if terms:
-            self._load_terms(list(dict.fromkeys(terms)))
+            uniq = list(dict.fromkeys(terms))
+            self._load_terms(uniq)
+            self.term_stats_for(uniq)  # one batched stats read, cached
 
     def weight(self, term: str, wqf: int = 1,
                termfreq: int | None = None) -> TermWeight:
         if termfreq is None:
-            st = self.reader.term_stats([term]).get(term)
+            st = self.term_stats_for([term]).get(term)
             termfreq = st["termfreq"] if st else 0
         return TermWeight(self.params, self.reader.n_docs,
                           self.reader.avg_doclen, termfreq, wqf)
@@ -447,7 +463,7 @@ class Evaluator:
         if not terms:
             return ScoredSet.empty()
         self._load_terms(terms)
-        stats = self.reader.term_stats(terms)
+        stats = self.term_stats_for(terms)
         freqs = [stats[t]["termfreq"] for t in terms if t in stats]
         est_tf = synonym_termfreq_estimate(freqs, self.reader.n_docs)
         w = self.weight("", wqf=1, termfreq=est_tf)
@@ -509,7 +525,7 @@ class Evaluator:
         if isinstance(node, (MatchNothing, MatchAll)):
             return 0.0
         if isinstance(node, Term):
-            st = self.reader.term_stats([node.text]).get(node.text)
+            st = self.term_stats_for([node.text]).get(node.text)
             if not st or st["termfreq"] == 0:
                 return 0.0
             w = self.weight(node.text, node.wqf, termfreq=st["termfreq"])
@@ -543,7 +559,7 @@ class Evaluator:
                 else:
                     raise TypeError("SYNONYM supports term/wildcard children")
             terms = list(dict.fromkeys(terms))
-            stats = self.reader.term_stats(terms)
+            stats = self.term_stats_for(terms)
             freqs = [stats[t]["termfreq"] for t in terms if t in stats]
             est_tf = synonym_termfreq_estimate(freqs, self.reader.n_docs)
             if est_tf == 0:
@@ -775,13 +791,18 @@ def search(index_dir: str, node, qcfg: QueryConfig | None = None,
     if distributed is None:
         distributed = S > 1
     if distributed and S > 1:
+        import ray
+
         import ray.data
 
         ctrl = ray.data.from_items([{"bucket": b} for b in range(S)])
         res = ctrl.repartition(S).map_batches(
             _ScoreBuckets(index_dir, node, qcfg),
             batch_format="pyarrow", batch_size=1)
-        t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+        # stay Arrow: a pandas round-trip drops the schema when every block
+        # is empty (a query legitimately matching nothing), and then the
+        # column lookups below would KeyError (same trap as run_query_set)
+        t = pa.concat_tables(ray.get(res.to_arrow_refs()))
         parts = [list(zip(t.column("score").to_pylist(),
                           t.column("doc_id").to_pylist()))]
         hits = merge_topk(parts, qcfg.k)

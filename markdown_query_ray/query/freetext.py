@@ -84,9 +84,11 @@ def _lex(chunk: str) -> list[_Tok]:
         if not terms:
             continue
         if len(terms) == 1:
-            toks.append(_word_term(span if span[0].isalnum() or
-                                   span[0] == "_" else terms[0]))
-            # keep raw-case gate: find the raw first word char
+            # term VALUE comes from the tokenizer (parity-tested: strips
+            # the punctuation QueryParser never indexes — "hello," must
+            # become Zhello, verified vs the real parser), while the
+            # STEM_SOME gate still reads the RAW first word char below
+            toks.append(_word_term(terms[0]))
             toks[-1].stemmed = should_stem(_first_word_char(span))
         else:
             # multiple terms inside one whitespace-free span: Xapian
@@ -105,7 +107,10 @@ def _first_word_char(span: str) -> str:
 
 def _term_node(tok: _Tok, partial: bool):
     if partial:
-        return _partial_term(tok.value)
+        # tok.value is already lowercased — hand the raw-case STEM_SOME
+        # gate result through (uppercase-initial partials keep a PLAIN
+        # exact side: "Paris" -> OR(WILDCARD paris*, paris), not Zpari)
+        return _partial_term(tok.value, stem=tok.stemmed)
     if tok.stemmed:
         return Term("Z" + snowball_stem(tok.value))
     return Term(tok.value)

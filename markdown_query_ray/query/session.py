@@ -159,11 +159,21 @@ class SearchSession:
                 pass
         lowered = text.lower()
         pos = -1
+        import re
+
         from .compiler import _WORD_RE
 
+        # skip boolean operator keywords ('and'/'or'/... would center the
+        # preview on an irrelevant stopword) and match whole words only
+        # (find() would hit 'or' inside 'word')
+        ops = {"and", "or", "not", "xor", "near", "adj", "maybe",
+               "filter", "phrase", "elite", "synonym"}
         for w in _WORD_RE.findall(query.lower()):
-            pos = lowered.find(w)
-            if pos >= 0:
+            if w in ops:
+                continue
+            m = re.search(r"\b" + re.escape(w), lowered)
+            if m:
+                pos = m.start()
                 break
         if pos < 0:
             return text[:width]

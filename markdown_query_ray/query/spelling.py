@@ -103,15 +103,25 @@ class SpellingIndex:
 
 def load_spelling(index_dir: str, min_freq: int = 1) -> SpellingIndex:
     """Build a SpellingIndex from an index's term_stats (collfreq as the
-    ranking frequency, matching Xapian's spelling frequency)."""
-    import os
+    ranking frequency, matching Xapian's spelling frequency).
 
-    import pyarrow.parquet as pq
+    Reads through IndexReader's multi-segment view so updated indexes
+    contribute their delta segments and the negative deltas of replaced
+    docs: terms only present in an update still get suggested, and terms
+    whose every holder was replaced (post-delta termfreq 0) drop out."""
+    from ..index.reader import IndexReader
 
-    t = pq.ParquetDataset(os.path.join(index_dir, "term_stats")).read(
-        columns=["term", "collfreq"])
-    freqs = dict(zip(t.column("term").to_pylist(),
-                     (int(x) for x in t.column("collfreq").to_pylist())))
+    reader = IndexReader(index_dir)
+    freqs: dict[str, int] = {}
+    alive: dict[str, int] = {}
+    for t in reader._stats_tables(None, columns=["term", "termfreq",
+                                                 "collfreq"]):
+        for term, tf, cf in zip(t.column("term").to_pylist(),
+                                t.column("termfreq").to_pylist(),
+                                t.column("collfreq").to_pylist()):
+            freqs[term] = freqs.get(term, 0) + int(cf)
+            alive[term] = alive.get(term, 0) + int(tf)
+    freqs = {t: f for t, f in freqs.items() if alive.get(t, 0) > 0}
     return SpellingIndex(freqs, min_freq=min_freq)
 
 

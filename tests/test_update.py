@@ -170,6 +170,71 @@ def test_compact_next_doc_id_skips_live_ids(base_index, tmp_path):
     assert _search_ids(out2, "delta") == {20}  # untouched live doc
 
 
+def test_update_past_stripe_wrap_keeps_blocks_sorted(ray_session, tmp_path):
+    """With S>1 doc-buckets, an update that pushes ids past dpb*S makes a
+    bucket's id set multiple disjoint stripes. Posting blocks must not span
+    a stripe wrap: a spanning block's [first,last] range would overlap the
+    OTHER bucket's blocks and whole-index reads (bucket=None, sorted by
+    first_doc_id) would feed non-monotone doc_ids into the searchsorted
+    AND/WAND paths — silently wrong results."""
+    import ray.data
+
+    from markdown_query_ray.index.codec import decode_blocks
+    from markdown_query_ray.query.ast import And
+
+    cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=2,
+                      num_doc_buckets=2, block_size=16)
+    rows = [(f"u{i}", "alpha" + (" beta" if i % 2 else ""))
+            for i in range(10)]
+    p = str(tmp_path / "base.parquet")
+    _pages(rows, p)
+    idx = str(tmp_path / "idx")
+    build_index(idx, dataset=ray.data.read_parquet(p), cfg=cfg,
+                total_docs=10)  # dpb = 5: bucket0 owns [0,5)+[10,15)+...
+    upd = [(f"u{i}", "alpha" + (" beta" if i % 2 else ""))
+           for i in range(10, 25)]
+    p2 = str(tmp_path / "upd.parquet")
+    _pages(upd, p2, base_id=10)
+    update_index(idx, dataset=ray.data.read_parquet(p2))
+
+    reader = IndexReader(idx)
+    blocks = reader.load_blocks(["alpha", "beta"], bucket=None)
+    ids, _, _, _ = decode_blocks(blocks)
+    terms = blocks.column("term").to_pylist()
+    ns = blocks.column("n").to_pylist()
+    flat_terms = np.repeat(np.asarray(terms, object), ns)
+    for t in ("alpha", "beta"):
+        tids = ids[flat_terms == t]
+        assert np.all(np.diff(tids.astype(np.int64)) > 0), \
+            f"non-monotone doc_ids for {t!r}: {tids.tolist()}"
+
+    assert _search_ids(idx, "alpha") == set(range(25))
+    out = qx.search(idx, And((Term("alpha"), Term("beta"))),
+                    QueryConfig(k=100), distributed=False)
+    assert set(out.column("doc_id").to_pylist()) == set(range(1, 25, 2))
+
+
+def test_spelling_sees_update_segments(base_index, tmp_path):
+    """load_spelling must read the multi-segment view: terms added by an
+    update get suggested, terms whose every holder was replaced drop out."""
+    import ray.data
+
+    from markdown_query_ray.query.spelling import load_spelling
+
+    idx, rows = base_index
+    # replace every gamma-holding doc (odd ids) and add a new-term doc
+    upd = [(f"u{i}", f"alpha beta doc{i}") for i in range(1, 20, 2)]
+    upd.append(("u500", "zebrafish alpha"))
+    p = str(tmp_path / "upd.parquet")
+    _pages(upd, p, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(p))
+
+    sp = load_spelling(idx)
+    assert "gamma" not in sp.freqs          # all holders replaced
+    assert sp.freqs.get("zebrafish", 0) > 0  # update-only term present
+    assert sp.suggest("zebrafsh") == "zebrafish"
+
+
 def test_update_exact_term_stats(base_index, tmp_path):
     import ray.data
 

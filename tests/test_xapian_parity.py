@@ -45,6 +45,8 @@ QUERIES = [
     '"at&t merger"',           # phrase whose first term uses the infix rule
     "wradded retrieval",
     "thelhur thest theck",     # mid-frequency pseudo-words
+    "Thelhur",                 # capitalized: STEM_SOME keeps PLAIN exact
+    "Thelhur Thest",           # capitalized pair through the splitter
     # boolean-operator fold (mdq splitter -> Query(op, acc, chunk)):
     "xqzrareduo AND xqzraretri",
     "the AND thelhur",
@@ -387,6 +389,10 @@ FREETEXT_QUERIES = [
     "thelhur thes",                # partial prefix final
     "the NEAR thelhur",            # NEAR falls back to a plain term here
     "xqzrareuno AND (thelhur OR NOT thest)",
+    "thelhur, thest",              # trailing punctuation: term is Zthelhur
+    "the. thelhur",                # not Zthe.
+    "Thelhur",                     # capitalized final partial: PLAIN exact
+    "Thelhur thest",               # capitalized non-final: unstemmed term
 ]
 
 
