@@ -107,10 +107,13 @@ def tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
 
 
 def simple_tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
-    """Lowercase whitespace tokenizer ("simple" mode) — exactly reproducible
-    in ANSI SQL (string_split on space), used for the DuckDB-oracle-checked
-    end-to-end index pipelines."""
-    return [t for t in text.lower().split() if len(t) <= max_term_bytes]
+    """Lowercase SINGLE-SPACE tokenizer ("simple" mode) — exactly
+    reproducible in ANSI SQL (string_split on ' ' + list_filter), the same
+    convention pipelines/textstats.py documents. ``str.split()`` (any
+    whitespace) would silently diverge from the DuckDB oracle on any text
+    containing tabs or newlines."""
+    return [t for t in text.lower().split(" ")
+            if t and len(t) <= max_term_bytes]
 
 
 import unicodedata as _ud

@@ -174,9 +174,11 @@ class FrameSampleStage:
         for mid, data, mt in zip(batch.column("media_id").to_pylist(),
                                  batch.column("media").to_pylist(),
                                  batch.column("media_type").to_pylist()):
-            if mt != "video/raw8v":
-                _decode_real(data, mt)
-            frames = _decode_raw8_video(data)
+            # same dispatch shape as MediaFeatureStage: a real decoder
+            # plugged into _decode_real must feed the sampler, not be
+            # discarded before an unconditional raw8 parse
+            frames = _decode_raw8_video(data) if mt == "video/raw8v" \
+                else _decode_real(data, mt)
             n = len(frames)
             take = np.unique((np.arange(self.n_samples) * n)
                              // self.n_samples)
@@ -249,9 +251,8 @@ class AudioChunkStage:
         for mid, data, mt in zip(batch.column("media_id").to_pylist(),
                                  batch.column("media").to_pylist(),
                                  batch.column("media_type").to_pylist()):
-            if mt != "audio/rawa":
-                _decode_real(data, mt)
-            _, samples = _decode_rawa(data)
+            _, samples = _decode_rawa(data) if mt == "audio/rawa" \
+                else _decode_real(data, mt)
             for j in range(0, len(samples), self.chunk_samples):
                 chunk = samples[j:j + self.chunk_samples].astype(np.float64)
                 ids.append(mid)

@@ -183,11 +183,7 @@ class LangIdStage:
         })
 
 
-_FNV_OFFSET = np.uint64(0xcbf29ce484222325)
-_FNV_PRIME = np.uint64(0x100000001b3)
-
-
-from ..functions.hashing import fnv1a_bytes  # canonical definition (re-export)
+from ..functions.hashing import FNV_OFF, FNV_PRIME, fnv1a_bytes
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
@@ -204,13 +200,13 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         if fp_c is not None:
             fps.append(fp_c(t))
             continue
-        h = 0xcbf29ce484222325
+        h = FNV_OFF
         for i, tok in enumerate(_tokens(t)):
             th = fnv1a_bytes(tok.encode("utf-8"))
             # (th + i) wraps mod 2^64 — keeps the fold identical to the
             # C kernel's native uint64 arithmetic
             h = ((h ^ ((th + i) & 0xFFFFFFFFFFFFFFFF))
-                 * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+                 * FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
         fps.append(h)
     return pa.table({
         "doc_id": batch.column("doc_id"),

@@ -16,10 +16,20 @@ import pandas as pd
 import pyarrow as pa
 
 
+# explicit partial schema: an EMPTY batch's pandas object columns would
+# otherwise become Arrow null-typed and conflict with non-empty blocks at
+# the groupby (Ray Data legitimately emits empty blocks)
+_PARTIAL_SCHEMA = pa.schema([
+    ("event_type", pa.string()),
+    ("window_start", pa.timestamp("us")),
+    ("n_part", pa.int64()),
+    ("sum_part", pa.float64()),
+])
+
+
 def tumbling_counts(ds, minutes: int = 60):
     """Tumbling-window (event_type, window_start) -> n, total value.
     Pre-aggregates per batch before the groupby — partial/combiner shape."""
-    step = np.timedelta64(minutes * 60, "s")
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy()
@@ -33,7 +43,8 @@ def tumbling_counts(ds, minutes: int = 60):
         })
         g = df.groupby(["event_type", "window_start"], as_index=False).agg(
             n_part=("value", "size"), sum_part=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, schema=_PARTIAL_SCHEMA,
+                                    preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -72,7 +83,8 @@ def hopping_counts(ds, size_minutes: int = 60, hop_minutes: int = 30):
         })
         g = df.groupby(["event_type", "window_start"], as_index=False).agg(
             n_part=("value", "size"), sum_part=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, schema=_PARTIAL_SCHEMA,
+                                    preserve_index=False)
 
     from ray.data.aggregate import Sum
 

@@ -21,6 +21,7 @@ src/main.rs:101-106).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyarrow as pa
 
@@ -97,17 +98,27 @@ def parse_markdown_doc(path: str, raw: bytes | str) -> dict | None:
     if doc_id is None:
         # deterministic surrogate for the reference's random UUID
         doc_id = hashlib.sha1(path.encode("utf-8")).hexdigest()
+    try:
+        # non-numeric counters are an invalid-file condition like bad yaml
+        # or a bad date — drop the one file, never fail the whole batch
+        # task; ``or 0`` covers present-but-null keys
+        weight = int(meta.get("weight", 0) or 0)
+        writes = int(meta.get("writes", 0) or 0)
+        views = int(meta.get("views", 0) or 0)
+    except (TypeError, ValueError):
+        return None
     return {
         "fullpath": path,
         "id": str(doc_id),
         "title": str(title),
-        "subtitle": str(meta.get("subtitle", "")),
+        # present-but-null subtitle must stay empty, not the string "None"
+        "subtitle": str(meta.get("subtitle") or ""),
         "authors": _as_list(meta, "author", "authors"),
         "tags": _as_list(meta, "tag", "tags"),
         "date": date,
-        "weight": int(meta.get("weight", 0) or 0),
-        "writes": int(meta.get("writes", 0) or 0),
-        "views": int(meta.get("views", 0) or 0),
+        "weight": weight,
+        "writes": writes,
+        "views": views,
         "body": body,
     }
 
@@ -319,15 +330,36 @@ def build_markdown_index(out_dir: str, paths: list[str], cfg=None) -> dict:
     from ..index.build import build_index
 
     cfg = cfg or IndexConfig()
-    id_of = {p: i for i, p in enumerate(sorted(paths))}
+    # expand directories driver-side with read_markdown's own listing rules
+    # (.md extension; hidden files dropped later by basename) so id_of
+    # covers every path the read will actually emit — building it from the
+    # raw args would KeyError on the first discovered file under a dir
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                files.extend(os.path.join(root, f) for f in names
+                             if f.endswith(".md"))
+        else:
+            files.append(p)
+    files = sorted(files)
+    id_of = {os.path.abspath(p): i for i, p in enumerate(files)}
 
     def add_doc_id(batch: pa.Table) -> pa.Table:
-        ids = [id_of[p] for p in batch.column("fullpath").to_pylist()]
+        ids = []
+        for p in batch.column("fullpath").to_pylist():
+            i = id_of.get(p, id_of.get(os.path.abspath(p)))
+            if i is None:
+                raise KeyError(
+                    f"discovered file {p!r} not in the driver's sorted "
+                    f"path list — directory listing drifted between "
+                    f"id assignment and the read")
+            ids.append(i)
         return batch.append_column("doc_id", pa.array(ids, pa.uint64()))
 
-    tokenized = read_markdown(sorted(paths)) \
+    tokenized = read_markdown(files) \
         .map_batches(add_doc_id, batch_format="pyarrow") \
         .map_batches(FieldTokenizeStage(cfg), batch_format="pyarrow",
                      batch_size=cfg.tokenize_batch_size)
     return build_index(out_dir, dataset=tokenized, cfg=cfg,
-                       total_docs=len(paths))
+                       total_docs=len(files))

@@ -34,6 +34,9 @@ import pyarrow.parquet as pq
 
 def file_row_counts(paths: list[str], max_threads: int = 16) -> list[int]:
     """Row count per file from parquet footers (metadata-only reads)."""
+    if not paths:
+        return []
+
     def count(p: str) -> int:
         return pq.ParquetFile(p).metadata.num_rows
 
@@ -106,11 +109,22 @@ def jsonl_row_counts(paths: list[str], max_threads: int = 16) -> list[int]:
     """Line count per file (one JSON object per line). A cheap sequential
     byte scan — the price of a format without footer metadata; at scale
     prefer parquet (or cache these counts in a manifest)."""
+    if not paths:
+        return []
+
     def count(p: str) -> int:
         n = 0
+        last = b"\n"
         with open(p, "rb") as f:
             for chunk in iter(lambda: f.read(1 << 20), b""):
                 n += chunk.count(b"\n")
+                last = chunk[-1:]
+        # a final line without a trailing newline is still a row — missing
+        # it would make the NEXT file's doc_id base overlap this file's
+        # last document (two docs sharing an id corrupts dedup and every
+        # doc_id-keyed join downstream)
+        if last != b"\n":
+            n += 1
         return n
 
     with ThreadPoolExecutor(max_workers=min(max_threads, len(paths))) as ex:
@@ -135,7 +149,9 @@ class _ReadJsonlShard:
                               if c in t.column_names])
             if "html" in t.column_names and \
                     not pa.types.is_binary(t.schema.field("html").type):
-                # JSON has no binary type: html arrives base64 or utf-8 text
+                # JSON has no binary type: html must arrive as utf-8 text
+                # (a base64-encoded producer needs an explicit decode stage
+                # — the cast below only reinterprets the utf-8 bytes)
                 t = t.set_column(
                     t.column_names.index("html"), "html",
                     pc.cast(t.column("html"), pa.binary()))

@@ -128,3 +128,30 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
         b = qx.search(idx_b, Term(term), QueryConfig(k=50),
                       distributed=False)
         assert a.equals(b), term
+
+
+def test_jsonl_missing_trailing_newline_ids_dont_overlap(ray_session,
+                                                         tmp_path):
+    """A JSONL file whose last line lacks a trailing newline still counts
+    that row: undercounting would make the next file's doc_id base overlap
+    and two documents would share an id."""
+    import json as jsonlib
+
+    from markdown_query_ray.sources.pages import (
+        jsonl_row_counts,
+        read_pages_jsonl,
+    )
+
+    p1 = str(tmp_path / "a.jsonl")
+    p2 = str(tmp_path / "b.jsonl")
+    with open(p1, "w") as f:  # NO trailing newline on the last row
+        f.write(jsonlib.dumps({"url": "u0", "text": "x"}) + "\n")
+        f.write(jsonlib.dumps({"url": "u1", "text": "y"}))
+    with open(p2, "w") as f:
+        f.write(jsonlib.dumps({"url": "u2", "text": "z"}) + "\n")
+
+    assert jsonl_row_counts([p1, p2]) == [2, 1]
+    rows = sorted(read_pages_jsonl([p1, p2]).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    assert [r["url"] for r in rows] == ["u0", "u1", "u2"]

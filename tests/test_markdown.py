@@ -183,3 +183,32 @@ def test_doclen_counts_prefixed_and_stems(md_index):
     # each body token contributes ~2 (unstemmed + Z-stem) plus field terms:
     # doclen must exceed the raw token counts by a wide margin
     assert g["total_doclen"] > 3 * 10
+
+
+def test_invalid_counter_and_null_subtitle():
+    """Non-numeric weight drops the one file (never fails the batch task);
+    a present-but-null subtitle stays empty instead of the string 'None'."""
+    bad = "---\ntitle: t\ndate: 5\nweight: heavy\n---\nbody"
+    assert parse_markdown_doc("a.md", bad) is None
+    nulled = "---\ntitle: t\ndate: 5\nsubtitle:\n---\nbody"
+    d = parse_markdown_doc("b.md", nulled)
+    assert d is not None and d["subtitle"] == ""
+
+
+def test_build_markdown_index_accepts_directory(ray_session, tmp_path):
+    """read_markdown supports directory discovery; doc_id assignment must
+    cover the discovered files, not KeyError on them."""
+    from markdown_query_ray.config import QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.ast import Term
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for name in ("alpha.md", "beta.md"):
+        (d / name).write_text(DOCS[name])
+    out = str(tmp_path / "idx")
+    gstats = build_markdown_index(out, [str(d)])
+    assert gstats["n_docs"] == 2
+    hits = qx.search(out, Term("Zmerg"), QueryConfig(k=10),
+                     distributed=False)
+    assert len(hits) >= 1

@@ -156,3 +156,28 @@ def test_boolean_terms_lookup_and_facet(ray_session, tmp_path):
     assert st["Qu1"]["termfreq"] == 1 and st["Qu1"]["collfreq"] == 0
     assert st["Len"]["termfreq"] == 2
     assert r.gstats["total_doclen"] == 6  # 2 + 1 + 3 body tokens only
+
+
+def test_tumbling_counts_survives_empty_blocks(ray_session):
+    """Ray Data legitimately emits empty blocks; the window partials must
+    produce a TYPED empty table (a pandas round-trip would type the empty
+    event_type column null and clash with string blocks at the groupby)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from markdown_query_ray.pipelines.windows import tumbling_counts
+
+    ts = pa.array(np.array([0, 600, 3900], dtype="datetime64[s]").astype(
+        "datetime64[us]"))
+    full = pa.table({
+        "ts": ts,
+        "event_type": pa.array(["a", "a", "b"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    empty = full.slice(0, 0)
+    ds = ray.data.from_arrow([empty, full, empty])
+    out = tumbling_counts(ds, minutes=60).to_pandas()
+    got = {(r.event_type, r.n_events, r.sum_value)
+           for r in out.itertuples()}
+    assert got == {("a", 2, 3.0), ("b", 1, 3.0)}

@@ -123,7 +123,12 @@ def test_digit_terms_not_stemmed():
 
 def test_simple_tokenize():
     assert simple_tokenize("The Fast fox") == ["the", "fast", "fox"]
-    assert simple_tokenize("a  b\tc\n") == ["a", "b", "c"]
+    # SINGLE-SPACE split (the documented DuckDB-oracle contract:
+    # string_split(text, ' ') + list_filter): tabs/newlines stay inside
+    # tokens, exactly as the SQL sees them — any-whitespace splitting
+    # would silently diverge from the oracle on multi-line text
+    assert simple_tokenize("a  b\tc\n") == ["a", "b\tc\n"]
+    assert simple_tokenize("a  b c") == ["a", "b", "c"]
 
 
 def test_empty_and_punct_only():
