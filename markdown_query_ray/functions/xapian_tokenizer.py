@@ -25,23 +25,35 @@ re-implemented here from that public source's behavior:
   (termgenerator_internal.h:48-49, check at termgenerator_internal.cc:264).
 - NO stopwords: the reference never sets a stopper (STOP_NONE effective).
 
-Implemented as one compiled ``regex`` pattern (the ``regex`` module supports
-Unicode property classes and atomic groups) plus a small post-pass — the hot
-path is regex-engine C code, not a Python char loop.
+Implemented as one compiled ``regex`` pattern plus a small post-pass — the
+hot path is regex-engine C code, not a Python char loop.
 
-Known deliberate divergence: lowercasing uses Python's full Unicode case map
-rather than xapian's single-codepoint delta table; they differ only for a
-handful of codepoints (e.g. U+0130) irrelevant to web text.
+Character classification and lowercasing come from ``_xapian_unicode``,
+GENERATED from the reference library's own compiled Unicode tables
+(tools/gen_unicode_tables.py + the oracle's ``unitable`` mode) — not from
+Python's: xapian 1.4.17 predates ~30k currently-assigned codepoints, so a
+\\p{L}-style class would join terms the reference splits, and xapian's
+single-codepoint tolower differs from Python's full case map inside terms
+at U+0130. tests/test_tokenizer_parity.py fuzzes multilingual text through
+the real TermGenerator and asserts identical term/wdf/position streams.
 """
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from collections import Counter
 
 import regex
 
-# Word characters: letters, marks, numbers, connector punctuation.
-_WC = r"[\p{L}\p{M}\p{N}\p{Pc}]"
+import numpy as np
+
+from ._xapian_unicode import (
+    DIGIT_CLASS,
+    DIVERGENT_FLAT,
+    STEM_FLAT,
+    TOLOWER,
+    WORDCHAR_CLASS,
+)
 # Letter-context infix joiners (U+2019/U+201B normalized to ' in post-pass).
 _LSEP = "['&·״‧’‛]"
 # Digit-context infix joiners.
@@ -49,55 +61,90 @@ _DSEP = "[,.;;։؍߸⁄︐︓︔]"
 # Zero-width "ignore" characters, joined over and stripped from the term.
 _ZW = "[​‌‍⁠﻿]"
 
-# An infix join: digit-sep between two digits, letter-sep when the neighbours
-# are not both digits, or a zero-width char between word chars.
-_SEP = (
-    rf"(?:(?<=\p{{Nd}}){_DSEP}(?=\p{{Nd}})"
-    rf"|(?<!\p{{Nd}}){_LSEP}(?={_WC})"          # prev not digit
-    rf"|{_LSEP}(?=(?!\p{{Nd}}){_WC})"           # next not digit
-    rf"|{_ZW}(?={_WC}))"
-)
+def _build_pattern(wc: str, nd: str):
+    """Compile the term pattern over word-char class ``wc`` / digit class
+    ``nd``:
 
-# Acronym. The (?>...) atomic group mirrors xapian's no-backtracking consume:
-# on failure the whole alternative fails and the general term is tried at the
-# same position (e.g. ``A.B.CD`` -> terms a, b, cd — not ``ab``). A '.'
-# directly after the pairs is always consumed (p advances past it in the C
-# loop) and the acronym then fails if a word char follows.
-_ACRONYM = rf"(?P<acr>[A-Z](?>\.[A-Z])+)(?:\.(?!{_WC})|(?![.])(?!{_WC}))"
+    - infix joins: digit-sep between two digits, letter-sep when the
+      neighbours are not both digits, zero-width chars joined over.
+    - acronym: the (?>...) atomic group mirrors xapian's no-backtracking
+      consume — on failure the whole alternative fails and the general term
+      is tried at the same position (``A.B.CD`` -> a, b, cd — not ``ab``).
+      A '.' directly after the pairs is always consumed (p advances past it
+      in the C loop) and the acronym then fails if a word char follows.
+    - general term: word-char runs joined by infixes, optional +/# suffix.
+    """
+    sep = (
+        rf"(?:(?<={nd}){_DSEP}(?={nd})"
+        rf"|(?<!{nd}){_LSEP}(?={wc})"           # prev not digit
+        rf"|{_LSEP}(?=(?!{nd}){wc})"            # next not digit
+        rf"|{_ZW}(?={wc}))"
+    )
+    acronym = rf"(?P<acr>[A-Z](?>\.[A-Z])+)(?:\.(?!{wc})|(?![.])(?!{wc}))"
+    term = rf"(?P<term>{wc}+(?:{sep}{wc}+)*(?:[+#]{{1,3}}(?![+#]|{wc}))?)"
+    return regex.compile(rf"(?:{acronym}|{term})", regex.V1)
 
-# General term: word-char runs joined by infixes, with optional +/# suffix.
-_TERM = rf"(?P<term>{_WC}+(?:{_SEP}{_WC}+)*(?:[+#]{{1,3}}(?![+#]|{_WC}))?)"
 
-_TOKEN_RE = regex.compile(rf"(?:{_ACRONYM}|{_TERM})", regex.V1)
+# Exact pattern: classes generated from xapian's OWN tables — correct for
+# every codepoint, but a 703-range explicit class the engine scans linearly
+# (~6x slower than property bitmaps).
+_TOKEN_RE_EXACT = _build_pattern(WORDCHAR_CLASS, DIGIT_CLASS)
+# Fast pattern: the regex module's property bitmaps. Identical behavior on
+# any text containing no DIVERGENT codepoint (newer-Unicode assignments
+# xapian 1.4.17 splits on, plus U+0130) — the common case, dispatched by a
+# vectorized interval-membership guard (~54 MB/s vs ~0.6 for exact findall).
+_TOKEN_RE_FAST = _build_pattern(r"[\p{L}\p{M}\p{N}\p{Pc}]", r"\p{Nd}")
+
+_DIV_FLAT = np.asarray(DIVERGENT_FLAT, dtype=np.uint32)
+
+
+def _pattern_for(text: str):
+    if text.isascii():
+        return _TOKEN_RE_FAST
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if (np.searchsorted(_DIV_FLAT, cps, side="right") & 1).any():
+        return _TOKEN_RE_EXACT
+    return _TOKEN_RE_FAST
 
 _POST_CHARS = "’‛​‌‍⁠﻿"
 _POST_TABLE = {0x2019: "'", 0x201b: "'", 0x200b: None, 0x200c: None,
                0x200d: None, 0x2060: None, 0xfeff: None}
+# Per-codepoint xapian tolower fused with the post-pass above, for the two
+# characters where Python's str.lower() diverges INSIDE a term: U+0130
+# (full case map: i + combining dot; xapian: plain i) and U+03A3 (Python's
+# context-sensitive final sigma: xapian always maps to U+03C3).
+_EXACT_LOWER = dict(TOLOWER)
+_EXACT_LOWER.update(_POST_TABLE)
 
 
 def tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
     """Return the term stream for ``text`` (lowercased, in document order).
 
     Hot path: ``findall`` returns (acronym, term) group tuples in one C
-    call (no per-token Match objects); the non-ASCII normalization scan
-    only runs for non-ASCII terms — ASCII web text goes straight through."""
+    call (no per-token Match objects); ASCII terms take ``str.lower`` (same
+    result as xapian's table there); non-ASCII terms take str.lower + a
+    post-pass, except Σ/İ terms which need the per-codepoint table."""
     out = []
     append = out.append
-    for acr, term in _TOKEN_RE.findall(text):
+    for acr, term in _pattern_for(text).findall(text):
         if acr:
             term = acr.replace(".", "").lower()
             if len(term) <= max_term_bytes:
                 append(term)
             continue
-        term = term.lower()
         if term.isascii():
+            term = term.lower()
             if len(term) <= max_term_bytes:
                 append(term)
             continue
-        for ch in _POST_CHARS:
-            if ch in term:
-                term = term.translate(_POST_TABLE)
-                break
+        if "Σ" in term or "İ" in term:
+            term = term.translate(_EXACT_LOWER)
+        else:
+            term = term.lower()
+            for ch in _POST_CHARS:
+                if ch in term:
+                    term = term.translate(_POST_TABLE)
+                    break
         if term.isascii():  # normalization may have made it ASCII
             if len(term) <= max_term_bytes:
                 append(term)
@@ -116,21 +163,18 @@ def simple_tokenize(text: str, max_term_bytes: int = 64) -> list[str]:
             if t and len(t) <= max_term_bytes]
 
 
-import unicodedata as _ud
-
-_CAT = _ud.category
-
-
 def should_stem(term: str) -> bool:
     """STEM_SOME gate: stem only terms starting with a lower/title/modifier/
     other-case letter (digits and symbols are not stemmed;
-    termgenerator_internal.cc:63-73). ``islower`` fast-paths Ll (every
-    ASCII-letter term after lowercasing); Lt/Lm/Lo fall to the category
-    lookup."""
+    termgenerator_internal.cc:63-73), per xapian's OWN category tables
+    (STEM_FLAT intervals): a-z fast path for ASCII, interval bisect
+    otherwise (odd index = inside a stemmable range)."""
     if not term:
         return False
     c = term[0]
-    return c.islower() or _CAT(c) in ("Lt", "Lm", "Lo")
+    if c.isascii():
+        return "a" <= c <= "z"
+    return bool(bisect_right(STEM_FLAT, ord(c)) & 1)
 
 
 def _load_ctok():

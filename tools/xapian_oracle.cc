@@ -442,6 +442,73 @@ int main(int argc, char** argv) {
         }
         return 0;
     }
+    if (mode == "unitable") {
+        // Exhaustive dump of the Unicode tables the reference's tokenizer is
+        // built on (xapian-core-1.4.17/include/xapian/unicode.h:343-381),
+        // used to GENERATE our tokenizer's tables so classification can't
+        // drift with Python's Unicode version. One line per codepoint where
+        // anything is notable: cp \t wordchar \t digit \t stemgate \t lower
+        // (stemgate = first-char category passes termgenerator_internal.cc's
+        // SHOULD_STEM_MASK: Ll/Lt/Lm/Lo).
+        for (unsigned cp = 0; cp <= 0x10FFFF; ++cp) {
+            if (cp >= 0xD800 && cp <= 0xDFFF) continue;  // surrogates
+            bool w = Xapian::Unicode::is_wordchar(cp);
+            unsigned lo = Xapian::Unicode::tolower(cp);
+            Xapian::Unicode::category cat = Xapian::Unicode::get_category(cp);
+            bool d = (cat == Xapian::Unicode::DECIMAL_DIGIT_NUMBER);
+            bool s = (cat == Xapian::Unicode::LOWERCASE_LETTER ||
+                      cat == Xapian::Unicode::TITLECASE_LETTER ||
+                      cat == Xapian::Unicode::MODIFIER_LETTER ||
+                      cat == Xapian::Unicode::OTHER_LETTER);
+            if (!w && lo == cp && !s) continue;
+            std::printf("%u\t%d\t%d\t%d\t%u\n", cp, w ? 1 : 0, d ? 1 : 0,
+                        s ? 1 : 0, lo);
+        }
+        return 0;
+    }
+
+    if (mode == "termdump") {
+        // Per input line (escaped \t\n\\): run the exact index-path term
+        // pipeline (TermGenerator + Stem("en") + positions, as mdq's
+        // update_index does for the body) on the line alone, then dump the
+        // resulting termlist: <line#> \t <term> \t <wdf> \t <pos,pos,...>
+        // (positions comma-joined, empty for Z-stems). The conformance
+        // oracle for tests/test_tokenizer_parity.py's multilingual fuzz.
+        Xapian::TermGenerator tg;
+        Xapian::Stem stem("en");
+        tg.set_stemmer(stem);
+        std::string line;
+        int qn = 0;
+        while (std::getline(std::cin, line)) {
+            std::string text = unescape(line);
+            Xapian::Document doc;
+            tg.set_document(doc);
+            tg.index_text(text);
+            for (auto t = doc.termlist_begin(); t != doc.termlist_end();
+                 ++t) {
+                std::string term = *t;
+                std::string esc;
+                for (char c : term) {
+                    if (c == '\\') esc += "\\\\";
+                    else if (c == '\t') esc += "\\t";
+                    else if (c == '\n') esc += "\\n";
+                    else esc += c;
+                }
+                std::printf("%d\t%s\t%u\t", qn, esc.c_str(),
+                            (unsigned)t.get_wdf());
+                bool first = true;
+                for (auto p = t.positionlist_begin();
+                     p != t.positionlist_end(); ++p) {
+                    std::printf(first ? "%u" : ",%u", (unsigned)*p);
+                    first = false;
+                }
+                std::printf("\n");
+            }
+            ++qn;
+        }
+        return 0;
+    }
+
     std::cerr << "unknown mode " << mode << "\n";
     return 2;
 }
