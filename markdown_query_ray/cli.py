@@ -193,7 +193,8 @@ def make_parser() -> argparse.ArgumentParser:
     q.add_argument("--suggest", action="store_true")
     q.add_argument("--preview", action="store_true")
     q.add_argument("--grammar", default="clean",
-                   choices=["clean", "mdq-exact"])
+                   choices=["clean", "mdq-exact", "freetext",
+                            "freetext-cjk"])
     add_query_opts(q)
     q.set_defaults(fn=cmd_query)
 

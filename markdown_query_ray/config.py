@@ -75,6 +75,11 @@ class IndexConfig:
                                      # OP_PHRASE/OP_NEAR; unstemmed terms only,
                                      # as in STEM_SOME — Z-stems are wdf-only,
                                      # termgenerator_internal.cc:284-312)
+    cjk_ngram: bool = False          # xapian's optional CJK n-gram mode
+                                     # (XAPIAN_CJK_NGRAM / FLAG_CJK_NGRAM):
+                                     # CJK runs index as positional unigrams
+                                     # + wdf-only bigrams; parity-tested vs
+                                     # the real library (xapian mode only)
     store_payload: bool = False      # keep a per-doc payload column in
                                      # tokenized/ for retrieval — the analog
                                      # of Xapian's Document::set_data blob

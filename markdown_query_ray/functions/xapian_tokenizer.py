@@ -49,10 +49,12 @@ import numpy as np
 
 from ._xapian_unicode import (
     DIGIT_CLASS,
+    DIGIT_FLAT,
     DIVERGENT_FLAT,
     STEM_FLAT,
     TOLOWER,
     WORDCHAR_CLASS,
+    WORDCHAR_FLAT,
 )
 # Letter-context infix joiners (U+2019/U+201B normalized to ' in post-pass).
 _LSEP = "['&·״‧’‛]"
@@ -105,6 +107,7 @@ def _pattern_for(text: str):
     if (np.searchsorted(_DIV_FLAT, cps, side="right") & 1).any():
         return _TOKEN_RE_EXACT
     return _TOKEN_RE_FAST
+
 
 _POST_CHARS = "’‛​‌‍⁠﻿"
 _POST_TABLE = {0x2019: "'", 0x201b: "'", 0x200b: None, 0x200c: None,
@@ -249,12 +252,30 @@ def position_payloads(tokens: list[str]) -> dict:
     """(term -> (npos, varint position payload)) from a token stream:
     1-based positions delta-packed [first, gap, ...] — the pure-Python
     equivalent of the C fused path's payloads (byte-identical)."""
-    from ..index.codec import encode_varints
-    import numpy as np
-
     pos_map: dict[str, list[int]] = {}
     for i, t in enumerate(tokens):
         pos_map.setdefault(t, []).append(i + 1)
+    return _pack_pos_map(pos_map)
+
+
+def position_payloads_flagged(tokens: list[tuple[str, bool]]) -> dict:
+    """Like :func:`position_payloads` for a ``(term, positional)`` stream
+    (CJK n-gram mode): only positional tokens advance the position counter
+    or record a position — non-positional bigrams are wdf-only, exactly
+    like Z-stems (termgenerator_internal.cc:180-186, add_term not
+    add_posting)."""
+    pos_map: dict[str, list[int]] = {}
+    pos = 0
+    for t, flag in tokens:
+        if flag:
+            pos += 1
+            pos_map.setdefault(t, []).append(pos)
+    return _pack_pos_map(pos_map)
+
+
+def _pack_pos_map(pos_map: dict) -> dict:
+    from ..index.codec import encode_varints
+
     pos_of: dict = {}
     for t, plist in pos_map.items():
         orig = np.asarray(plist, np.uint64)
@@ -280,3 +301,209 @@ def term_counts(tokens: list[str], stemmer=None) -> Counter:
                 zcounts["Z" + stemmer(term)] += n
         counts.update(zcounts)
     return counts
+
+
+# --- CJK n-gram mode -------------------------------------------------------
+# xapian's optional CJK handling (queryparser/cjk-tokenizer.cc + the
+# cjk_ngram branch of parse_terms, termgenerator_internal.cc:140-247),
+# enabled in the reference build via XAPIAN_CJK_NGRAM / FLAG_CJK_NGRAM:
+# a run of CJK word chars indexes as positional unigrams interleaved with
+# non-positional bigrams (c1, c1c2, c2, c2c3, ..., cn), raw-cased.
+#
+# This path cannot be one regex pass: in the C loop a PENDING partial term
+# survives an interposed CJK span and keeps accumulating after it — even
+# across non-word chars ("a'中中 1,000" emits 中, 中中, 中 and then the
+# single term "a'1,000"; verified against the real TermGenerator). So
+# CJK-containing text takes a faithful Python port of the loop; text with
+# no CJK-range codepoint behaves identically to plain mode and reuses it.
+
+# [start, end+1) of the CJK ranges (cjk-tokenizer.cc:71-83).
+_CJK_FLAT = np.asarray([0x2E80, 0x2F00, 0x3000, 0xA000, 0xA700, 0xA720,
+                        0xAC00, 0xD7B0, 0xF900, 0xFB00, 0xFE30, 0xFE50,
+                        0xFF00, 0xFFF0, 0x20000, 0x2A6E0, 0x2F800, 0x2FA20],
+                       dtype=np.uint32)
+
+
+def _is_cjk_cp(cp: int) -> bool:
+    if cp < 0x2E80:
+        return False
+    return (cp <= 0x2EFF or 0x3000 <= cp <= 0x9FFF
+            or 0xA700 <= cp <= 0xA71F or 0xAC00 <= cp <= 0xD7AF
+            or 0xF900 <= cp <= 0xFAFF or 0xFE30 <= cp <= 0xFE4F
+            or 0xFF00 <= cp <= 0xFFEF or 0x20000 <= cp <= 0x2A6DF
+            or 0x2F800 <= cp <= 0x2FA1F)
+
+
+def _bitmap(flat) -> np.ndarray:
+    bm = np.zeros(0x110000, dtype=bool)
+    it = iter(flat)
+    for a, b in zip(it, it):
+        bm[a:b] = True
+    return bm
+
+
+_WORD_BM = _bitmap(WORDCHAR_FLAT)
+_DIGIT_BM = _bitmap(DIGIT_FLAT)
+
+
+def is_wordchar(ch: str) -> bool:
+    """xapian is_wordchar for one character (table bitmap)."""
+    return bool(_WORD_BM[ord(ch)])
+
+
+def _lower1(ch: str) -> str:
+    """xapian's single-codepoint tolower (identity outside the table)."""
+    lo = TOLOWER.get(ord(ch))
+    return chr(lo) if lo is not None else ch
+
+
+# check_infix / check_infix_digit (termgenerator_internal.cc:80-119) as
+# char->replacement maps; "" = UNICODE_IGNORE (join, append nothing),
+# missing = not an infix (term ends).
+_ZW_IGNORE = {"\u200b": "", "\u200c": "", "\u200d": "", "\u2060": "",
+              "\ufeff": ""}
+_INFIX = {"'": "'", "&": "&", "\u00b7": "\u00b7", "\u05f4": "\u05f4",
+          "\u2027": "\u2027", "\u2019": "'", "\u201b": "'", **_ZW_IGNORE}
+_INFIX_DIGIT = {c: c for c in ",.;\u037e\u0589\u060d\u07f8\u2044"
+                "\ufe10\ufe13\ufe14"}
+_INFIX_DIGIT.update(_ZW_IGNORE)
+
+
+def _parse_terms_ngram(text: str,
+                       max_term_bytes: int) -> list[tuple[str, bool]]:
+    """Port of parse_terms with cjk_ngram=true — see block comment above.
+    Returns (term, positional) pairs in action-call order."""
+    out: list[tuple[str, bool]] = []
+    wb, db = _WORD_BM, _DIGIT_BM
+    n = len(text)
+    i = 0
+    while True:
+        # advance to the start of the next term
+        while True:
+            if i >= n:
+                return out
+            c = text[i]
+            if wb[ord(c)]:
+                ch = _lower1(c)
+                break
+            i += 1
+        # acronym (U.N.C.L.E): ASCII uppercase only, trailing '.' consumed
+        if "A" <= c <= "Z":
+            p = i
+            buf: list[str] = []
+            while True:
+                buf.append(_lower1(text[p]))
+                p += 1
+                if p < n and text[p] == ".":
+                    p += 1
+                    if p < n and "A" <= text[p] <= "Z":
+                        continue
+                break
+            if len(buf) > 1 and (p >= n or not wb[ord(text[p])]):
+                i = p
+                t = "".join(buf)
+                if len(t.encode("utf-8")) <= max_term_bytes:
+                    out.append((t, True))
+                continue
+        term: list[str] = []
+        run_suffix = False
+        while True:
+            cp = ord(text[i])
+            if _is_cjk_cp(cp) and wb[cp]:
+                # CJK span: unigrams positional, bigrams not; pending
+                # `term` content stays and keeps accumulating after
+                j = i
+                while j < n:
+                    cpj = ord(text[j])
+                    if _is_cjk_cp(cpj) and wb[cpj]:
+                        j += 1
+                    else:
+                        break
+                span = text[i:j]
+                m = len(span)
+                for k in range(m):
+                    uni = span[k]
+                    if len(uni.encode("utf-8")) <= max_term_bytes:
+                        out.append((uni, True))
+                    if k + 1 < m:
+                        bi = span[k:k + 2]
+                        if len(bi.encode("utf-8")) <= max_term_bytes:
+                            out.append((bi, False))
+                i = j
+                while True:  # skip to next word char; end DISCARDS term
+                    if i >= n:
+                        return out
+                    c2 = text[i]
+                    if wb[ord(c2)]:
+                        ch = _lower1(c2)
+                        break
+                    i += 1
+                continue
+            # term-building do-while
+            ended = False
+            while True:
+                term.append(ch)
+                prevch = ch
+                i += 1
+                if i >= n or _is_cjk_cp(ord(text[i])):
+                    ended = True  # goto endofterm: suffix block skipped
+                    break
+                c2 = text[i]
+                if not wb[ord(c2)]:
+                    break
+                ch = _lower1(c2)
+            if ended:
+                break
+            # infix join?
+            nxt = i + 1
+            if nxt < n:
+                c3 = text[nxt]
+                if wb[ord(c3)]:
+                    infix = text[i]
+                    if db[ord(prevch)] and db[ord(c3)]:
+                        r = _INFIX_DIGIT.get(infix)
+                    else:
+                        r = _INFIX.get(infix)
+                    if r is not None:
+                        term.append(r)
+                        ch = _lower1(c3)
+                        i = nxt
+                        continue
+            run_suffix = True
+            break
+        if run_suffix:
+            # up to 3 trailing +/# kept unless followed by a word char
+            base = len(term)
+            cnt = 0
+            at_end = False
+            while i < n and text[i] in "+#":
+                cnt += 1
+                if cnt > 3:
+                    del term[base:]
+                    break
+                term.append(text[i])
+                i += 1
+                if i >= n:
+                    at_end = True
+                    break
+            if not at_end and cnt <= 3 and i < n and wb[ord(text[i])]:
+                del term[base:]
+        t = "".join(term)
+        if t and len(t.encode("utf-8")) <= max_term_bytes:
+            out.append((t, True))
+    return out
+
+
+def tokenize_ngram(text: str, max_term_bytes: int = 64
+                   ) -> list[tuple[str, bool]]:
+    """CJK n-gram term stream: ``(term, positional)`` pairs in document
+    order (CJK spans are NOT lowercased — the iterator appends raw
+    codepoints, so fullwidth Ａ stays Ａ, unlike the plain path). Text
+    containing no CJK-range codepoint is byte-identical to
+    :func:`tokenize` and reuses it."""
+    if text.isascii():
+        return [(t, True) for t in tokenize(text, max_term_bytes)]
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if not (np.searchsorted(_CJK_FLAT, cps, side="right") & 1).any():
+        return [(t, True) for t in tokenize(text, max_term_bytes)]
+    return _parse_terms_ngram(text, max_term_bytes)

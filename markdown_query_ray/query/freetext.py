@@ -24,10 +24,53 @@ from __future__ import annotations
 
 import re
 
+import regex as _regex
+
+from ..functions._xapian_unicode import CJK_WORDCHAR_CLASS, TOLOWER
 from ..functions.snowball import stem as snowball_stem
 from ..functions.xapian_tokenizer import should_stem, tokenize
 from .ast import And, AndMaybe, AndNot, MatchAll, Or, Phrase, Term
 from .compiler import MatchNothing, _partial_term
+
+# CJK n-gram mode (FLAG_CJK_NGRAM / XAPIAN_CJK_NGRAM): the lexer splits a
+# span at CJK-wordchar runs (parse_term consumes a whole run as ONE term
+# marked is_cjk_term, queryparser_internal.cc:748-753, and term building
+# breaks at a CJK char, :759); a free CJK term compiles to OP_AND over its
+# lowered unigrams+bigrams (Term::as_cjk_query, :532-549) and never
+# partial-expands (CJKTERM bypasses the wildcard path, :3407-3411); inside
+# a phrase each CJK character is its own positional term
+# (as_positional_cjk_term, :1158-1170). Known unimplemented corner: an
+# infix char directly between a word char and a CJK char joins into the
+# left term in the real lexer ("a'中" -> term "a'"); we tokenize the left
+# segment in isolation ("a").
+_CJK_SPLIT_RE = _regex.compile(rf"({CJK_WORDCHAR_CLASS}+)", _regex.V1)
+
+
+def _cjk_lower(s: str) -> str:
+    return s.translate(TOLOWER)
+
+
+def _cjk_ngrams(run: str) -> list[str]:
+    """CJKTokenIterator order: c1, c1c2, c2, c2c3, ..., cn."""
+    out = []
+    m = len(run)
+    for k in range(m):
+        out.append(run[k])
+        if k + 1 < m:
+            out.append(run[k:k + 2])
+    return out
+
+
+def _phrase_terms_ngram(quoted: str) -> list[str]:
+    terms: list[str] = []
+    for pi, part in enumerate(_CJK_SPLIT_RE.split(quoted)):
+        if not part:
+            continue
+        if pi % 2 == 1:
+            terms.extend(_cjk_lower(part))  # one positional term per char
+        else:
+            terms.extend(tokenize(part))
+    return terms
 
 # one lexeme: quoted string, bracket, love/hate marker, or a word-ish span
 # (maximal run of non-space, non-bracket, non-quote chars)
@@ -40,13 +83,14 @@ _POSITIONAL_OPS = {"NEAR", "ADJ"}
 
 
 class _Tok:
-    __slots__ = ("kind", "value", "stemmed", "partial_ok")
+    __slots__ = ("kind", "value", "stemmed", "partial_ok", "src_end")
 
     def __init__(self, kind, value=None, stemmed=True, partial_ok=False):
-        self.kind = kind          # term|phrase|op|lpar|rpar|love|hate
+        self.kind = kind          # term|phrase|cjkterm|op|lpar|rpar|love|hate
         self.value = value
         self.stemmed = stemmed    # term: eligible for Z-stemming
         self.partial_ok = partial_ok  # term: may partial-expand if final
+        self.src_end = -1         # chunk offset just past this token's source
 
 
 def _word_term(raw: str) -> _Tok:
@@ -58,12 +102,39 @@ def _word_term(raw: str) -> _Tok:
                 partial_ok=True)
 
 
-def _lex(chunk: str) -> list[_Tok]:
+def _lex(chunk: str, cjk_ngram: bool = False) -> list[_Tok]:
     toks: list[_Tok] = []
+
+    def span_tokens(span: str, src_end: int = -1) -> None:
+        kw = _BOOL_WORDS.get(span.lower())
+        if kw is not None:
+            toks.append(_Tok("op", kw))
+            return
+        if span in _POSITIONAL_OPS:
+            toks.append(_Tok("posop", span))
+            return
+        terms = tokenize(span)
+        if not terms:
+            return
+        if len(terms) == 1:
+            # term VALUE comes from the tokenizer (parity-tested: strips
+            # the punctuation QueryParser never indexes — "hello," must
+            # become Zhello, verified vs the real parser), while the
+            # STEM_SOME gate still reads the RAW first word char below
+            toks.append(_word_term(terms[0]))
+            toks[-1].stemmed = should_stem(_first_word_char(span))
+            toks[-1].src_end = src_end
+        else:
+            # multiple terms inside one whitespace-free span: Xapian
+            # phrase-joins them (the .-/:\@ generator chars; verified for
+            # foo-bar, tag:meh, a/b via the raw oracle)
+            toks.append(_Tok("phrase", tuple(terms)))
+
     for m in _LEX_RE.finditer(chunk):
         quoted, bracket, lovehate, span = m.groups()
         if quoted is not None:
-            terms = tokenize(quoted)
+            terms = _phrase_terms_ngram(quoted) if cjk_ngram \
+                else tokenize(quoted)
             if terms:
                 toks.append(_Tok("phrase", tuple(terms)))
             continue
@@ -73,28 +144,23 @@ def _lex(chunk: str) -> list[_Tok]:
         if lovehate is not None:
             toks.append(_Tok("love" if lovehate == "+" else "hate"))
             continue
-        kw = _BOOL_WORDS.get(span.lower())
-        if kw is not None:
-            toks.append(_Tok("op", kw))
+        if cjk_ngram and _CJK_SPLIT_RE.search(span):
+            # split at CJK runs: each run is one CJKTERM token, the
+            # remaining segments lex as usual (keywords included:
+            # "AND中" is operator AND followed by the CJK term 中)
+            off = m.start()
+            for pi, part in enumerate(_CJK_SPLIT_RE.split(span)):
+                if not part:
+                    continue
+                off += len(part)
+                if pi % 2 == 1:
+                    toks.append(_Tok("cjkterm", _cjk_lower(part),
+                                     stemmed=False))
+                    toks[-1].src_end = off
+                else:
+                    span_tokens(part, off)
             continue
-        if span in _POSITIONAL_OPS:
-            toks.append(_Tok("posop", span))
-            continue
-        terms = tokenize(span)
-        if not terms:
-            continue
-        if len(terms) == 1:
-            # term VALUE comes from the tokenizer (parity-tested: strips
-            # the punctuation QueryParser never indexes — "hello," must
-            # become Zhello, verified vs the real parser), while the
-            # STEM_SOME gate still reads the RAW first word char below
-            toks.append(_word_term(terms[0]))
-            toks[-1].stemmed = should_stem(_first_word_char(span))
-        else:
-            # multiple terms inside one whitespace-free span: Xapian
-            # phrase-joins them (the .-/:\@ generator chars; verified for
-            # foo-bar, tag:meh, a/b via the raw oracle)
-            toks.append(_Tok("phrase", tuple(terms)))
+        span_tokens(span, m.end())
     return toks
 
 
@@ -283,7 +349,14 @@ class _Parser:
                 pending = None
                 last_was_bare_term = False
                 continue
-            if t.kind == "phrase":
+            if t.kind == "cjkterm":
+                # Term::as_cjk_query: OP_AND over lowered unigrams+bigrams;
+                # never stems, never partial-expands
+                grams = _cjk_ngrams(t.value)
+                node = Term(grams[0]) if len(grams) == 1 \
+                    else And(tuple(Term(g) for g in grams))
+                last_was_bare_term = False
+            elif t.kind == "phrase":
                 node = _phrase_node(t.value)
                 last_was_bare_term = False
             else:
@@ -322,11 +395,56 @@ class FreetextParseError(ValueError):
     raw QueryParser throws QueryParserError there, which mdq propagates."""
 
 
-def compile_freetext(chunk: str):
+def _cjk_group_check(toks, chunk, partial_idx):
+    """Replicate the real grammar's CJKTERM/group conflict: ``group ::=
+    TERM GROUP_TERM | group GROUP_TERM`` (queryparser.lemony:2191-2195) has
+    no production for GROUP_TERM after CJKTERM, and the lexer emits
+    GROUP_TERM for any whitespace-separated term while in group mode —
+    which a CJKTERM does not reset (its code path skips the mode update,
+    queryparser_internal.cc:3407-3411). Since the "parse error" retry
+    keeps FLAG_CJK_NGRAM (queryparser.cc:171-174), the shape throws:
+    "a テ c" is QueryParserError while "a テ c(partial)" is fine (the
+    final-partial term drops out of group mode). All probed against the
+    real library."""
+    from ..functions.xapian_tokenizer import is_wordchar
+
+    mode = 0  # 0 DEFAULT, 1 IN_GROUP, 2 IN_GROUP2
+    prev_cjk = False
+    n = len(chunk)
+    for idx, t in enumerate(toks):
+        if t.kind == "cjkterm":
+            prev_cjk = True  # mode intentionally unchanged
+            continue
+        if t.kind != "term":
+            mode = 0
+            prev_cjk = False
+            continue
+        if mode and idx != partial_idx and prev_cjk:
+            raise FreetextParseError(
+                "term group member directly after a CJK term "
+                "(GROUP_TERM after CJKTERM is a grammar error)")
+        prev_cjk = False
+        if idx == partial_idx:
+            mode = 0
+            continue
+        j = t.src_end
+        ws = False
+        while 0 <= j < n and chunk[j].isspace():
+            ws = True
+            j += 1
+        if ws and 0 <= j < n and is_wordchar(chunk[j]):
+            mode = 2 if mode else 1
+        else:
+            mode = 0
+
+
+def compile_freetext(chunk: str, cjk_ngram: bool = False):
     """Compile one chunk exactly as ``qp.parse_query(chunk, mdq_flags)``
-    would. Returns an AST node (or MatchNothing); raises
-    FreetextParseError where the real parser throws."""
-    toks = _lex(chunk)
+    would (with FLAG_CJK_NGRAM when ``cjk_ngram`` — pair with an index
+    built under ``IndexConfig.cjk_ngram``). Returns an AST node (or
+    MatchNothing); raises FreetextParseError where the real parser
+    throws."""
+    toks = _lex(chunk, cjk_ngram)
     if not toks:
         return MatchNothing()
     # FLAG_PARTIAL: the last token may wildcard-expand only when the input
@@ -335,6 +453,8 @@ def compile_freetext(chunk: str):
     if chunk and (chunk[-1].isalnum() or chunk[-1] in "_+#") \
             and toks[-1].kind == "term":
         partial_idx = len(toks) - 1
+    if cjk_ngram:
+        _cjk_group_check(toks, chunk, partial_idx)
     try:
         node = _Parser(toks, partial_idx).parse()
     except _FlaglessRetry:

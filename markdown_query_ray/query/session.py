@@ -86,13 +86,21 @@ class SearchSession:
         each bucket's postings cache.
 
         grammar: "clean" (default; boundary-guarded splitter, per-token
-        chunks — field tags work everywhere) or "mdq-exact" (the
+        chunks — field tags work everywhere), "mdq-exact" (the
         reference's literal mechanics, bug-for-bug; see
-        query/freetext.parse_user_query_mdq_exact)."""
+        query/freetext.parse_user_query_mdq_exact), "freetext" (one whole
+        chunk through the raw QueryParser grammar) or "freetext-cjk"
+        (same + FLAG_CJK_NGRAM: CJK runs compile to AND-of-ngrams — pair
+        with an index built under IndexConfig.cjk_ngram)."""
         if grammar == "mdq-exact":
             from .freetext import parse_user_query_mdq_exact
 
             node = parse_user_query_mdq_exact(query)
+        elif grammar in ("freetext", "freetext-cjk"):
+            from .freetext import compile_freetext
+
+            node = compile_freetext(query,
+                                    cjk_ngram=(grammar == "freetext-cjk"))
         else:
             node = parse_user_query(query)
         return self.search_node(node, k=k, with_urls=with_urls)

@@ -28,8 +28,10 @@ from ..functions.xapian_tokenizer import (
     fast_term_counts,
     fast_tokenize,
     position_payloads,
+    position_payloads_flagged,
     simple_tokenize,
     term_counts,
+    tokenize_ngram,
 )
 from ..index.codec import encode_varints
 
@@ -43,6 +45,9 @@ class TokenizeStage:
         # uses fast_tokenize + term_counts instead of the fused C counter
         self.xapian_mode = cfg.tokenizer == "xapian"
         self.tokenize = fast_tokenize if self.xapian_mode else simple_tokenize
+        # CJK n-gram mode only affects texts containing CJK-range chars;
+        # ASCII docs still ride the C fast path (tokenize_ngram defers)
+        self.cjk = cfg.cjk_ngram and self.xapian_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         max_bytes = self.cfg.max_term_bytes
@@ -63,7 +68,13 @@ class TokenizeStage:
         texts = batch.column("text").to_pylist()
         for row_i, text in enumerate(texts):
             text = text or ""
-            if with_pos:
+            if self.cjk and not text.isascii():
+                toks_f = tokenize_ngram(text, max_bytes)
+                counts = term_counts([t for t, _ in toks_f],
+                                     stemmer=self.stemmer)
+                if with_pos:
+                    pos_of = position_payloads_flagged(toks_f)
+            elif with_pos:
                 if self.xapian_mode:
                     counts, pos_of = fast_positional_counts(
                         text, stemmer=self.stemmer, max_term_bytes=max_bytes)

@@ -43,7 +43,7 @@ def _ranges(table, pred) -> list[tuple[int, int]]:
     rs: list[tuple[int, int]] = []
     start = prev = None
     for cp in sorted(table):
-        if not pred(table[cp]):
+        if not pred(cp, table[cp]):
             continue
         if start is None:
             start = prev = cp
@@ -76,10 +76,23 @@ def _class_src(ranges: list[tuple[int, int]]) -> str:
     return "".join(parts)
 
 
+# The CJK codepoint ranges xapian's n-gram tokenizer spans
+# (queryparser/cjk-tokenizer.cc:71-83) — fixed constants in the library.
+CJK_RANGES = ((0x2E80, 0x2EFF), (0x3000, 0x9FFF), (0xA700, 0xA71F),
+              (0xAC00, 0xD7AF), (0xF900, 0xFAFF), (0xFE30, 0xFE4F),
+              (0xFF00, 0xFFEF), (0x20000, 0x2A6DF), (0x2F800, 0x2FA1F))
+
+
+def _is_cjk(cp: int) -> bool:
+    return any(a <= cp <= b for a, b in CJK_RANGES)
+
+
 def derive(table) -> dict:
-    w = _ranges(table, lambda v: v[0])
-    d = _ranges(table, lambda v: v[1])
-    s = _ranges(table, lambda v: v[2])
+    w = _ranges(table, lambda cp, v: v[0])
+    d = _ranges(table, lambda cp, v: v[1])
+    s = _ranges(table, lambda cp, v: v[2])
+    cjkw = _ranges(table, lambda cp, v: v[0] and _is_cjk(cp))
+    noncjkw = _ranges(table, lambda cp, v: v[0] and not _is_cjk(cp))
     flat: list[int] = []
     for a, b in s:
         flat.extend((a, b + 1))
@@ -91,6 +104,10 @@ def derive(table) -> dict:
         "TOLOWER": lo,
         "DIVERGENT_FLAT": tuple(
             v for a, b in _divergent(table) for v in (a, b + 1)),
+        "CJK_WORDCHAR_CLASS": "[" + _class_src(cjkw) + "]",
+        "NONCJK_WORDCHAR_CLASS": "[" + _class_src(noncjkw) + "]",
+        "WORDCHAR_FLAT": tuple(v for a, b in w for v in (a, b + 1)),
+        "DIGIT_FLAT": tuple(v for a, b in d for v in (a, b + 1)),
         "counts": (len(w), len(d), len(s), len(lo)),
     }
 
@@ -155,6 +172,15 @@ def render(derived) -> str:
     lines.append("")
     lines.append(f'DIGIT_CLASS = r"{derived["DIGIT_CLASS"]}"')
     lines.append("")
+    lines.append("# is_wordchar intersected with / minus the CJK ranges")
+    lines.append("# xapian's optional n-gram tokenizer spans")
+    lines.append("# (queryparser/cjk-tokenizer.cc:71-83).")
+    lines.append(
+        f'CJK_WORDCHAR_CLASS = r"{derived["CJK_WORDCHAR_CLASS"]}"')
+    lines.append("")
+    lines.append(
+        f'NONCJK_WORDCHAR_CLASS = r"{derived["NONCJK_WORDCHAR_CLASS"]}"')
+    lines.append("")
     div = derived["DIVERGENT_FLAT"]
     lines.append("# Flattened [start, end+1, ...] intervals of codepoints")
     lines.append("# where the regex module's \\p classes disagree with the")
@@ -166,6 +192,16 @@ def render(derived) -> str:
         lines.append("    " + " ".join(f"{v}," for v in div[i:i + 12]))
     lines.append(")")
     lines.append("")
+    lines.append("# Flattened [start, end+1, ...] intervals of the full")
+    lines.append("# is_wordchar / DECIMAL_DIGIT_NUMBER sets (bitmap-friendly")
+    lines.append("# form of the classes above, for the CJK n-gram char loop).")
+    for name in ("WORDCHAR_FLAT", "DIGIT_FLAT"):
+        vals = derived[name]
+        lines.append(f"{name} = (")
+        for i in range(0, len(vals), 12):
+            lines.append("    " + " ".join(f"{v}," for v in vals[i:i + 12]))
+        lines.append(")")
+        lines.append("")
     flat = derived["STEM_FLAT"]
     lines.append("STEM_FLAT = (")
     for i in range(0, len(flat), 12):
