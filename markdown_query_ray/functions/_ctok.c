@@ -515,7 +515,83 @@ static PyObject *fnv1a128_offsets(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* ---- varint (LEB128) block codec fast paths ----------------------------- *
+ * Byte format identical to index/codec.py's numpy implementation (7-bit
+ * groups, little-endian, high bit = continuation); parity is enforced by
+ * tests/test_codec.py. Outputs are bytearrays so numpy views over them
+ * stay writable.                                                           */
+
+/* varint_encode64(uint64-LE buffer) -> (payload bytearray, ends bytearray)
+ * where ends is an int64-LE array, ends[i] = exclusive end of value i. */
+static PyObject *varint_encode64(PyObject *self, PyObject *args) {
+    Py_buffer vals;
+    if (!PyArg_ParseTuple(args, "y*", &vals)) return NULL;
+    size_t n = (size_t)vals.len / 8;
+    const uint64_t *v = (const uint64_t *)vals.buf;
+    PyObject *ends_b = PyByteArray_FromStringAndSize(NULL,
+                                                     (Py_ssize_t)(n * 8));
+    unsigned char *payload = (unsigned char *)malloc(n ? n * 10 : 1);
+    if (!ends_b || !payload) {
+        Py_XDECREF(ends_b); free(payload); PyBuffer_Release(&vals);
+        return PyErr_NoMemory();
+    }
+    int64_t *ends = (int64_t *)PyByteArray_AS_STRING(ends_b);
+    size_t pos = 0;
+    for (size_t i = 0; i < n; i++) {
+        uint64_t x = v[i];
+        while (x >= 0x80) {
+            payload[pos++] = (unsigned char)(x | 0x80);
+            x >>= 7;
+        }
+        payload[pos++] = (unsigned char)x;
+        ends[i] = (int64_t)pos;
+    }
+    PyBuffer_Release(&vals);
+    PyObject *pl = PyByteArray_FromStringAndSize((const char *)payload,
+                                                 (Py_ssize_t)pos);
+    free(payload);
+    if (!pl) { Py_DECREF(ends_b); return NULL; }
+    return Py_BuildValue("(NN)", pl, ends_b);
+}
+
+/* varint_decode64(byte buffer) -> bytearray of uint64-LE values. A trailing
+ * incomplete value (continuation bit set on the final byte) is dropped,
+ * matching the numpy decoder. */
+static PyObject *varint_decode64(PyObject *self, PyObject *args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf)) return NULL;
+    const unsigned char *d = (const unsigned char *)buf.buf;
+    size_t len = (size_t)buf.len;
+    size_t n = 0;
+    for (size_t i = 0; i < len; i++) n += (d[i] & 0x80) == 0;
+    PyObject *out = PyByteArray_FromStringAndSize(NULL, (Py_ssize_t)(n * 8));
+    if (!out) { PyBuffer_Release(&buf); return NULL; }
+    uint64_t *o = (uint64_t *)PyByteArray_AS_STRING(out);
+    uint64_t x = 0;
+    unsigned shift = 0;
+    size_t k = 0;
+    for (size_t i = 0; i < len; i++) {
+        unsigned char c = d[i];
+        if (shift < 64)
+            x |= (uint64_t)(c & 0x7F) << shift;
+        if (c & 0x80) {
+            shift += 7;
+        } else {
+            o[k++] = x;
+            x = 0;
+            shift = 0;
+        }
+    }
+    PyBuffer_Release(&buf);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
+    {"varint_encode64", varint_encode64, METH_VARARGS,
+     "varint_encode64(uint64le_buf) -> (payload bytearray, "
+     "int64le end-offsets bytearray)"},
+    {"varint_decode64", varint_decode64, METH_VARARGS,
+     "varint_decode64(buf) -> bytearray of uint64-LE decoded values"},
     {"fnv1a64_offsets", fnv1a64_offsets, METH_VARARGS,
      "fnv1a64_offsets(offsets_bytes, data_bytes, wide=0) -> uint64 LE bytes"},
     {"fnv1a128_offsets", fnv1a128_offsets, METH_VARARGS,

@@ -33,13 +33,33 @@ import pyarrow.compute as pc
 BLOCK_SIZE_DEFAULT = 128
 
 
+def _ctok():
+    from ..functions.ctok import load
+
+    return load()
+
+
 def encode_varints(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """LEB128-encode a uint64 array. Returns (bytes:uint8[], end_offsets) where
-    end_offsets[i] is the exclusive end of value i's bytes."""
+    end_offsets[i] is the exclusive end of value i's bytes.
+
+    Dispatches to the C kernel (functions/_ctok.c varint_encode64) when
+    available; the numpy implementation below is the fallback and the parity
+    baseline (tests/test_codec.py fuzzes the two against each other)."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     n = len(vals)
     if n == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
+    m = _ctok()
+    if m is not None and hasattr(m, "varint_encode64"):
+        payload, ends = m.varint_encode64(vals)
+        return (np.frombuffer(payload, np.uint8),
+                np.frombuffer(ends, np.int64))
+    return _encode_varints_np(vals)
+
+
+def _encode_varints_np(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(vals)
     nbytes = np.ones(n, np.int64)
     v = vals >> np.uint64(7)
     while v.any():
@@ -65,11 +85,21 @@ def encode_varints(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_varints(buf: np.ndarray | bytes) -> np.ndarray:
-    """Decode a packed LEB128 stream into a uint64 array."""
+    """Decode a packed LEB128 stream into a uint64 array.
+
+    C kernel when available (varint_decode64); numpy fallback below is the
+    parity baseline."""
     data = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) \
         else buf
     if len(data) == 0:
         return np.empty(0, np.uint64)
+    m = _ctok()
+    if m is not None and hasattr(m, "varint_decode64"):
+        return np.frombuffer(m.varint_decode64(data), np.uint64)
+    return _decode_varints_np(data)
+
+
+def _decode_varints_np(data: np.ndarray) -> np.ndarray:
     ends = np.nonzero((data & 0x80) == 0)[0]
     starts = np.empty_like(ends)
     starts[0] = 0

@@ -30,6 +30,29 @@ def test_varint_known_bytes():
                                        0xAC, 0x02])
 
 
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_varint_c_numpy_parity(vals):
+    """The C kernel (functions/_ctok.c varint_{en,de}code64) and the numpy
+    implementation must agree byte-for-byte; skips silently to a self-check
+    when the C module is unavailable (both paths then run the numpy code)."""
+    from markdown_query_ray.index.codec import (
+        _decode_varints_np,
+        _encode_varints_np,
+    )
+
+    arr = np.array(vals, dtype=np.uint64)
+    payload, ends = encode_varints(arr)  # C path when available
+    if len(arr):
+        p_np, e_np = _encode_varints_np(arr)
+        assert np.array_equal(payload, p_np)
+        assert np.array_equal(ends, e_np)
+        assert np.array_equal(
+            decode_varints(payload),
+            _decode_varints_np(np.frombuffer(payload.tobytes(), np.uint8)))
+    assert decode_varints(payload).tolist() == vals
+
+
 def _roundtrip(terms, ids, tfs, dls, block_size):
     t = np.array(terms, dtype=object)
     blocks = encode_partition(t, np.array(ids, np.uint64),
