@@ -85,6 +85,12 @@ class IndexConfig:
                                      # of Xapian's Document::set_data blob
                                      # (src/document.rs:183); costs storage,
                                      # so off by default at web scale
+    codec: str = "varint"            # posting payload codec: "varint"
+                                     # (LEB128, glass pack.h analog) |
+                                     # "bitpack" (per-block frame-of-
+                                     # reference, ~0.7x the bytes and a
+                                     # branch-free decode; positions stay
+                                     # varint in both modes)
     tokenize_batch_size: int = 256   # docs per tokenize batch (web pages are fat)
     # docs per map-side-combine batch in the merge shuffle: bigger batches
     # combine more postings per (skey, term) row, directly shrinking the

@@ -272,7 +272,8 @@ def encode_write_group(group: pa.Table, out_dir: str,
     stripe = docs_per_bucket if cfg.num_doc_buckets > 1 else None
     blocks = encode_partition(terms, doc_ids, tfs, dls,
                               block_size=cfg.block_size,
-                              stripe_size=stripe, **pos_kw)
+                              stripe_size=stripe, codec=cfg.codec,
+                              **pos_kw)
     _write_atomic(_stats_partial_from_blocks(blocks), spath)
     _write_atomic(blocks, path, row_group_size=4096,
                   use_dictionary=["term"])  # postings last: the resume marker
@@ -399,6 +400,7 @@ def build_index(out_dir: str,
         "num_doc_buckets": cfg.num_doc_buckets,
         "docs_per_bucket": docs_per_bucket,
         "block_size": cfg.block_size,
+        "codec": cfg.codec,
         "tokenizer": cfg.tokenizer,
         "stem": cfg.stem,
         "positions": cfg.positions,

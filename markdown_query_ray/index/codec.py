@@ -113,6 +113,86 @@ def _decode_varints_np(data: np.ndarray) -> np.ndarray:
     return vals
 
 
+def pack_for_blocks(vals: np.ndarray,
+                    seg_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Frame-of-reference bit-pack consecutive segments of ``vals``
+    (segment i holds seg_counts[i] values). Per segment: one width byte
+    w = bitlen(max), then ceil(k*w/8) bytes of LSB-first packed values;
+    empty segments emit nothing. Returns (payload:uint8[], seg_byte_ends).
+
+    C kernel when available; numpy fallback is the parity baseline."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    seg_counts = np.ascontiguousarray(seg_counts, dtype=np.int64)
+    m = _ctok()
+    if m is not None and hasattr(m, "for_pack64"):
+        payload, ends = m.for_pack64(vals, seg_counts)
+        return (np.frombuffer(payload, np.uint8),
+                np.frombuffer(ends, np.int64))
+    return _pack_for_np(vals, seg_counts)
+
+
+def _pack_for_np(vals: np.ndarray,
+                 seg_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    chunks: list[bytes] = []
+    ends = np.zeros(len(seg_counts), np.int64)
+    pos = 0
+    vi = 0
+    for b, k in enumerate(seg_counts):
+        k = int(k)
+        if k:
+            seg = vals[vi:vi + k]
+            vi += k
+            w = int(seg.max()).bit_length()
+            if w:
+                bits = ((seg[:, None] >> np.arange(w, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.uint8)
+                packed = np.packbits(bits.ravel(), bitorder="little")
+                chunks.append(bytes([w]) + packed.tobytes())
+                pos += 1 + len(packed)
+            else:
+                chunks.append(bytes([0]))
+                pos += 1
+        ends[b] = pos
+    return np.frombuffer(b"".join(chunks), np.uint8), ends
+
+
+def unpack_for_blocks(buf: np.ndarray | bytes,
+                      seg_counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`pack_for_blocks` over a concatenated payload."""
+    data = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) \
+        else buf
+    seg_counts = np.ascontiguousarray(seg_counts, dtype=np.int64)
+    m = _ctok()
+    if m is not None and hasattr(m, "for_unpack64"):
+        return np.frombuffer(m.for_unpack64(data, seg_counts), np.uint64)
+    return _unpack_for_np(data, seg_counts)
+
+
+def _unpack_for_np(data: np.ndarray, seg_counts: np.ndarray) -> np.ndarray:
+    out: list[np.ndarray] = []
+    pos = 0
+    for k in seg_counts:
+        k = int(k)
+        if k <= 0:
+            continue
+        w = int(data[pos])
+        pos += 1
+        if w == 0:
+            out.append(np.zeros(k, np.uint64))
+            continue
+        nb = (k * w + 7) >> 3
+        bits = np.unpackbits(data[pos:pos + nb],
+                             bitorder="little")[:k * w].reshape(k, w)
+        vals = (bits.astype(np.uint64)
+                << np.arange(w, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64)
+        out.append(vals)
+        pos += nb
+    if not out:
+        return np.empty(0, np.uint64)
+    return np.concatenate(out)
+
+
 _INT32_MAX = (1 << 31) - 1
 
 
@@ -153,7 +233,8 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
                      block_size: int = BLOCK_SIZE_DEFAULT,
                      npos: np.ndarray | None = None,
                      pos_payloads: np.ndarray | None = None,
-                     stripe_size: int | None = None) -> pa.Table:
+                     stripe_size: int | None = None,
+                     codec: str = "varint") -> pa.Table:
     """Encode one shuffle partition — rows sorted by (term, doc_id) — into
     posting-block rows. ``terms`` is an object/str numpy array aligned with
     the numeric columns.
@@ -217,13 +298,23 @@ def encode_partition(terms: np.ndarray, doc_ids: np.ndarray,
     gaps = np.empty(n, np.uint64)
     gaps[0] = 0
     gaps[1:] = doc_ids[1:] - doc_ids[:-1] - 1
-    ids_payload, ids_ends = encode_varints(gaps[~block_start])
-    ids_enc = _segment_binary(ids_payload, ids_ends, bcounts - 1)
-
-    tf_payload, tf_ends = encode_varints(tfs)
-    tfs_enc = _segment_binary(tf_payload, tf_ends, bcounts)
-    dl_payload, dl_ends = encode_varints(doclens)
-    dls_enc = _segment_binary(dl_payload, dl_ends, bcounts)
+    if codec == "bitpack":
+        ids_payload, ids_bends = pack_for_blocks(gaps[~block_start],
+                                                 bcounts - 1)
+        ids_enc = _binary_from_seg_ends(ids_payload, ids_bends)
+        tf_payload, tf_bends = pack_for_blocks(tfs, bcounts)
+        tfs_enc = _binary_from_seg_ends(tf_payload, tf_bends)
+        dl_payload, dl_bends = pack_for_blocks(doclens, bcounts)
+        dls_enc = _binary_from_seg_ends(dl_payload, dl_bends)
+    elif codec == "varint":
+        ids_payload, ids_ends = encode_varints(gaps[~block_start])
+        ids_enc = _segment_binary(ids_payload, ids_ends, bcounts - 1)
+        tf_payload, tf_ends = encode_varints(tfs)
+        tfs_enc = _segment_binary(tf_payload, tf_ends, bcounts)
+        dl_payload, dl_ends = encode_varints(doclens)
+        dls_enc = _segment_binary(dl_payload, dl_ends, bcounts)
+    else:
+        raise ValueError(f"unknown posting codec {codec!r}")
 
     bend_idx = np.append(bstart_idx[1:], n) - 1
     max_wdf = np.maximum.reduceat(tfs, bstart_idx)
@@ -290,10 +381,26 @@ def _empty_blocks_table(with_positions: bool = False) -> pa.Table:
     return pa.table(cols)
 
 
-def decode_blocks(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray,
-                                             np.ndarray, np.ndarray]:
+def _binary_from_seg_ends(payload: np.ndarray,
+                          seg_byte_ends: np.ndarray) -> pa.BinaryArray:
+    """BinaryArray whose value i is payload[seg_byte_ends[i-1]:
+    seg_byte_ends[i]] (zero-copy over the payload buffer)."""
+    if len(seg_byte_ends):
+        _check_binary_size(int(seg_byte_ends[-1]))
+    offs = np.zeros(len(seg_byte_ends) + 1, np.int32)
+    offs[1:] = seg_byte_ends
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), len(seg_byte_ends),
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(payload.tobytes())])
+
+
+def decode_blocks(blocks: pa.Table, codec: str = "varint"
+                  ) -> tuple[np.ndarray, np.ndarray,
+                             np.ndarray, np.ndarray]:
     """Decode posting-block rows (any subset, in (term, block_id) order) into
-    flat (doc_ids, tfs, doclens, block_row_index) arrays."""
+    flat (doc_ids, tfs, doclens, block_row_index) arrays. ``codec`` must
+    match the index's global_stats["codec"]."""
     nb = len(blocks)
     if nb == 0:
         e = np.empty(0, np.uint64)
@@ -301,12 +408,21 @@ def decode_blocks(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray,
     ns = blocks.column("n").to_numpy().astype(np.int64)
     firsts = blocks.column("first_doc_id").to_numpy().astype(np.uint64)
 
-    def cat(col) -> np.ndarray:
-        return decode_varints(np.frombuffer(_cat_binary(col), np.uint8))
+    if codec == "bitpack":
+        def seg_cat(col, counts) -> np.ndarray:
+            return unpack_for_blocks(
+                np.frombuffer(_cat_binary(col), np.uint8), counts)
 
-    gaps = cat(blocks.column("ids_enc"))
-    tfs = cat(blocks.column("tfs_enc"))
-    dls = cat(blocks.column("dls_enc"))
+        gaps = seg_cat(blocks.column("ids_enc"), ns - 1)
+        tfs = seg_cat(blocks.column("tfs_enc"), ns)
+        dls = seg_cat(blocks.column("dls_enc"), ns)
+    else:
+        def cat(col) -> np.ndarray:
+            return decode_varints(np.frombuffer(_cat_binary(col), np.uint8))
+
+        gaps = cat(blocks.column("ids_enc"))
+        tfs = cat(blocks.column("tfs_enc"))
+        dls = cat(blocks.column("dls_enc"))
 
     total = int(ns.sum())
     starts = np.zeros(nb, np.int64)

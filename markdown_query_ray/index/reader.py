@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
@@ -106,12 +107,20 @@ class IndexReader:
                 if hit is None:
                     cache[term] = 0
                     continue
-                v = shift = 0
-                for b in hit[1]:  # leading LEB128 varint of the tf stream
-                    v |= (b & 0x7F) << shift
-                    if not b & 0x80:
-                        break
-                    shift += 7
+                if self.gstats.get("codec", "varint") == "bitpack":
+                    # [width byte][packed]: first value = low w bits
+                    from .codec import unpack_for_blocks
+
+                    v = int(unpack_for_blocks(
+                        np.frombuffer(hit[1], np.uint8),
+                        np.array([1], np.int64))[0]) if hit[1] else 0
+                else:
+                    v = shift = 0
+                    for b in hit[1]:  # leading LEB128 varint of the tf stream
+                        v |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
                 cache[term] = v
         return {t: cache[t] for t in set(terms)}
 

@@ -156,6 +156,7 @@ def update_index(index_dir: str,
             block_size=g["block_size"], num_term_parts=g["num_term_parts"],
             num_doc_buckets=g["num_doc_buckets"], tokenizer=g["tokenizer"],
             stem=g["stem"], positions=g.get("positions", False),
+            codec=g.get("codec", "varint"),
             docs_per_bucket=g.get("docs_per_bucket", 1 << 32))
     if not os.path.exists(_segments_path(index_dir)):
         # legacy index without a registry: persist the synthesized one (with
@@ -238,6 +239,7 @@ def compact(index_dir: str, out_dir: str,
             block_size=g["block_size"], num_term_parts=g["num_term_parts"],
             num_doc_buckets=g["num_doc_buckets"], tokenizer=g["tokenizer"],
             stem=g["stem"], positions=g.get("positions", False),
+            codec=g.get("codec", "varint"),
             docs_per_bucket=g.get("docs_per_bucket", 1 << 32))
     segs = load_segments(index_dir)
     ts = _tombstone_ids(index_dir)

@@ -202,7 +202,8 @@ class Evaluator:
         if not missing:
             return
         blocks = self.reader.load_blocks(missing, self.bucket)
-        ids, tfs, dls, block_of = decode_blocks(blocks)
+        ids, tfs, dls, block_of = decode_blocks(
+            blocks, codec=self.reader.gstats.get("codec", "varint"))
         bterms = np.asarray(blocks.column("term").to_pylist(), dtype=object)
         nb = len(bterms)
         pcounts = pvals = pos_off = None

@@ -88,6 +88,10 @@ def read_pages(paths: list[str], columns: list[str] | None = None,
     """
     import ray.data
 
+    if not paths:
+        # fail loudly here: an empty control dataset has no schema and the
+        # build pipeline would die later with an opaque AttributeError
+        raise ValueError("read_pages: no input files (empty `paths`)")
     bases = doc_id_bases(paths)
     if id_base:
         bases = {p: b + id_base for p, b in bases.items()}

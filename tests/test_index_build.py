@@ -143,6 +143,39 @@ def test_parallelism_invariance(ray_session, pages_corpus, tmp_path,
         assert a[2].tolist() == b[2].tolist()
 
 
+def test_bitpack_codec_equivalent(ray_session, pages_corpus, tmp_path,
+                                  built_index):
+    """An index built with codec="bitpack" must decode to identical posting
+    lists and return identical search results (ranks AND scores) as the
+    varint index over the same corpus."""
+    out = str(tmp_path / "idx_bp")
+    cfg = IndexConfig(num_term_parts=4, num_doc_buckets=2, block_size=32,
+                      codec="bitpack")
+    gstats = build_index(out, paths=pages_corpus, cfg=cfg)
+    assert gstats["codec"] == "bitpack"
+    rb = IndexReader(out)
+    rv = IndexReader(built_index[0])
+    for term in ["the", "Zthe", "xqzraretri", "uncle"]:
+        a = decode_blocks(rv.load_blocks([term]), codec="varint")
+        b = decode_blocks(rb.load_blocks([term]), codec="bitpack")
+        for x, y in zip(a[:3], b[:3]):
+            assert x.tolist() == y.tolist()
+    assert rb.first_wdf(["the", "xqzraretri"]) == \
+        rv.first_wdf(["the", "xqzraretri"])
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.compiler import parse_user_query
+
+    qc = QueryConfig(k=20, params=BM25Params.xapian(), use_wand=True)
+    for q in ["the quick merge", "merge AND sort", "xqzraretri"]:
+        hv = qx.search(built_index[0], parse_user_query(q), qc)
+        hb = qx.search(out, parse_user_query(q), qc)
+        assert hv.column("doc_id").to_pylist() == \
+            hb.column("doc_id").to_pylist(), q
+        assert hv.column("score").to_pylist() == \
+            pytest.approx(hb.column("score").to_pylist(), rel=1e-12), q
+
+
 def test_staging_partial_write_cleared(ray_session, pages_corpus, tmp_path):
     """A crash mid-staging-write (parquet files present, no _SUCCESS) must
     NOT double the corpus on re-run: the rebuild clears stale staging
