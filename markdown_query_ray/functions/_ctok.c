@@ -706,7 +706,123 @@ corrupt:
     return NULL;
 }
 
+/* seg_ids64(gaps_u64le, firsts_u64le, counts_i64le) -> uint64le bytearray.
+ * Reconstruct absolute doc ids from per-segment delta coding where segment
+ * b contributes counts[b] ids: firsts[b], then prev + gap + 1 for each of
+ * counts[b]-1 consecutive gap values (gaps holds only non-first entries,
+ * concatenated across segments). */
+static PyObject *seg_ids64(PyObject *self, PyObject *args) {
+    Py_buffer gaps, firsts, counts;
+    if (!PyArg_ParseTuple(args, "y*y*y*", &gaps, &firsts, &counts))
+        return NULL;
+    size_t ng = (size_t)gaps.len / 8, nb = (size_t)counts.len / 8;
+    const uint64_t *g = (const uint64_t *)gaps.buf;
+    const uint64_t *f = (const uint64_t *)firsts.buf;
+    const int64_t *c = (const int64_t *)counts.buf;
+    size_t total = 0, need = 0;
+    for (size_t b = 0; b < nb; b++) {
+        if (c[b] > 0) { total += (size_t)c[b]; need += (size_t)c[b] - 1; }
+    }
+    if (need != ng || nb > (size_t)firsts.len / 8) {
+        PyBuffer_Release(&gaps); PyBuffer_Release(&firsts);
+        PyBuffer_Release(&counts);
+        PyErr_SetString(PyExc_ValueError, "seg_ids64: length mismatch");
+        return NULL;
+    }
+    PyObject *out = PyByteArray_FromStringAndSize(
+        NULL, (Py_ssize_t)(total * 8));
+    if (!out) {
+        PyBuffer_Release(&gaps); PyBuffer_Release(&firsts);
+        PyBuffer_Release(&counts);
+        return NULL;
+    }
+    uint64_t *o = (uint64_t *)PyByteArray_AS_STRING(out);
+    size_t vi = 0, oi = 0;
+    for (size_t b = 0; b < nb; b++) {
+        int64_t k = c[b];
+        if (k <= 0) continue;
+        uint64_t id = f[b];
+        o[oi++] = id;
+        for (int64_t j = 1; j < k; j++) {
+            id += g[vi++] + 1;
+            o[oi++] = id;
+        }
+    }
+    PyBuffer_Release(&gaps); PyBuffer_Release(&firsts);
+    PyBuffer_Release(&counts);
+    return out;
+}
+
+/* seg_ids_inline64(vals_u64le, counts_i64le) -> uint64le bytearray.
+ * Same reconstruction but with the first id INLINE in the value stream:
+ * segment b's values are [first, gap-1, gap-1, ...] (counts[b] values). */
+static PyObject *seg_ids_inline64(PyObject *self, PyObject *args) {
+    Py_buffer vals, counts;
+    if (!PyArg_ParseTuple(args, "y*y*", &vals, &counts)) return NULL;
+    size_t nv = (size_t)vals.len / 8, nb = (size_t)counts.len / 8;
+    const uint64_t *v = (const uint64_t *)vals.buf;
+    const int64_t *c = (const int64_t *)counts.buf;
+    size_t total = 0;
+    for (size_t b = 0; b < nb; b++)
+        if (c[b] > 0) total += (size_t)c[b];
+    if (total != nv) {
+        PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+        PyErr_SetString(PyExc_ValueError,
+                        "seg_ids_inline64: length mismatch");
+        return NULL;
+    }
+    PyObject *out = PyByteArray_FromStringAndSize(
+        NULL, (Py_ssize_t)(total * 8));
+    if (!out) {
+        PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+        return NULL;
+    }
+    uint64_t *o = (uint64_t *)PyByteArray_AS_STRING(out);
+    size_t vi = 0, oi = 0;
+    for (size_t b = 0; b < nb; b++) {
+        int64_t k = c[b];
+        if (k <= 0) continue;
+        uint64_t id = v[vi++];
+        o[oi++] = id;
+        for (int64_t j = 1; j < k; j++) {
+            id += v[vi++] + 1;
+            o[oi++] = id;
+        }
+    }
+    PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+    return out;
+}
+
+/* repeat_arange64(counts_i64le) -> int64le bytearray: [0]*c0 + [1]*c1 + ...
+ * (np.repeat(np.arange(n), counts) without the numpy fancy-index cost). */
+static PyObject *repeat_arange64(PyObject *self, PyObject *args) {
+    Py_buffer counts;
+    if (!PyArg_ParseTuple(args, "y*", &counts)) return NULL;
+    size_t nb = (size_t)counts.len / 8;
+    const int64_t *c = (const int64_t *)counts.buf;
+    size_t total = 0;
+    for (size_t b = 0; b < nb; b++)
+        if (c[b] > 0) total += (size_t)c[b];
+    PyObject *out = PyByteArray_FromStringAndSize(
+        NULL, (Py_ssize_t)(total * 8));
+    if (!out) { PyBuffer_Release(&counts); return NULL; }
+    int64_t *o = (int64_t *)PyByteArray_AS_STRING(out);
+    size_t oi = 0;
+    for (size_t b = 0; b < nb; b++)
+        for (int64_t j = 0; j < c[b]; j++) o[oi++] = (int64_t)b;
+    PyBuffer_Release(&counts);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
+    {"repeat_arange64", repeat_arange64, METH_VARARGS,
+     "repeat_arange64(counts_i64le) -> int64le bytearray of segment indices"},
+    {"seg_ids64", seg_ids64, METH_VARARGS,
+     "seg_ids64(gaps_u64le, firsts_u64le, counts_i64le) -> "
+     "absolute ids uint64le bytearray"},
+    {"seg_ids_inline64", seg_ids_inline64, METH_VARARGS,
+     "seg_ids_inline64(vals_u64le, counts_i64le) -> "
+     "absolute ids uint64le bytearray"},
     {"for_pack64", for_pack64, METH_VARARGS,
      "for_pack64(uint64le_vals, int64le_seg_counts) -> "
      "(payload bytearray, int64le seg byte-end offsets)"},

@@ -424,19 +424,30 @@ def decode_blocks(blocks: pa.Table, codec: str = "varint"
         tfs = cat(blocks.column("tfs_enc"))
         dls = cat(blocks.column("dls_enc"))
 
-    total = int(ns.sum())
-    starts = np.zeros(nb, np.int64)
-    starts[1:] = np.cumsum(ns)[:-1]
-    mask = np.ones(total, bool)
-    mask[starts] = False
-    # segmented cumsum: within-block running sum of (gap+1), zero at starts
-    x = np.zeros(total, np.uint64)
-    x[mask] = gaps + np.uint64(1)
-    cs = np.cumsum(x, dtype=np.uint64)
-    within = cs - np.repeat(cs[starts], ns)
-    doc_ids = np.repeat(firsts, ns) + within
+    m = _ctok()
+    if m is not None and hasattr(m, "seg_ids64"):
+        doc_ids = np.frombuffer(
+            m.seg_ids64(np.ascontiguousarray(gaps, np.uint64),
+                        np.ascontiguousarray(firsts, np.uint64),
+                        np.ascontiguousarray(ns, np.int64)), np.uint64)
+    else:
+        total = int(ns.sum())
+        starts = np.zeros(nb, np.int64)
+        starts[1:] = np.cumsum(ns)[:-1]
+        mask = np.ones(total, bool)
+        mask[starts] = False
+        # segmented cumsum: within-block running sum of gap+1, zero at starts
+        x = np.zeros(total, np.uint64)
+        x[mask] = gaps + np.uint64(1)
+        cs = np.cumsum(x, dtype=np.uint64)
+        within = cs - np.repeat(cs[starts], ns)
+        doc_ids = np.repeat(firsts, ns) + within
 
-    block_of = np.repeat(np.arange(nb, dtype=np.int64), ns)
+    if m is not None and hasattr(m, "repeat_arange64"):
+        block_of = np.frombuffer(
+            m.repeat_arange64(np.ascontiguousarray(ns, np.int64)), np.int64)
+    else:
+        block_of = np.repeat(np.arange(nb, dtype=np.int64), ns)
     return doc_ids, tfs, dls, block_of
 
 
@@ -462,6 +473,12 @@ def _cat_binary(col):
 def _segmented_ids(vals: np.ndarray, seg_n: np.ndarray) -> np.ndarray:
     """Reconstruct absolute doc_ids from per-segment delta coding
     (vals[start] = first id, others = gap-1)."""
+    m = _ctok()
+    if m is not None and hasattr(m, "seg_ids_inline64"):
+        return np.frombuffer(
+            m.seg_ids_inline64(np.ascontiguousarray(vals, np.uint64),
+                               np.ascontiguousarray(seg_n, np.int64)),
+            np.uint64)
     total = int(seg_n.sum())
     starts = np.zeros(len(seg_n), np.int64)
     starts[1:] = np.cumsum(seg_n)[:-1]

@@ -215,12 +215,21 @@ class IndexReader:
         if not paths:
             from .codec import _empty_blocks_table
             return _empty_blocks_table()
-        tabs = []
         tset = list(set(terms))
-        for p in paths:
-            t = pq.read_table(p, filters=[("term", "in", tset)])
-            if len(t):
-                tabs.append(t)
+
+        def read_one(p: str):
+            return pq.read_table(p, filters=[("term", "in", tset)])
+
+        if len(paths) > 1:
+            # filtered parquet reads release the GIL; a wide multi-token
+            # partial query touches every partition file of the bucket, so
+            # reading them serially dominates cold-query latency
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+                tabs = [t for t in ex.map(read_one, paths) if len(t)]
+        else:
+            tabs = [t for t in map(read_one, paths) if len(t)]
         if not tabs:
             from .codec import _empty_blocks_table
             return _empty_blocks_table()
