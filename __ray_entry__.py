@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                            k=20),
         # rare term (df=25): exercises nonzero classic idf + WAND pruning
         "bm25_rare_dup": lambda sf: d.bm25_topk(sf, ["dup", "merge"], k=20),
+        # same query over a bitpack-codec index: the DuckDB oracle validates
+        # the frame-of-reference block codec end to end
+        "bm25_or3_bitpack": lambda sf: d.bm25_topk(
+            sf, ["merge", "sort", "window"], k=20, codec="bitpack"),
         "bm25_lang_de": lambda sf: d.bm25_lang_filtered(
             sf, ["merge", "sort"], "de", k=20),
         "phrase_merge_sort": lambda sf: d.phrase_bm25(sf, ["merge", "sort"],
@@ -235,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_single_term": _bm25_sql(["merge"], 20),
         "bm25_or3": _bm25_sql(["merge", "sort", "window"], 20),
+        "bm25_or3_bitpack": _bm25_sql(["merge", "sort", "window"], 20),
         "bm25_rare_dup": _bm25_sql(["dup", "merge"], 20),
         "bm25_lang_de": _bm25_xapian_restricted_sql(
             ["merge", "sort"], 20,

@@ -43,17 +43,20 @@ def _docs_dataset(sf_dir: str):
     return ds.map_batches(add_url, batch_format="pyarrow")
 
 
-def documents_index(sf_dir: str, positions: bool = False) -> str:
+def documents_index(sf_dir: str, positions: bool = False,
+                    codec: str = "varint") -> str:
     """Build (once, cached+resumable) a simple-mode index over the documents
     table; doc_ids are the table's own doc_id column."""
     tag = "simple-pos" if positions else "simple"
+    if codec != "varint":
+        tag += f"-{codec}"
     key = hashlib.md5(f"{sf_dir}|v{__version__}|{tag}".encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"docs-{key}")
     done = os.path.join(out, "_INDEX_DONE")
     if not os.path.exists(done):
         cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=8,
                           num_doc_buckets=1, block_size=128,
-                          positions=positions)
+                          positions=positions, codec=codec)
         build_index(out, dataset=_docs_dataset(sf_dir), cfg=cfg)
         with open(done, "w") as f:
             f.write("ok")
@@ -70,9 +73,10 @@ def _round_col(t: pa.Table, col: str, digits: int = ROUND) -> pa.Table:
     return t.set_column(i, col, pa.array(vals, pa.float64()))
 
 
-def bm25_topk(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+def bm25_topk(sf_dir: str, terms: list[str], k: int = 10,
+              codec: str = "varint") -> pa.Table:
     """(rank, doc_id, score) for a weighted-OR query, classic BM25 profile."""
-    idx = documents_index(sf_dir)
+    idx = documents_index(sf_dir, codec=codec)
     node = Term(terms[0]) if len(terms) == 1 \
         else Or(tuple(Term(t) for t in terms))
     qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)

@@ -56,7 +56,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 SQL_CHECKED = [
-    "bm25_single_term", "bm25_or3", "bm25_rare_dup", "bm25_lang_de",
+    "bm25_single_term", "bm25_or3", "bm25_or3_bitpack", "bm25_rare_dup",
+    "bm25_lang_de",
     "phrase_merge_sort",
     "near_merge_sort_w5", "embedding_neardup",
     "bool_and", "bool_and_not", "bool_xor", "match_counts",
