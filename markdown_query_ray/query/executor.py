@@ -722,6 +722,99 @@ def wand_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
     return hits
 
 
+def block_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
+               ) -> list[tuple[float, int]]:
+    """Exact vectorized block-max top-k over a weighted OR of terms — the
+    serving-path replacement for the doc-at-a-time :func:`wand_topk` loop
+    (kept for reference/cross-checks), which spends ~10us of Python per
+    candidate doc and loses to vectorized exhaustive scoring whenever match
+    density is high (stopword queries).
+
+    Three passes, all numpy:
+
+    A. theta seed: per term, take the blocks with the highest block-max
+       bounds until they cover >= k postings; exactly score the union of
+       those docs (contributions gathered from ALL terms, so the scores are
+       true scores); theta = k-th best. A true k-th-best over any doc subset
+       lower-bounds the final k-th-best, so theta is a sound threshold.
+    B. block pruning: drop term t's block b iff
+       ub_t(b) + sum_{t' != t} ub_global(t') < theta (strict: theta ties
+       can still displace the heap top via the ascending-doc_id tie-break,
+       msetcmp.cc:51-59). Any doc d absent from every kept block satisfies,
+       for each term t it matches, score(d) <= ub_t(block_t(d)) +
+       sum_{t' != t} ub_global(t') < theta — so it cannot reach the top-k.
+    C. exact scoring of the kept blocks' doc union: per term, a
+       searchsorted gather (O(|D| log n_t), independent of posting-list
+       length), contributions added in query-term order so float summation
+       order matches the exhaustive path bit-for-bit.
+    """
+    terms = []
+    for qorder, (w, p) in enumerate(term_entries):
+        if len(p.ids) == 0:
+            continue
+        if p.blocks is not None and len(p.blocks):
+            bub = np.asarray(w.maxpart_block(
+                p.blocks.column("max_wdf").to_numpy(),
+                p.blocks.column("min_doclen").to_numpy()), np.float64)
+            block_of = p.block_of
+            bn = p.blocks.column("n").to_numpy().astype(np.int64)
+        else:
+            bub = np.array([float(w.sumpart(int(p.tfs.max()),
+                                            max(1, int(p.dls.min()))))])
+            block_of = np.zeros(len(p.ids), np.int64)
+            bn = np.array([len(p.ids)], np.int64)
+        terms.append({"qorder": qorder, "w": w, "p": p, "bub": bub,
+                      "block_of": block_of, "bn": bn,
+                      "ubg": float(bub.max())})
+    if not terms:
+        return []
+    sum_ubg = sum(t["ubg"] for t in terms)
+
+    def exact_scores(docs: np.ndarray) -> np.ndarray:
+        s = np.zeros(len(docs), np.float64)
+        for t in sorted(terms, key=lambda x: x["qorder"]):
+            ids = t["p"].ids
+            pos = np.searchsorted(ids, docs)
+            pos_c = np.minimum(pos, len(ids) - 1)
+            hit = ids[pos_c] == docs
+            if hit.any():
+                s[hit] += t["w"].sumpart(t["p"].tfs[pos_c[hit]],
+                                         t["p"].dls[pos_c[hit]])
+        return s
+
+    # ---- pass A ------------------------------------------------------------
+    seeds = []
+    for t in terms:
+        order = np.argsort(-t["bub"], kind="stable")
+        covered = np.cumsum(t["bn"][order])
+        nb = int(np.searchsorted(covered, k) + 1)
+        bmask = np.zeros(len(t["bub"]), bool)
+        bmask[order[:nb]] = True
+        seeds.append(t["p"].ids[bmask[t["block_of"]]])
+    d0 = np.unique(np.concatenate(seeds))
+    if len(d0) >= k:
+        s0 = exact_scores(d0)
+        theta = float(np.partition(s0, len(s0) - k)[len(s0) - k])
+    else:
+        theta = -np.inf
+
+    # ---- pass B ------------------------------------------------------------
+    cands = []
+    for t in terms:
+        keep = t["bub"] + (sum_ubg - t["ubg"]) >= theta
+        if keep.all():
+            cands.append(t["p"].ids)
+        elif keep.any():
+            cands.append(t["p"].ids[keep[t["block_of"]]])
+    if not cands:
+        return []
+    docs = np.unique(np.concatenate(cands))
+
+    # ---- pass C ------------------------------------------------------------
+    scores = exact_scores(docs)
+    return topk_from_scored(ScoredSet(docs, scores), k)
+
+
 # ---------------------------------------------------------------------------
 # public search entry points
 # ---------------------------------------------------------------------------
@@ -737,7 +830,7 @@ def search_bucket(index_dir: str, node, qcfg: QueryConfig,
         for t in terms:
             p = ev.postings(t.text)
             entries.append((ev.weight(t.text, t.wqf), p))
-        return wand_topk(entries, qcfg.k)
+        return block_topk(entries, qcfg.k)
     return topk_from_scored(ev.evaluate(node), qcfg.k)
 
 

@@ -30,7 +30,12 @@ import pyarrow as pa
 from ..config import BM25Params, QueryConfig
 from ..index.reader import IndexReader
 from .compiler import parse_user_query
-from .executor import Evaluator, flat_or_terms, topk_from_scored, wand_topk
+from .executor import (
+    Evaluator,
+    block_topk,
+    flat_or_terms,
+    topk_from_scored,
+)
 
 
 class SearchSession:
@@ -118,7 +123,7 @@ class SearchSession:
             if self.qcfg.use_wand and terms is not None and len(terms) > 1:
                 entries = [(ev.weight(t.text, t.wqf), ev.postings(t.text))
                            for t in terms]
-                hits.extend(wand_topk(entries, k))
+                hits.extend(block_topk(entries, k))
             else:
                 hits.extend(topk_from_scored(ev.evaluate(node), k))
         hits.sort(key=lambda t: (-t[0], t[1]))
