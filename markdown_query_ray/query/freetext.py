@@ -2,48 +2,74 @@
 grammar (the path mdq uses for chunks BEFORE an operator keyword,
 xapian_utils.rs:597-600 — ``qp.parse_query(chunk, flags)``).
 
-Implements the exercised subset of queryparser_internal.cc under mdq's flag
-set (BOOLEAN | PHRASE | LOVEHATE | BOOLEAN_ANY_CASE | WILDCARD | PURE_NOT |
-PARTIAL), with every rule below verified against the real library through
-the ``query-raw`` mode of tools/xapian_oracle.cc
-(tests/test_xapian_parity.py::test_freetext_*):
+Character-level port of queryparser_internal.cc's lexer main loop
+(xapian-core-1.4.17, :2990-3400) plus the lemon grammar
+(queryparser.lemony:1850-2260) for mdq's flag set (BOOLEAN | PHRASE |
+LOVEHATE | BOOLEAN_ANY_CASE | WILDCARD | PURE_NOT | PARTIAL). The port
+keeps the C control flow's observable semantics:
 
-- free words stem to positional Z-terms (STEM_SOME: words whose first char
-  is uppercase or non-letter stay unstemmed, lowercased);
-- the FINAL word partial-expands (OR(WILDCARD-SYNONYM, exact)) only when
-  the input ends mid-word (no trailing space/quote/bracket);
-- quoted strings and joiner-punctuation runs (``.-/:\\@`` between word
-  characters) become PHRASEs of unstemmed terms;
-- boolean keywords in any case (and/or/not/xor) combine with Xapian's
-  precedence (OR lowest, then XOR, then AND/NOT); brackets group;
-- ``+term``/``-term`` love/hate: loves AND-group and AND_MAYBE the rest,
-  hates AND_NOT the result; pure ``NOT x`` = AND_NOT(MatchAll, x).
+- lexer modes DEFAULT / IN_QUOTES / IN_PHRASED_TERM / IN_GROUP / IN_GROUP2;
+  whitespace-separated term runs become GROUP_TERMs (one OR sub-node),
+  joiner-punctuation runs (``.-/:\\@`` immediately followed by a word char)
+  become PHR_TERM chains (ordered phrases), quotes open positional phrases
+  and are implicitly closed at end of input;
+- ``(`` opens a subexpression only after whitespace/``()+-`` and when not
+  immediately followed by ``)``; a stray ``)`` reaches the grammar as KET
+  and is a syntax error; unclosed ``(`` are implicitly closed at end;
+- ``+``/``-`` are love/hate only after whitespace/``(`` and when not
+  followed by whitespace or more +/-; ``-`` right after a boolean keyword
+  lexes as HATE_AFTER_AND (valid only in ``A AND -B`` = AND_NOT);
+- boolean keywords (any case): AND OR NOT XOR and case-folded NEAR/ADJ with
+  optional ``/width``; acronyms (A.N.D.) are never keywords;
+- a term immediately followed by a stem preventer (``(/\\@<>=*[{"``) is not
+  Z-stemmed; trailing ``*`` makes a WILD_TERM (unlimited SYNONYM-wildcard);
+  the final term of the input partial-expands (FLAG_PARTIAL) only in
+  DEFAULT/GROUP modes;
+- grammar errors (the lemon "parse error") re-parse the chunk flagless
+  (queryparser.cc:170-174: flags &= FLAG_CJK_NGRAM), where keywords and
+  love/hate/brackets/quotes are inert; missing operands of an explicit
+  boolean operator (VET_BOOL_ARGS) throw WITHOUT retry, as does a chunk
+  whose flagless re-parse fails again (only the CJK group corner).
+
+Known deliberate divergence: the query-side suffix rule keeps ``c++``/
+``c#`` only when the suffixed term exists in the database
+(queryparser_internal.cc:781-805 ``db.term_exists``); this compiler has no
+database handle and always keeps the suffix (the index stores suffixed
+terms for all TermGenerator-indexed text, so the common case agrees).
 """
 
 from __future__ import annotations
-
-import re
 
 import regex as _regex
 
 from ..functions._xapian_unicode import CJK_WORDCHAR_CLASS, TOLOWER
 from ..functions.snowball import stem as snowball_stem
-from ..functions.xapian_tokenizer import should_stem, tokenize
-from .ast import And, AndMaybe, AndNot, MatchAll, Or, Phrase, Term
+from ..functions.xapian_tokenizer import (
+    _pattern_for,
+    is_wordchar,
+    should_stem,
+    tokenize,
+)
+from .ast import (
+    And,
+    AndMaybe,
+    AndNot,
+    MatchAll,
+    Or,
+    Phrase,
+    Synonym,
+    Term,
+    Wildcard,
+    Xor,
+)
 from .compiler import MatchNothing, _partial_term
 
-# CJK n-gram mode (FLAG_CJK_NGRAM / XAPIAN_CJK_NGRAM): the lexer splits a
-# span at CJK-wordchar runs (parse_term consumes a whole run as ONE term
-# marked is_cjk_term, queryparser_internal.cc:748-753, and term building
-# breaks at a CJK char, :759); a free CJK term compiles to OP_AND over its
-# lowered unigrams+bigrams (Term::as_cjk_query, :532-549) and never
-# partial-expands (CJKTERM bypasses the wildcard path, :3407-3411); inside
-# a phrase each CJK character is its own positional term
-# (as_positional_cjk_term, :1158-1170). Known unimplemented corner: an
-# infix char directly between a word char and a CJK char joins into the
-# left term in the real lexer ("a'中" -> term "a'"); we tokenize the left
-# segment in isolation ("a").
-_CJK_SPLIT_RE = _regex.compile(rf"({CJK_WORDCHAR_CLASS}+)", _regex.V1)
+# ---------------------------------------------------------------------------
+# CJK helpers (FLAG_CJK_NGRAM)
+# ---------------------------------------------------------------------------
+
+_CJK_RUN_RE = _regex.compile(rf"{CJK_WORDCHAR_CLASS}+", _regex.V1)
+_CJK_ONE_RE = _regex.compile(rf"{CJK_WORDCHAR_CLASS}", _regex.V1)
 
 
 def _cjk_lower(s: str) -> str:
@@ -61,381 +87,592 @@ def _cjk_ngrams(run: str) -> list[str]:
     return out
 
 
-def _phrase_terms_ngram(quoted: str) -> list[str]:
-    terms: list[str] = []
-    for pi, part in enumerate(_CJK_SPLIT_RE.split(quoted)):
-        if not part:
-            continue
-        if pi % 2 == 1:
-            terms.extend(_cjk_lower(part))  # one positional term per char
-        else:
-            terms.extend(tokenize(part))
-    return terms
+# ---------------------------------------------------------------------------
+# term-text normalization (same per-term processing as tokenize(), no cap)
+# ---------------------------------------------------------------------------
 
-# one lexeme: quoted string, bracket, love/hate marker, or a word-ish span
-# (maximal run of non-space, non-bracket, non-quote chars)
-_LEX_RE = re.compile(r'"([^"]*)"|([()])|([+-](?=\S))|([^\s()"+-][^\s()"]*)')
-
-_BOOL_WORDS = {"and": "AND", "or": "OR", "not": "NOT", "xor": "XOR"}
-# NEAR/ADJ are case-sensitive (lowercase "near" is a plain stemmable word;
-# verified via the raw oracle)
-_POSITIONAL_OPS = {"NEAR", "ADJ"}
+_POST_CHARS = "’‛​‌‍⁠﻿"
+_POST_TABLE = {0x2019: "'", 0x201b: "'", 0x200b: None, 0x200c: None,
+               0x200d: None, 0x2060: None, 0xfeff: None}
+_EXACT_LOWER = dict(TOLOWER)
+_EXACT_LOWER.update(_POST_TABLE)
 
 
-class _Tok:
-    __slots__ = ("kind", "value", "stemmed", "partial_ok", "src_end")
+def _norm_term(raw: str) -> str:
+    if raw.isascii():
+        return raw.lower()
+    if "Σ" in raw or "İ" in raw:
+        return raw.translate(_EXACT_LOWER)
+    t = raw.lower()
+    for ch in _POST_CHARS:
+        if ch in t:
+            return t.translate(_POST_TABLE)
+    return t
 
-    def __init__(self, kind, value=None, stemmed=True, partial_ok=False):
-        self.kind = kind          # term|phrase|cjkterm|op|lpar|rpar|love|hate
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_DQUOTE = {'"', '“', '”'}
+_PHRASE_GEN = set(".-/:\\@")
+_STEM_PREVENTER = set('(/\\@<>=*[{"')
+_KEYWORDS = {"AND": "AND", "NOT": "NOT", "XOR": "XOR", "OR": "OR",
+             "NEAR": "NEAR", "ADJ": "ADJ"}
+
+# flag bits (subset exercised by mdq)
+F_BOOLEAN = 1
+F_PHRASE = 2
+F_LOVEHATE = 4
+F_ANY_CASE = 8
+F_WILDCARD = 16
+F_PURE_NOT = 32
+F_PARTIAL = 64
+MDQ_FLAGS = (F_BOOLEAN | F_PHRASE | F_LOVEHATE | F_ANY_CASE | F_WILDCARD
+             | F_PURE_NOT | F_PARTIAL)
+
+
+class _T:
+    __slots__ = ("kind", "value", "stem_ok", "width")
+
+    def __init__(self, kind, value=None, stem_ok=False, width=0):
+        self.kind = kind
         self.value = value
-        self.stemmed = stemmed    # term: eligible for Z-stemming
-        self.partial_ok = partial_ok  # term: may partial-expand if final
-        self.src_end = -1         # chunk offset just past this token's source
+        self.stem_ok = stem_ok
+        self.width = width
+
+    def __repr__(self):  # debugging aid
+        return f"<{self.kind} {self.value!r}>"
 
 
-def _word_term(raw: str) -> _Tok:
-    """One word from the lexer -> term token. STEM_SOME gate runs on the
-    RAW text: an uppercase-initial word is not stemmed (NEAR -> near)."""
-    lowered = raw.lower()
-    return _Tok("term", lowered,
-                stemmed=should_stem(raw[0]) if raw else False,
-                partial_ok=True)
+def _is_ws(ch: str) -> bool:
+    # Unicode::is_whitespace: category Z* plus the ASCII control whitespace
+    return ch.isspace()
 
 
-def _lex(chunk: str, cjk_ngram: bool = False) -> list[_Tok]:
-    toks: list[_Tok] = []
+def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
+    """Port of the lexer main loop. Returns the token stream (with implicit
+    closing QUOTE/KETs appended, mirroring queryparser.lemony:1383-1392)."""
+    toks: list[_T] = []
+    pat = _pattern_for(chunk)
+    i, n = 0, len(chunk)
+    newprev = " "
+    mode = "DEFAULT"  # DEFAULT IN_QUOTES IN_PHRASED_TERM IN_GROUP IN_GROUP2
+    bra_depth = 0
 
-    def span_tokens(span: str, src_end: int = -1) -> None:
-        kw = _BOOL_WORDS.get(span.lower())
-        if kw is not None:
-            toks.append(_Tok("op", kw))
-            return
-        if span in _POSITIONAL_OPS:
-            toks.append(_Tok("posop", span))
-            return
-        terms = tokenize(span)
-        if not terms:
-            return
-        if len(terms) == 1:
-            # term VALUE comes from the tokenizer (parity-tested: strips
-            # the punctuation QueryParser never indexes — "hello," must
-            # become Zhello, verified vs the real parser), while the
-            # STEM_SOME gate still reads the RAW first word char below
-            toks.append(_word_term(terms[0]))
-            toks[-1].stemmed = should_stem(_first_word_char(span))
-            toks[-1].src_end = src_end
-        else:
-            # multiple terms inside one whitespace-free span: Xapian
-            # phrase-joins them (the .-/:\@ generator chars; verified for
-            # foo-bar, tag:meh, a/b via the raw oracle)
-            toks.append(_Tok("phrase", tuple(terms)))
+    def skip_ws(j: int) -> int:
+        while j < n and _is_ws(chunk[j]):
+            j += 1
+        return j
 
-    for m in _LEX_RE.finditer(chunk):
-        quoted, bracket, lovehate, span = m.groups()
-        if quoted is not None:
-            terms = _phrase_terms_ngram(quoted) if cjk_ngram \
-                else tokenize(quoted)
-            if terms:
-                toks.append(_Tok("phrase", tuple(terms)))
-            continue
-        if bracket is not None:
-            toks.append(_Tok("lpar" if bracket == "(" else "rpar"))
-            continue
-        if lovehate is not None:
-            toks.append(_Tok("love" if lovehate == "+" else "hate"))
-            continue
-        if cjk_ngram and _CJK_SPLIT_RE.search(span):
-            # split at CJK runs: each run is one CJKTERM token, the
-            # remaining segments lex as usual (keywords included:
-            # "AND中" is operator AND followed by the CJK term 中)
-            off = m.start()
-            for pi, part in enumerate(_CJK_SPLIT_RE.split(span)):
-                if not part:
-                    continue
-                off += len(part)
-                if pi % 2 == 1:
-                    toks.append(_Tok("cjkterm", _cjk_lower(part),
-                                     stemmed=False))
-                    toks[-1].src_end = off
+    def parse_one_term(j: int):
+        """(value, stem_ok, end_index, was_acronym) for the term at j
+        (j must be a word char). CJK handled by the caller."""
+        m = pat.match(chunk, j)
+        if m is None:  # defensive: single word char not matched (shouldn't)
+            return _norm_term(chunk[j]), False, j + 1, False
+        acr = m.group("acr")
+        if acr is not None:
+            end = m.end()
+            return acr.replace(".", "").lower(), False, end, True
+        raw = m.group("term")
+        end = m.end()
+        if cjk_ngram:
+            cm = _CJK_ONE_RE.search(raw)
+            if cm is not None:  # general term breaks at a CJK char
+                raw = raw[:cm.start()]
+                end = j + cm.start()
+        stem_ok = bool(raw) and should_stem(raw[0]) and \
+            not (end < n and chunk[end] in _STEM_PREVENTER)
+        return _norm_term(raw), stem_ok, end, False
+
+    outer_done = False
+    while i < n and not outer_done:
+        last_op = False        # last_was_operator
+        last_op_term = False   # last_was_operator_needing_term
+        # events within one C loop iteration (operator keywords goto back)
+        while True:
+            if mode == "IN_PHRASED_TERM":
+                mode = "DEFAULT"
+            if i < n and _is_ws(chunk[i]):
+                newprev = " "
+                i = skip_ws(i + 1)
+                if i >= n:
+                    outer_done = True
+                    break
+            if i >= n:
+                outer_done = True
+                break
+            ch = chunk[i]
+            if not (is_wordchar(ch) or
+                    (cjk_ngram and _CJK_ONE_RE.match(ch))):
+                prev = newprev
+                i += 1
+                newprev = ch
+                if mode in ("IN_GROUP", "IN_GROUP2"):
+                    mode = "DEFAULT"
+                if ch in _DQUOTE:
+                    if mode == "DEFAULT":
+                        i = skip_ws(i)
+                        if i >= n:
+                            outer_done = True
+                            break
+                        if chunk[i] in _DQUOTE:
+                            newprev = chunk[i]
+                            i += 1
+                            break
+                    if flags & F_PHRASE:
+                        if ch == '"' and i < n and chunk[i] == '"':
+                            i += 1  # "" escape inside a phrase
+                            break
+                        toks.append(_T("QUOTE"))
+                        mode = "IN_QUOTES" if mode == "DEFAULT" else "DEFAULT"
+                    break
+                if ch in "+-":
+                    if i >= n:
+                        outer_done = True
+                        break
+                    if ord(prev) > 32 and prev != "(":
+                        break
+                    if _is_ws(chunk[i]) or chunk[i] in "+-":
+                        newprev = chunk[i]
+                        i += 1
+                        break
+                    if mode == "DEFAULT" and (flags & F_LOVEHATE):
+                        if ch == "+":
+                            toks.append(_T("LOVE"))
+                        elif last_op:
+                            toks.append(_T("HATE_AND"))
+                        else:
+                            toks.append(_T("HATE"))
+                        last_op = True
+                        last_op_term = True
+                        mode = "DEFAULT"
+                        continue  # just_had_operator_needing_term
+                    break
+                if ch == "(":
+                    i = skip_ws(i)
+                    if i >= n:
+                        outer_done = True
+                        break
+                    if ord(prev) > 32 and prev not in "()+-":
+                        break
+                    if chunk[i] == ")":
+                        newprev = ")"
+                        i += 1
+                        break
+                    if mode == "DEFAULT" and (flags & F_BOOLEAN):
+                        toks.append(_T("BRA"))
+                        bra_depth += 1
+                    break
+                if ch == ")":
+                    if mode == "DEFAULT" and (flags & F_BOOLEAN):
+                        toks.append(_T("KET"))
+                        bra_depth -= 1  # may go negative: stray KET
+                    break
+                break  # any other punctuation: skip
+
+            # --- word char: CJK run or term (or keyword) -------------------
+            if cjk_ngram and _CJK_ONE_RE.match(ch):
+                m = _CJK_RUN_RE.match(chunk, i)
+                toks.append(_T("CJK", _cjk_lower(m.group())))
+                i = m.end()
+                # C: Parse(CJKTERM); if end break; continue — mode UNCHANGED,
+                # lookaheads skipped
+                if i >= n:
+                    outer_done = True
+                break
+
+            value, stem_ok, end, was_acronym = parse_one_term(i)
+            raw = chunk[i:end]
+            newprev = "A"
+
+            if (mode in ("DEFAULT", "IN_GROUP", "IN_GROUP2")
+                    and (flags & F_BOOLEAN) and not was_acronym
+                    and 2 <= len(raw) <= 4 and raw[:1].isascii()
+                    and raw[:1].isalpha()):
+                op = raw.upper() if flags & F_ANY_CASE else raw
+                kw = _KEYWORDS.get(op)
+                if kw is not None and len(op) == len(kw):
+                    i = end
+                    width = 0
+                    if kw in ("NEAR", "ADJ") and i < n and chunk[i] == "/":
+                        j = i + 1
+                        w = 0
+                        while j < n and chunk[j].isdigit() and \
+                                chunk[j].isascii():
+                            w = w * 10 + int(chunk[j])
+                            j += 1
+                        if w and (j >= n or _is_ws(chunk[j])):
+                            i = j
+                            width = w
+                    toks.append(_T(kw, width=width))
+                    mode = "DEFAULT"
+                    last_op = True
+                    last_op_term = False
+                    continue  # just_had_operator
+
+            i = end
+
+            # WILD_TERM / PARTIAL_TERM (DEFAULT and GROUP modes only)
+            if mode in ("DEFAULT", "IN_GROUP", "IN_GROUP2"):
+                if i < n:
+                    if (flags & F_WILDCARD) and chunk[i] == "*":
+                        j = i + 1
+                        if j >= n or not is_wordchar(chunk[j]):
+                            i = j
+                            if mode == "IN_GROUP2":
+                                toks.append(_T("EGOK"))
+                            mode = "DEFAULT"
+                            toks.append(_T("WILD", value))
+                            break
                 else:
-                    span_tokens(part, off)
-            continue
-        span_tokens(span, m.end())
+                    if flags & F_PARTIAL:
+                        if mode == "IN_GROUP2":
+                            toks.append(_T("EGOK"))
+                        mode = "DEFAULT"
+                        toks.append(_T("PARTIAL", value, stem_ok))
+                        outer_done = True
+                        break
+
+            if mode == "IN_PHRASED_TERM":
+                toks.append(_T("PHR_TERM", value))
+            else:
+                # a group candidate followed by joiner punctuation + word
+                # char starts a phrased chain instead: demote to TERM
+                if mode in ("IN_GROUP", "IN_GROUP2") and i < n and \
+                        chunk[i] in _PHRASE_GEN:
+                    j = i
+                    while j < n and chunk[j] in _PHRASE_GEN:
+                        j += 1
+                    if j < n and is_wordchar(chunk[j]):
+                        mode = "DEFAULT"
+                if mode in ("IN_GROUP", "IN_GROUP2"):
+                    mode = "IN_GROUP2"
+                    toks.append(_T("GROUP_TERM", value, stem_ok))
+                else:
+                    toks.append(_T("TERM", value, stem_ok))
+                    if mode != "DEFAULT":  # IN_QUOTES: no lookaheads
+                        break
+
+            if i >= n:
+                outer_done = True
+                break
+            # phrase-generator lookahead (consumes the run either way)
+            if chunk[i] in _PHRASE_GEN:
+                j = i
+                while j < n and chunk[j] in _PHRASE_GEN:
+                    j += 1
+                i = j
+                if i < n and (is_wordchar(chunk[i]) or
+                              (cjk_ngram and _CJK_ONE_RE.match(chunk[i]))):
+                    mode = "IN_PHRASED_TERM"
+                    # goto phrased_term: lex the next term immediately with
+                    # IN_PHRASED_TERM (skipping the iteration-top reset)
+                    if cjk_ngram and _CJK_ONE_RE.match(chunk[i]):
+                        # C parses the CJK run at the phrased_term label but
+                        # emits CJKTERM (the is_cjk_term check precedes the
+                        # PHR_TERM dispatch) and `continue`s: the chain ends
+                        m = _CJK_RUN_RE.match(chunk, i)
+                        toks.append(_T("CJK", _cjk_lower(m.group())))
+                        i = m.end()
+                        mode = "DEFAULT"
+                        if i >= n:
+                            outer_done = True
+                        break
+                    value, stem_ok, end, _wa = parse_one_term(i)
+                    i = end
+                    newprev = "A"
+                    toks.append(_T("PHR_TERM", value))
+                    if i >= n:
+                        outer_done = True
+                        break
+                    # chain continues? loop the generator lookahead
+                    while i < n and chunk[i] in _PHRASE_GEN:
+                        j = i
+                        while j < n and chunk[j] in _PHRASE_GEN:
+                            j += 1
+                        if j < n and (is_wordchar(chunk[j]) or
+                                      (cjk_ngram and
+                                       _CJK_ONE_RE.match(chunk[j]))):
+                            if cjk_ngram and _CJK_ONE_RE.match(chunk[j]):
+                                m = _CJK_RUN_RE.match(chunk, j)
+                                toks.append(_T("CJK", _cjk_lower(m.group())))
+                                i = m.end()
+                                mode = "DEFAULT"
+                                break
+                            value, stem_ok, end, _wa = parse_one_term(j)
+                            i = end
+                            toks.append(_T("PHR_TERM", value))
+                        else:
+                            i = j
+                            mode = "IN_PHRASED_TERM"  # reset at next top
+                            break
+                    if i >= n:
+                        outer_done = True
+                    break
+                break
+            elif mode in ("DEFAULT", "IN_GROUP", "IN_GROUP2"):
+                old = mode
+                mode = "DEFAULT"
+                if not last_op_term and _is_ws(chunk[i]):
+                    newprev = " "
+                    i = skip_ws(i + 1)
+                    if i < n and (is_wordchar(chunk[i]) or
+                                  (cjk_ngram and
+                                   _CJK_ONE_RE.match(chunk[i]))):
+                        mode = "IN_GROUP2" \
+                            if old in ("IN_GROUP", "IN_GROUP2") \
+                            else "IN_GROUP"
+                    if i >= n:
+                        outer_done = True
+                break
+            break
+
+    # implicit closes (queryparser.lemony:1383-1392)
+    if mode == "IN_QUOTES":
+        toks.append(_T("QUOTE"))
+    while bra_depth > 0:
+        toks.append(_T("KET"))
+        bra_depth -= 1
     return toks
 
 
-def _first_word_char(span: str) -> str:
-    for ch in span:
-        if ch.isalnum() or ch == "_":
-            return ch
-    return "x"
+# ---------------------------------------------------------------------------
+# parser (lemon grammar port)
+# ---------------------------------------------------------------------------
 
 
-def _term_node(tok: _Tok, partial: bool):
-    if partial:
-        # tok.value is already lowercased — hand the raw-case STEM_SOME
-        # gate result through (uppercase-initial partials keep a PLAIN
-        # exact side: "Paris" -> OR(WILDCARD paris*, paris), not Zpari)
-        return _partial_term(tok.value, stem=tok.stemmed)
-    if tok.stemmed:
-        return Term("Z" + snowball_stem(tok.value))
-    return Term(tok.value)
+class FreetextParseError(ValueError):
+    """The grammar rejected the chunk the way the real QueryParser throws
+    QueryParserError to the caller: a missing boolean operand
+    (VET_BOOL_ARGS, no retry) or a chunk whose flagless re-parse also
+    fails."""
 
 
-def _phrase_node(terms: tuple) -> object:
-    if len(terms) == 1:
-        return Term(terms[0])
-    return Phrase(tuple(terms), window=len(terms))
+class _ParseFailed(Exception):
+    """lemon's generic "parse error" — triggers the flagless retry."""
 
 
-class _Parser:
-    """Recursive-descent over the token stream with Xapian's boolean
-    precedence: or_expr -> xor_expr -> and_expr -> unary/prob."""
+_PREC = {"OR": 1, "XOR": 2, "AND": 3, "NOT": 3}
 
-    def __init__(self, toks: list[_Tok], partial_idx: int):
+
+def _add_or(left, right):
+    """add_to_query(q, OP_OR, x): flatten when the left side is already an
+    OR chain (matches xapian's left-merge composition)."""
+    if left is None:
+        return right
+    if isinstance(left, Or):
+        return Or(left.children + (right,))
+    return Or((left, right))
+
+
+def _cjk_node(run: str):
+    grams = _cjk_ngrams(run)
+    if len(grams) == 1:
+        return Term(grams[0])
+    return And(tuple(Term(g) for g in grams))
+
+
+class _P:
+    def __init__(self, toks: list[_T], flags: int):
         self.toks = toks
         self.i = 0
-        self.partial_idx = partial_idx  # index of the token that may expand
+        self.flags = flags
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def parse(self):
-        node = self.or_expr(first=True)
-        return node if node is not None else MatchNothing()
+        e = self.expr(0)
+        if self.peek() is not None:  # stray KET or other leftover
+            raise _ParseFailed()
+        return e
 
-    def or_expr(self, first=False):
-        left = self.xor_expr(first)
+    # -- boolean expression levels -------------------------------------------
+    def expr(self, min_prec: int):
+        left = self.operand()
         while True:
             t = self.peek()
-            if t is not None and t.kind == "op" and t.value == "OR":
-                self.i += 1
-                right = self.xor_expr(False)
-                if left is None or right is None:
-                    raise FreetextParseError("dangling OR")
-                left = Or((left, right))
-            else:
+            if t is None or t.kind not in _PREC:
                 return left
-
-    def xor_expr(self, first=False):
-        left = self.and_expr(first)
-        while True:
-            t = self.peek()
-            if t is not None and t.kind == "op" and t.value == "XOR":
-                self.i += 1
-                right = self.and_expr(False)
-                if left is None or right is None:
-                    raise FreetextParseError("dangling XOR")
-                from .ast import Xor
-
-                left = Xor((left, right))
-            else:
+            prec = _PREC[t.kind]
+            if prec < min_prec:
                 return left
-
-    def and_expr(self, first=False):
-        t = self.peek()
-        if t is not None and t.kind == "op" and t.value == "NOT":
-            # pure NOT (FLAG_PURE_NOT): <alldocuments> AND_NOT x
+            op = t.kind
             self.i += 1
-            right = self.and_expr(False)
-            return AndNot(MatchAll(), right) if right is not None else None
-        left = self.prob(first)
+            nt = self.peek()
+            if op == "AND" and nt is not None and nt.kind == "NOT":
+                self.i += 1
+                op = "ANDNOT"
+            elif op == "AND" and nt is not None and nt.kind == "HATE_AND":
+                self.i += 1
+                op = "ANDHATE"
+            right = self.expr(prec + 1)
+            if op == "NOT" and left is None and (self.flags & F_PURE_NOT):
+                left = MatchAll()
+            if left is None or right is None:
+                word = {"ANDNOT": "AND NOT", "ANDHATE": "AND"}.get(op, op)
+                raise FreetextParseError(
+                    f"Syntax: <expression> {word} <expression>")
+            if op == "AND":
+                left = And((left, right))
+            elif op == "OR":
+                left = _add_or(left, right)
+            elif op == "XOR":
+                left = Xor((left, right))
+            else:  # NOT / ANDNOT / ANDHATE
+                left = AndNot(left, right)
+
+    # -- prob (sequence of stop_terms with love/hate) --------------------------
+    # Returning None = lemon's empty ``bool_arg ::= . [ERROR]`` reduction:
+    # the caller's operator rule then hits VET_BOOL_ARGS (throw, no retry)
+    # when an operator is pending, or the leftover tokens fail parse()
+    # (syntax error -> flagless retry) otherwise — matching the observed
+    # split ("a OR NEAR b" throws, "NEAR b" retries; oracle-probed).
+    def operand(self):
+        norm: list = []
+        loves: list = []
+        hates: list = []
         while True:
             t = self.peek()
-            if t is not None and t.kind == "op" and t.value in ("AND", "NOT"):
-                op = t.value
+            if t is None:
+                break
+            if t.kind in ("LOVE", "HATE"):
                 self.i += 1
-                # AND NOT: consume the NOT and flip to AND_NOT
-                nt = self.peek()
-                if op == "AND" and nt is not None and nt.kind == "op" \
-                        and nt.value == "NOT":
-                    self.i += 1
-                    op = "NOT"
-                # `A AND -x rest...`: the hate marker turns the WHOLE
-                # following prob into the AND_NOT right side; the formerly
-                # hated word joins it as a non-absorbing member (its inner
-                # love/hate mechanics still apply; raw-oracle verified)
-                flip = False
-                if op == "AND" and self.peek() is not None \
-                        and self.peek().kind == "hate":
-                    self.i += 1
-                    op = "NOT"
-                    flip = True
-                right = self.prob(False, flip=flip)
-                if right is None or left is None:
-                    raise FreetextParseError(f"dangling {op}")
-                if op == "AND":
-                    left = And((left, right))
+                node = self.term_unit()
+                if node is None:
+                    raise _ParseFailed()  # dangling love/hate marker
+                if t.kind == "LOVE":
+                    loves.append(node)
                 else:
-                    left = AndNot(left, right)
-            else:
-                return left
+                    hates.append(node)
+                continue
+            node = self.term_unit()
+            if node is None:
+                break
+            norm.append(node)
+        if not norm and not loves and not hates:
+            return None
+        query = None
+        for x in norm:
+            query = _add_or(query, x)
+        e = query
+        if loves:
+            love = loves[0]
+            for x in loves[1:]:
+                love = And((love, x))
+            e = AndMaybe(love, query) if query is not None else love
+        if hates:
+            if e is None:
+                raise _ParseFailed()  # "Can't just hate!"
+            hate = hates[0]
+            for x in hates[1:]:
+                hate = _add_or(hate, x)
+            e = AndNot(e, hate)
+        return e
+
+    # -- one stop_term / term (compound terms included) ------------------------
+    def term_unit(self):
+        """One unit, or None when the next token cannot start one
+        (operators, KET, stray chain tokens, end of input)."""
+        t = self.peek()
+        if t is None:
+            return None
+        if t.kind == "TERM":
+            self.i += 1
+            nt = self.peek()
+            if nt is not None and nt.kind == "GROUP_TERM":
+                members = [t]
+                while nt is not None and nt.kind in ("GROUP_TERM", "EGOK"):
+                    self.i += 1
+                    if nt.kind == "GROUP_TERM":
+                        members.append(nt)
+                    nt = self.peek()
+                return Or(tuple(self._free_term(m) for m in members))
+            if nt is not None and nt.kind in ("PHR_TERM", "PHR_CJK"):
+                terms: list[str] = [t.value]
+                while nt is not None and nt.kind in ("PHR_TERM", "PHR_CJK"):
+                    self.i += 1
+                    if nt.kind == "PHR_CJK":
+                        terms.extend(nt.value)  # per-char positional terms
+                    else:
+                        terms.append(nt.value)
+                    nt = self.peek()
+                return Phrase(tuple(terms), window=len(terms))
+            if nt is not None and nt.kind in ("NEAR", "ADJ"):
+                kind = nt.kind
+                terms = [t.value]
+                window = 0
+                while nt is not None and nt.kind == kind:
+                    self.i += 1
+                    if nt.width:
+                        window = max(window, nt.width)
+                    nx = self.peek()
+                    if nx is None or nx.kind != "TERM":
+                        raise _ParseFailed()
+                    self.i += 1
+                    terms.append(nx.value)
+                    nt = self.peek()
+                if nt is not None and nt.kind in ("NEAR", "ADJ"):
+                    raise _ParseFailed()  # mixed NEAR/ADJ chain
+                w = window if window else 10
+                return Phrase(tuple(terms), window=w - 1 + len(terms),
+                              ordered=(kind == "ADJ"))
+            return self._free_term(t)
+        if t.kind == "WILD":
+            self.i += 1
+            return Synonym((Wildcard(t.value, 0, False),))
+        if t.kind == "PARTIAL":
+            self.i += 1
+            return _partial_term(t.value, stem=t.stem_ok)
+        if t.kind == "CJK":
+            self.i += 1
+            return _cjk_node(t.value)
+        if t.kind == "QUOTE":
+            self.i += 1
+            terms = []
+            while True:
+                nt = self.peek()
+                if nt is None:
+                    raise _ParseFailed()  # lexer closes quotes; defensive
+                if nt.kind == "QUOTE":
+                    self.i += 1
+                    break
+                if nt.kind == "TERM":
+                    terms.append(nt.value)
+                elif nt.kind == "CJK":
+                    terms.extend(nt.value)  # per-char positional terms
+                else:
+                    raise _ParseFailed()
+                self.i += 1
+            if not terms:
+                raise _ParseFailed()  # QUOTE QUOTE: phrase needs >= 1 TERM
+            if len(terms) == 1:
+                return Term(terms[0])  # single-term phrase: plain, unstemmed
+            return Phrase(tuple(terms), window=len(terms))
+        if t.kind == "BRA":
+            self.i += 1
+            sub = self.expr(0)
+            nt = self.peek()
+            if nt is None or nt.kind != "KET":
+                raise _ParseFailed()
+            self.i += 1
+            if sub is None:
+                raise _ParseFailed()
+            return sub
+        return None
 
     @staticmethod
-    def _join(cls, left, right):
-        if left is None:
-            return right
-        if right is None:
-            return left
-        return cls((left, right))
-
-    def prob(self, first=False, flip=False):
-        """Default-OR sequence of terms/phrases/brackets with love/hate.
-
-        NEAR/ADJ (case-sensitive) binds TERM op TERM... chains, valid ONLY
-        when the left term is the FIRST element of the prob with no pending
-        love/hate and each right operand is a bare non-partial term; any
-        other placement is the real parser's "parse error" -> flagless
-        retry (raw-oracle verified)."""
-        normal, loves, hates = [], [], []
-        pending = None  # 'love' | 'hate'
-        last_was_bare_term = False
-        near_done = False
-        n_elems = 0
-        n_bare_terms = 0  # only bare words absorb NEAR operands
-        while True:
-            t = self.peek()
-            if t is None or t.kind in ("rpar", "op"):
-                break
-            self.i += 1
-            if t.kind == "hate" and n_elems == 0 and not first:
-                # hate on the FIRST element of a non-initial prob is a hard
-                # parser error ("thest OR -x" throws; raw-oracle verified —
-                # love markers are honored everywhere: a lone love term is
-                # simply itself, which made them LOOK dropped)
-                raise FreetextParseError("hate after operator")
-            if t.kind == "posop":
-                # valid ONLY as a single TERM op TERM pair whose left term
-                # is the FIRST NORMAL element of the prob (love/hate
-                # elements don't absorb it) and whose right term is a bare
-                # non-partial word; chains and any other placement hit the
-                # real parser's "parse error" -> flagless retry (all
-                # raw-oracle verified)
-                ok = (last_was_bare_term and n_bare_terms == 1
-                      and pending is None and not near_done)
-                terms = []
-                if ok:
-                    terms = [self._last_term_text]
-                    nt = self.peek()
-                    if nt is None or nt.kind != "term" \
-                            or self.i == self.partial_idx:
-                        ok = False
-                    else:
-                        self.i += 1
-                        terms.append(nt.value)
-                        nxt = self.peek()
-                        if nxt is not None and nxt.kind == "posop":
-                            ok = False  # NEAR chains are parse errors
-                if not ok:
-                    raise _FlaglessRetry()
-                normal[-1] = Phrase(tuple(terms),
-                                    window=10 + len(terms) - 1,
-                                    ordered=(t.value == "ADJ"))
-                near_done = True
-                last_was_bare_term = False
-                continue
-            if t.kind in ("love", "hate"):
-                pending = t.kind
-                last_was_bare_term = False
-                continue
-            if t.kind == "lpar":
-                sub = self.or_expr(first=True)
-                if self.peek() is not None and self.peek().kind == "rpar":
-                    self.i += 1
-                if sub is not None and not isinstance(sub, MatchNothing):
-                    (loves if pending == "love" else
-                     hates if pending == "hate" else normal).append(sub)
-                    n_elems += 1
-                pending = None
-                last_was_bare_term = False
-                continue
-            if t.kind == "cjkterm":
-                # Term::as_cjk_query: OP_AND over lowered unigrams+bigrams;
-                # never stems, never partial-expands
-                grams = _cjk_ngrams(t.value)
-                node = Term(grams[0]) if len(grams) == 1 \
-                    else And(tuple(Term(g) for g in grams))
-                last_was_bare_term = False
-            elif t.kind == "phrase":
-                node = _phrase_node(t.value)
-                last_was_bare_term = False
-            else:
-                node = _term_node(t, self.i - 1 == self.partial_idx)
-                bare = (pending is None and self.i - 1 != self.partial_idx
-                        and not (flip and n_elems == 0))
-                last_was_bare_term = bare
-                if bare:
-                    n_bare_terms += 1
-                self._last_term_text = t.value
-            (loves if pending == "love" else
-             hates if pending == "hate" else normal).append(node)
-            pending = None
-            n_elems += 1
-        if not normal and not loves and not hates:
-            return None
-        if hates and not normal and not loves:
-            # hate-only prob: the real parser hits "parse error" and goes
-            # flagless ("-term" alone -> plain stemmed term, no partial)
-            raise _FlaglessRetry()
-        rest = normal[0] if len(normal) == 1 else \
-            (Or(tuple(normal)) if normal else None)
-        if loves:
-            love = loves[0] if len(loves) == 1 else And(tuple(loves))
-            node = AndMaybe(love, rest) if rest is not None else love
-        else:
-            node = rest
-        if hates:
-            hate = hates[0] if len(hates) == 1 else Or(tuple(hates))
-            node = AndNot(node if node is not None else MatchAll(), hate)
-        return node
+    def _free_term(t: _T):
+        if t.stem_ok:
+            return Term("Z" + snowball_stem(t.value))
+        return Term(t.value)
 
 
-class FreetextParseError(ValueError):
-    """The grammar rejected the chunk (dangling boolean operator) — the
-    raw QueryParser throws QueryParserError there, which mdq propagates."""
-
-
-def _cjk_group_check(toks, chunk, partial_idx):
-    """Replicate the real grammar's CJKTERM/group conflict: ``group ::=
-    TERM GROUP_TERM | group GROUP_TERM`` (queryparser.lemony:2191-2195) has
-    no production for GROUP_TERM after CJKTERM, and the lexer emits
-    GROUP_TERM for any whitespace-separated term while in group mode —
-    which a CJKTERM does not reset (its code path skips the mode update,
-    queryparser_internal.cc:3407-3411). Since the "parse error" retry
-    keeps FLAG_CJK_NGRAM (queryparser.cc:171-174), the shape throws:
-    "a テ c" is QueryParserError while "a テ c(partial)" is fine (the
-    final-partial term drops out of group mode). All probed against the
-    real library."""
-    from ..functions.xapian_tokenizer import is_wordchar
-
-    mode = 0  # 0 DEFAULT, 1 IN_GROUP, 2 IN_GROUP2
-    prev_cjk = False
-    n = len(chunk)
-    for idx, t in enumerate(toks):
-        if t.kind == "cjkterm":
-            prev_cjk = True  # mode intentionally unchanged
-            continue
-        if t.kind != "term":
-            mode = 0
-            prev_cjk = False
-            continue
-        if mode and idx != partial_idx and prev_cjk:
-            raise FreetextParseError(
-                "term group member directly after a CJK term "
-                "(GROUP_TERM after CJKTERM is a grammar error)")
-        prev_cjk = False
-        if idx == partial_idx:
-            mode = 0
-            continue
-        j = t.src_end
-        ws = False
-        while 0 <= j < n and chunk[j].isspace():
-            ws = True
-            j += 1
-        if ws and 0 <= j < n and is_wordchar(chunk[j]):
-            mode = 2 if mode else 1
-        else:
-            mode = 0
+# ---------------------------------------------------------------------------
+# public compile
+# ---------------------------------------------------------------------------
 
 
 def compile_freetext(chunk: str, cjk_ngram: bool = False):
@@ -444,70 +681,24 @@ def compile_freetext(chunk: str, cjk_ngram: bool = False):
     built under ``IndexConfig.cjk_ngram``). Returns an AST node (or
     MatchNothing); raises FreetextParseError where the real parser
     throws."""
-    toks = _lex(chunk, cjk_ngram)
-    if not toks:
+    if not chunk:
         return MatchNothing()
-    # FLAG_PARTIAL: the last token may wildcard-expand only when the input
-    # ends mid-word (no trailing whitespace/quote/bracket)
-    partial_idx = -1
-    if chunk and (chunk[-1].isalnum() or chunk[-1] in "_+#") \
-            and toks[-1].kind == "term":
-        partial_idx = len(toks) - 1
-    if cjk_ngram:
-        _cjk_group_check(toks, chunk, partial_idx)
     try:
-        node = _Parser(toks, partial_idx).parse()
-    except _FlaglessRetry:
-        # the real parser's "parse error" path: re-parse with ALL flags
-        # stripped (queryparser.cc:170-174) — every span becomes a plain
-        # term (keywords included), no booleans/love-hate/partial; quoted
-        # text becomes an OR group whose LAST word is unstemmed; joiner
-        # phrases persist (all raw-oracle verified)
-        node = _flagless_parse(chunk)
+        toks = _lex_ql(chunk, MDQ_FLAGS, cjk_ngram)
+        if not toks:
+            return MatchNothing()
+        node = _P(toks, MDQ_FLAGS).parse()
+    except _ParseFailed:
+        # the real parser's "parse error" path: re-parse with all flags
+        # stripped except FLAG_CJK_NGRAM (queryparser.cc:170-174)
+        try:
+            toks = _lex_ql(chunk, 0, cjk_ngram)
+            if not toks:
+                return MatchNothing()
+            node = _P(toks, 0).parse()
+        except _ParseFailed:
+            raise FreetextParseError("parse error") from None
     return node if node is not None else MatchNothing()
-
-
-class _FlaglessRetry(Exception):
-    """Internal: grammar shape that makes the real parser emit the generic
-    "parse error" and re-parse flagless (e.g. NEAR in an invalid position,
-    queryparser.cc:170-174)."""
-
-
-def _flagless_parse(chunk: str):
-    parts = []
-    for m in _LEX_RE.finditer(chunk):
-        quoted, bracket, lovehate, span = m.groups()
-        if bracket is not None or lovehate is not None:
-            continue  # grouping/markers are inert without flags
-        if quoted is not None:
-            words = tokenize(quoted)
-            if not words:
-                continue
-            subs = []
-            for j, w in enumerate(words):
-                if j == len(words) - 1:
-                    subs.append(Term(w))  # quote-final word: unstemmed
-                elif should_stem(w):
-                    subs.append(Term("Z" + snowball_stem(w)))
-                else:
-                    subs.append(Term(w))
-            parts.append(subs[0] if len(subs) == 1 else Or(tuple(subs)))
-            continue
-        terms = tokenize(span)
-        if not terms:
-            continue
-        if len(terms) > 1:
-            parts.append(Phrase(tuple(terms), window=len(terms)))
-            continue
-        if should_stem(_first_word_char(span)):
-            parts.append(Term("Z" + snowball_stem(terms[0])))
-        else:
-            parts.append(Term(terms[0]))
-    if not parts:
-        return MatchNothing()
-    return parts[0] if len(parts) == 1 else Or(tuple(parts))
-
-
 
 
 # ---------------------------------------------------------------------------
