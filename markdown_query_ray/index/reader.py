@@ -162,6 +162,12 @@ class IndexReader:
                 cur["wdf_ub"] = max(cur["wdf_ub"], int(r["wdf_ub"]))
         return {k: v for k, v in out.items() if v["termfreq"] > 0}
 
+    def term_exists(self, term: str) -> bool:
+        """Does the (unstemmed, lowercased) term occur in the live index?
+        Drives the query-side c++/c# suffix rule
+        (queryparser_internal.cc:781-810 ``db.term_exists``)."""
+        return bool(self.term_stats([term]))
+
     def expand_wildcard(self, prefix: str, limit: int = 0,
                         most_frequent: bool = False) -> list[str]:
         """Right-truncation expansion over the term dictionary

@@ -3,39 +3,41 @@ grammar (the path mdq uses for chunks BEFORE an operator keyword,
 xapian_utils.rs:597-600 — ``qp.parse_query(chunk, flags)``).
 
 Character-level port of queryparser_internal.cc's lexer main loop
-(xapian-core-1.4.17, :2990-3400) plus the lemon grammar
-(queryparser.lemony:1850-2260) for mdq's flag set (BOOLEAN | PHRASE |
-LOVEHATE | BOOLEAN_ANY_CASE | WILDCARD | PURE_NOT | PARTIAL). The port
-keeps the C control flow's observable semantics:
+(xapian-core-1.4.17, :2982-3550) feeding an exact port of the lemon
+parser runtime and grammar actions (_lemon.py) for mdq's flag set
+(BOOLEAN | PHRASE | LOVEHATE | BOOLEAN_ANY_CASE | WILDCARD | PURE_NOT |
+PARTIAL). Lexer rules kept from the C control flow:
 
-- lexer modes DEFAULT / IN_QUOTES / IN_PHRASED_TERM / IN_GROUP / IN_GROUP2;
+- modes DEFAULT / IN_QUOTES / IN_PHRASED_TERM / IN_GROUP / IN_GROUP2;
   whitespace-separated term runs become GROUP_TERMs (one OR sub-node),
   joiner-punctuation runs (``.-/:\\@`` immediately followed by a word char)
   become PHR_TERM chains (ordered phrases), quotes open positional phrases
   and are implicitly closed at end of input;
 - ``(`` opens a subexpression only after whitespace/``()+-`` and when not
-  immediately followed by ``)``; a stray ``)`` reaches the grammar as KET
-  and is a syntax error; unclosed ``(`` are implicitly closed at end;
+  immediately followed by ``)``; a stray ``)`` reaches the grammar as KET;
+  unclosed ``(`` are implicitly closed at end;
 - ``+``/``-`` are love/hate only after whitespace/``(`` and when not
-  followed by whitespace or more +/-; ``-`` right after a boolean keyword
-  lexes as HATE_AFTER_AND (valid only in ``A AND -B`` = AND_NOT);
+  followed by whitespace or more +/-; ``-`` right after an operator
+  keyword lexes as HATE_AFTER_AND (grammar-valid only in ``A AND -B``);
 - boolean keywords (any case): AND OR NOT XOR and case-folded NEAR/ADJ with
   optional ``/width``; acronyms (A.N.D.) are never keywords;
 - a term immediately followed by a stem preventer (``(/\\@<>=*[{"``) is not
   Z-stemmed; trailing ``*`` makes a WILD_TERM (unlimited SYNONYM-wildcard);
   the final term of the input partial-expands (FLAG_PARTIAL) only in
   DEFAULT/GROUP modes;
-- grammar errors (the lemon "parse error") re-parse the chunk flagless
-  (queryparser.cc:170-174: flags &= FLAG_CJK_NGRAM), where keywords and
-  love/hate/brackets/quotes are inert; missing operands of an explicit
-  boolean operator (VET_BOOL_ARGS) throw WITHOUT retry, as does a chunk
-  whose flagless re-parse fails again (only the CJK group corner).
+- the trailing ``+``/``#`` suffix (c++, c#) is kept when the suffixed term
+  exists in the index or when NEITHER form exists (= the no-database
+  default), and stripped-and-relexed when only the bare term exists
+  (queryparser_internal.cc:781-810 ``db.term_exists``) — pass
+  ``term_exists`` wired to the live index for the data-dependent rule;
+- lexing stops once the grammar records an error (the C loop guard);
+  implicit closes and the end-of-input Parse(0) only run error-free.
 
-Known deliberate divergence: the query-side suffix rule keeps ``c++``/
-``c#`` only when the suffixed term exists in the database
-(queryparser_internal.cc:781-805 ``db.term_exists``); this compiler has no
-database handle and always keeps the suffix (the index stores suffixed
-terms for all TermGenerator-indexed text, so the common case agrees).
+Error semantics come from the lemon runtime itself: a "parse error"
+re-parses the chunk flagless (queryparser.cc:170-174, flags &=
+FLAG_CJK_NGRAM), while a VET_BOOL_ARGS "Syntax: ..." error — possibly
+overwriting an earlier parse error after lemon's stack-reset recovery —
+throws without retry. See _lemon.py.
 """
 
 from __future__ import annotations
@@ -43,26 +45,13 @@ from __future__ import annotations
 import regex as _regex
 
 from ..functions._xapian_unicode import CJK_WORDCHAR_CLASS, TOLOWER
-from ..functions.snowball import stem as snowball_stem
 from ..functions.xapian_tokenizer import (
     _pattern_for,
     is_wordchar,
     should_stem,
-    tokenize,
 )
-from .ast import (
-    And,
-    AndMaybe,
-    AndNot,
-    MatchAll,
-    Or,
-    Phrase,
-    Synonym,
-    Term,
-    Wildcard,
-    Xor,
-)
-from .compiler import MatchNothing, _partial_term
+from ._lemon import TOK, LemonParser
+from .compiler import MatchNothing
 
 # ---------------------------------------------------------------------------
 # CJK helpers (FLAG_CJK_NGRAM)
@@ -74,17 +63,6 @@ _CJK_ONE_RE = _regex.compile(rf"{CJK_WORDCHAR_CLASS}", _regex.V1)
 
 def _cjk_lower(s: str) -> str:
     return s.translate(TOLOWER)
-
-
-def _cjk_ngrams(run: str) -> list[str]:
-    """CJKTokenIterator order: c1, c1c2, c2, c2c3, ..., cn."""
-    out = []
-    m = len(run)
-    for k in range(m):
-        out.append(run[k])
-        if k + 1 < m:
-            out.append(run[k:k + 2])
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -131,18 +109,34 @@ F_PARTIAL = 64
 MDQ_FLAGS = (F_BOOLEAN | F_PHRASE | F_LOVEHATE | F_ANY_CASE | F_WILDCARD
              | F_PURE_NOT | F_PARTIAL)
 
+_T_TERM = TOK["TERM"]
+_T_GROUP = TOK["GROUP_TERM"]
+_T_PHR = TOK["PHR_TERM"]
+_T_WILD = TOK["WILD_TERM"]
+_T_PARTIAL = TOK["PARTIAL_TERM"]
+_T_QUOTE = TOK["QUOTE"]
+_T_BRA = TOK["BRA"]
+_T_KET = TOK["KET"]
+_T_CJK = TOK["CJKTERM"]
+_T_EGOK = TOK["EMPTY_GROUP_OK"]
+_T_LOVE = TOK["LOVE"]
+_T_HATE = TOK["HATE"]
+_T_HATE_AND = TOK["HATE_AFTER_AND"]
+_OPCODE = {"AND": TOK["AND"], "OR": TOK["OR"], "NOT": TOK["NOT"],
+           "XOR": TOK["XOR"], "NEAR": TOK["NEAR"], "ADJ": TOK["ADJ"]}
+
 
 class _T:
-    __slots__ = ("kind", "value", "stem_ok", "width")
+    """A TERM-family token (minor value for the grammar)."""
 
-    def __init__(self, kind, value=None, stem_ok=False, width=0):
-        self.kind = kind
+    __slots__ = ("value", "stem_ok")
+
+    def __init__(self, value, stem_ok=False):
         self.value = value
         self.stem_ok = stem_ok
-        self.width = width
 
     def __repr__(self):  # debugging aid
-        return f"<{self.kind} {self.value!r}>"
+        return f"<term {self.value!r}>"
 
 
 def _is_ws(ch: str) -> bool:
@@ -150,15 +144,18 @@ def _is_ws(ch: str) -> bool:
     return ch.isspace()
 
 
-def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
-    """Port of the lexer main loop. Returns the token stream (with implicit
-    closing QUOTE/KETs appended, mirroring queryparser.lemony:1383-1392)."""
-    toks: list[_T] = []
+def _lex_ql(chunk: str, flags: int, cjk_ngram: bool, eng: LemonParser,
+            term_exists=None) -> None:
+    """Port of the lexer main loop: Parse() each token into ``eng`` as it
+    is recognized, stop lexing once the grammar records an error, then
+    (error-free only) emit the implicit closing QUOTE/KETs and the
+    end-of-input token (queryparser_internal.cc:2990, :3536-3549)."""
     pat = _pattern_for(chunk)
     i, n = 0, len(chunk)
     newprev = " "
     mode = "DEFAULT"  # DEFAULT IN_QUOTES IN_PHRASED_TERM IN_GROUP IN_GROUP2
     bra_depth = 0
+    parse = eng.parse
 
     def skip_ws(j: int) -> int:
         while j < n and _is_ws(chunk[j]):
@@ -182,12 +179,22 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
             if cm is not None:  # general term breaks at a CJK char
                 raw = raw[:cm.start()]
                 end = j + cm.start()
+        # query-side +/# suffix rule: keep the suffixed form when it
+        # exists in the db or when neither form does (covers the
+        # no-database case); otherwise strip it and re-lex the suffix
+        # chars (which breaks any phrase chain they preceded)
+        if term_exists is not None and raw.endswith(("+", "#")):
+            sfx = len(raw) - len(raw.rstrip("+#"))
+            if not term_exists(_norm_term(raw)) and \
+                    term_exists(_norm_term(raw[:-sfx])):
+                raw = raw[:-sfx]
+                end -= sfx
         stem_ok = bool(raw) and should_stem(raw[0]) and \
             not (end < n and chunk[end] in _STEM_PREVENTER)
         return _norm_term(raw), stem_ok, end, False
 
     outer_done = False
-    while i < n and not outer_done:
+    while i < n and not outer_done and eng.error is None:
         last_op = False        # last_was_operator
         last_op_term = False   # last_was_operator_needing_term
         # events within one C loop iteration (operator keywords goto back)
@@ -225,7 +232,7 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                         if ch == '"' and i < n and chunk[i] == '"':
                             i += 1  # "" escape inside a phrase
                             break
-                        toks.append(_T("QUOTE"))
+                        parse(_T_QUOTE)
                         mode = "IN_QUOTES" if mode == "DEFAULT" else "DEFAULT"
                     break
                 if ch in "+-":
@@ -240,11 +247,11 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                         break
                     if mode == "DEFAULT" and (flags & F_LOVEHATE):
                         if ch == "+":
-                            toks.append(_T("LOVE"))
+                            parse(_T_LOVE)
                         elif last_op:
-                            toks.append(_T("HATE_AND"))
+                            parse(_T_HATE_AND)
                         else:
-                            toks.append(_T("HATE"))
+                            parse(_T_HATE)
                         last_op = True
                         last_op_term = True
                         mode = "DEFAULT"
@@ -262,20 +269,22 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                         i += 1
                         break
                     if mode == "DEFAULT" and (flags & F_BOOLEAN):
-                        toks.append(_T("BRA"))
+                        parse(_T_BRA)
                         bra_depth += 1
                     break
                 if ch == ")":
                     if mode == "DEFAULT" and (flags & F_BOOLEAN):
-                        toks.append(_T("KET"))
-                        bra_depth -= 1  # may go negative: stray KET
+                        # a stray KET doesn't pop below the initial frame:
+                        # unclosed opens still get their implicit closes
+                        parse(_T_KET)
+                        if bra_depth > 0:
+                            bra_depth -= 1
                     break
                 break  # any other punctuation: skip
-
             # --- word char: CJK run or term (or keyword) -------------------
             if cjk_ngram and _CJK_ONE_RE.match(ch):
                 m = _CJK_RUN_RE.match(chunk, i)
-                toks.append(_T("CJK", _cjk_lower(m.group())))
+                parse(_T_CJK, _T(_cjk_lower(m.group())))
                 i = m.end()
                 # C: Parse(CJKTERM); if end break; continue — mode UNCHANGED,
                 # lookaheads skipped
@@ -306,7 +315,7 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                         if w and (j >= n or _is_ws(chunk[j])):
                             i = j
                             width = w
-                    toks.append(_T(kw, width=width))
+                    parse(_OPCODE[kw], width if width else None)
                     mode = "DEFAULT"
                     last_op = True
                     last_op_term = False
@@ -322,21 +331,21 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                         if j >= n or not is_wordchar(chunk[j]):
                             i = j
                             if mode == "IN_GROUP2":
-                                toks.append(_T("EGOK"))
+                                parse(_T_EGOK)
                             mode = "DEFAULT"
-                            toks.append(_T("WILD", value))
+                            parse(_T_WILD, _T(value))
                             break
                 else:
                     if flags & F_PARTIAL:
                         if mode == "IN_GROUP2":
-                            toks.append(_T("EGOK"))
+                            parse(_T_EGOK)
                         mode = "DEFAULT"
-                        toks.append(_T("PARTIAL", value, stem_ok))
+                        parse(_T_PARTIAL, _T(value, stem_ok))
                         outer_done = True
                         break
 
             if mode == "IN_PHRASED_TERM":
-                toks.append(_T("PHR_TERM", value))
+                parse(_T_PHR, _T(value))
             else:
                 # a group candidate followed by joiner punctuation + word
                 # char starts a phrased chain instead: demote to TERM
@@ -349,9 +358,9 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                         mode = "DEFAULT"
                 if mode in ("IN_GROUP", "IN_GROUP2"):
                     mode = "IN_GROUP2"
-                    toks.append(_T("GROUP_TERM", value, stem_ok))
+                    parse(_T_GROUP, _T(value, stem_ok))
                 else:
-                    toks.append(_T("TERM", value, stem_ok))
+                    parse(_T_TERM, _T(value, stem_ok))
                     if mode != "DEFAULT":  # IN_QUOTES: no lookaheads
                         break
 
@@ -374,7 +383,7 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                         # emits CJKTERM (the is_cjk_term check precedes the
                         # PHR_TERM dispatch) and `continue`s: the chain ends
                         m = _CJK_RUN_RE.match(chunk, i)
-                        toks.append(_T("CJK", _cjk_lower(m.group())))
+                        parse(_T_CJK, _T(_cjk_lower(m.group())))
                         i = m.end()
                         mode = "DEFAULT"
                         if i >= n:
@@ -383,7 +392,7 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                     value, stem_ok, end, _wa = parse_one_term(i)
                     i = end
                     newprev = "A"
-                    toks.append(_T("PHR_TERM", value))
+                    parse(_T_PHR, _T(value))
                     if i >= n:
                         outer_done = True
                         break
@@ -397,13 +406,13 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                                        _CJK_ONE_RE.match(chunk[j]))):
                             if cjk_ngram and _CJK_ONE_RE.match(chunk[j]):
                                 m = _CJK_RUN_RE.match(chunk, j)
-                                toks.append(_T("CJK", _cjk_lower(m.group())))
+                                parse(_T_CJK, _T(_cjk_lower(m.group())))
                                 i = m.end()
                                 mode = "DEFAULT"
                                 break
                             value, stem_ok, end, _wa = parse_one_term(j)
                             i = end
-                            toks.append(_T("PHR_TERM", value))
+                            parse(_T_PHR, _T(value))
                         else:
                             i = j
                             mode = "IN_PHRASED_TERM"  # reset at next top
@@ -429,17 +438,19 @@ def _lex_ql(chunk: str, flags: int, cjk_ngram: bool) -> list[_T]:
                 break
             break
 
-    # implicit closes (queryparser.lemony:1383-1392)
-    if mode == "IN_QUOTES":
-        toks.append(_T("QUOTE"))
-    while bra_depth > 0:
-        toks.append(_T("KET"))
-        bra_depth -= 1
-    return toks
+    # done: implicit closes + end of input, error-free only
+    # (queryparser_internal.cc:3536-3549)
+    if eng.error is None:
+        if mode == "IN_QUOTES":
+            parse(_T_QUOTE)
+        while bra_depth > 0:
+            parse(_T_KET)
+            bra_depth -= 1
+        parse(0)
 
 
 # ---------------------------------------------------------------------------
-# parser (lemon grammar port)
+# public compile
 # ---------------------------------------------------------------------------
 
 
@@ -450,255 +461,32 @@ class FreetextParseError(ValueError):
     fails."""
 
 
-class _ParseFailed(Exception):
-    """lemon's generic "parse error" — triggers the flagless retry."""
+def _run(chunk: str, flags: int, cjk_ngram: bool,
+         term_exists) -> LemonParser:
+    eng = LemonParser(flags)
+    _lex_ql(chunk, flags, cjk_ngram, eng, term_exists)
+    return eng
 
 
-_PREC = {"OR": 1, "XOR": 2, "AND": 3, "NOT": 3}
-
-
-def _add_or(left, right):
-    """add_to_query(q, OP_OR, x): flatten when the left side is already an
-    OR chain (matches xapian's left-merge composition)."""
-    if left is None:
-        return right
-    if isinstance(left, Or):
-        return Or(left.children + (right,))
-    return Or((left, right))
-
-
-def _cjk_node(run: str):
-    grams = _cjk_ngrams(run)
-    if len(grams) == 1:
-        return Term(grams[0])
-    return And(tuple(Term(g) for g in grams))
-
-
-class _P:
-    def __init__(self, toks: list[_T], flags: int):
-        self.toks = toks
-        self.i = 0
-        self.flags = flags
-
-    def peek(self):
-        return self.toks[self.i] if self.i < len(self.toks) else None
-
-    def parse(self):
-        e = self.expr(0)
-        if self.peek() is not None:  # stray KET or other leftover
-            raise _ParseFailed()
-        return e
-
-    # -- boolean expression levels -------------------------------------------
-    def expr(self, min_prec: int):
-        left = self.operand()
-        while True:
-            t = self.peek()
-            if t is None or t.kind not in _PREC:
-                return left
-            prec = _PREC[t.kind]
-            if prec < min_prec:
-                return left
-            op = t.kind
-            self.i += 1
-            nt = self.peek()
-            if op == "AND" and nt is not None and nt.kind == "NOT":
-                self.i += 1
-                op = "ANDNOT"
-            elif op == "AND" and nt is not None and nt.kind == "HATE_AND":
-                self.i += 1
-                op = "ANDHATE"
-            right = self.expr(prec + 1)
-            if op == "NOT" and left is None and (self.flags & F_PURE_NOT):
-                left = MatchAll()
-            if left is None or right is None:
-                word = {"ANDNOT": "AND NOT", "ANDHATE": "AND"}.get(op, op)
-                raise FreetextParseError(
-                    f"Syntax: <expression> {word} <expression>")
-            if op == "AND":
-                left = And((left, right))
-            elif op == "OR":
-                left = _add_or(left, right)
-            elif op == "XOR":
-                left = Xor((left, right))
-            else:  # NOT / ANDNOT / ANDHATE
-                left = AndNot(left, right)
-
-    # -- prob (sequence of stop_terms with love/hate) --------------------------
-    # Returning None = lemon's empty ``bool_arg ::= . [ERROR]`` reduction:
-    # the caller's operator rule then hits VET_BOOL_ARGS (throw, no retry)
-    # when an operator is pending, or the leftover tokens fail parse()
-    # (syntax error -> flagless retry) otherwise — matching the observed
-    # split ("a OR NEAR b" throws, "NEAR b" retries; oracle-probed).
-    def operand(self):
-        norm: list = []
-        loves: list = []
-        hates: list = []
-        while True:
-            t = self.peek()
-            if t is None:
-                break
-            if t.kind in ("LOVE", "HATE"):
-                self.i += 1
-                node = self.term_unit()
-                if node is None:
-                    raise _ParseFailed()  # dangling love/hate marker
-                if t.kind == "LOVE":
-                    loves.append(node)
-                else:
-                    hates.append(node)
-                continue
-            node = self.term_unit()
-            if node is None:
-                break
-            norm.append(node)
-        if not norm and not loves and not hates:
-            return None
-        query = None
-        for x in norm:
-            query = _add_or(query, x)
-        e = query
-        if loves:
-            love = loves[0]
-            for x in loves[1:]:
-                love = And((love, x))
-            e = AndMaybe(love, query) if query is not None else love
-        if hates:
-            if e is None:
-                raise _ParseFailed()  # "Can't just hate!"
-            hate = hates[0]
-            for x in hates[1:]:
-                hate = _add_or(hate, x)
-            e = AndNot(e, hate)
-        return e
-
-    # -- one stop_term / term (compound terms included) ------------------------
-    def term_unit(self):
-        """One unit, or None when the next token cannot start one
-        (operators, KET, stray chain tokens, end of input)."""
-        t = self.peek()
-        if t is None:
-            return None
-        if t.kind == "TERM":
-            self.i += 1
-            nt = self.peek()
-            if nt is not None and nt.kind == "GROUP_TERM":
-                members = [t]
-                while nt is not None and nt.kind in ("GROUP_TERM", "EGOK"):
-                    self.i += 1
-                    if nt.kind == "GROUP_TERM":
-                        members.append(nt)
-                    nt = self.peek()
-                return Or(tuple(self._free_term(m) for m in members))
-            if nt is not None and nt.kind in ("PHR_TERM", "PHR_CJK"):
-                terms: list[str] = [t.value]
-                while nt is not None and nt.kind in ("PHR_TERM", "PHR_CJK"):
-                    self.i += 1
-                    if nt.kind == "PHR_CJK":
-                        terms.extend(nt.value)  # per-char positional terms
-                    else:
-                        terms.append(nt.value)
-                    nt = self.peek()
-                return Phrase(tuple(terms), window=len(terms))
-            if nt is not None and nt.kind in ("NEAR", "ADJ"):
-                kind = nt.kind
-                terms = [t.value]
-                window = 0
-                while nt is not None and nt.kind == kind:
-                    self.i += 1
-                    if nt.width:
-                        window = max(window, nt.width)
-                    nx = self.peek()
-                    if nx is None or nx.kind != "TERM":
-                        raise _ParseFailed()
-                    self.i += 1
-                    terms.append(nx.value)
-                    nt = self.peek()
-                if nt is not None and nt.kind in ("NEAR", "ADJ"):
-                    raise _ParseFailed()  # mixed NEAR/ADJ chain
-                w = window if window else 10
-                return Phrase(tuple(terms), window=w - 1 + len(terms),
-                              ordered=(kind == "ADJ"))
-            return self._free_term(t)
-        if t.kind == "WILD":
-            self.i += 1
-            return Synonym((Wildcard(t.value, 0, False),))
-        if t.kind == "PARTIAL":
-            self.i += 1
-            return _partial_term(t.value, stem=t.stem_ok)
-        if t.kind == "CJK":
-            self.i += 1
-            return _cjk_node(t.value)
-        if t.kind == "QUOTE":
-            self.i += 1
-            terms = []
-            while True:
-                nt = self.peek()
-                if nt is None:
-                    raise _ParseFailed()  # lexer closes quotes; defensive
-                if nt.kind == "QUOTE":
-                    self.i += 1
-                    break
-                if nt.kind == "TERM":
-                    terms.append(nt.value)
-                elif nt.kind == "CJK":
-                    terms.extend(nt.value)  # per-char positional terms
-                else:
-                    raise _ParseFailed()
-                self.i += 1
-            if not terms:
-                raise _ParseFailed()  # QUOTE QUOTE: phrase needs >= 1 TERM
-            if len(terms) == 1:
-                return Term(terms[0])  # single-term phrase: plain, unstemmed
-            return Phrase(tuple(terms), window=len(terms))
-        if t.kind == "BRA":
-            self.i += 1
-            sub = self.expr(0)
-            nt = self.peek()
-            if nt is None or nt.kind != "KET":
-                raise _ParseFailed()
-            self.i += 1
-            if sub is None:
-                raise _ParseFailed()
-            return sub
-        return None
-
-    @staticmethod
-    def _free_term(t: _T):
-        if t.stem_ok:
-            return Term("Z" + snowball_stem(t.value))
-        return Term(t.value)
-
-
-# ---------------------------------------------------------------------------
-# public compile
-# ---------------------------------------------------------------------------
-
-
-def compile_freetext(chunk: str, cjk_ngram: bool = False):
+def compile_freetext(chunk: str, cjk_ngram: bool = False, term_exists=None):
     """Compile one chunk exactly as ``qp.parse_query(chunk, mdq_flags)``
     would (with FLAG_CJK_NGRAM when ``cjk_ngram`` — pair with an index
-    built under ``IndexConfig.cjk_ngram``). Returns an AST node (or
-    MatchNothing); raises FreetextParseError where the real parser
-    throws."""
+    built under ``IndexConfig.cjk_ngram``). ``term_exists`` (an
+    ``str -> bool`` over the live index, e.g. IndexReader.term_exists)
+    drives the data-dependent c++/c# suffix rule; without it the
+    compiler behaves like a QueryParser with no database set. Returns an
+    AST node (or MatchNothing); raises FreetextParseError where the real
+    parser throws."""
     if not chunk:
         return MatchNothing()
-    try:
-        toks = _lex_ql(chunk, MDQ_FLAGS, cjk_ngram)
-        if not toks:
-            return MatchNothing()
-        node = _P(toks, MDQ_FLAGS).parse()
-    except _ParseFailed:
-        # the real parser's "parse error" path: re-parse with all flags
-        # stripped except FLAG_CJK_NGRAM (queryparser.cc:170-174)
-        try:
-            toks = _lex_ql(chunk, 0, cjk_ngram)
-            if not toks:
-                return MatchNothing()
-            node = _P(toks, 0).parse()
-        except _ParseFailed:
-            raise FreetextParseError("parse error") from None
-    return node if node is not None else MatchNothing()
+    eng = _run(chunk, MDQ_FLAGS, cjk_ngram, term_exists)
+    if eng.error == "parse error":
+        # the real parser's retry: re-parse with all flags stripped
+        # except FLAG_CJK_NGRAM (queryparser.cc:170-174)
+        eng = _run(chunk, 0, cjk_ngram, term_exists)
+    if eng.error is not None:
+        raise FreetextParseError(eng.error)
+    return eng.query if eng.query is not None else MatchNothing()
 
 
 # ---------------------------------------------------------------------------
@@ -712,7 +500,7 @@ MDQ_OP_ORDER = ["AND MAYBE", "AND NOT", "SYNONYM", "FILTER", "PHRASE",
                 "SCALED", "ELITE", "RANGE", "NEAR", "AND", "XOR", "OR"]
 
 
-def parse_user_query_mdq_exact(q: str):
+def parse_user_query_mdq_exact(q: str, term_exists=None):
     """The reference's parse_user_query, mechanics and all
     (xapian_utils.rs:578-654): chunks split by priority-ordered take_until;
     every chunk BEFORE an operator goes through the raw QueryParser grammar
@@ -732,7 +520,7 @@ def parse_user_query_mdq_exact(q: str):
     if hit is None:
         return parse_chunk(q, strict_keywords=True)  # expression path
     pos, kw = hit
-    node = compile_freetext(q[:pos])
+    node = compile_freetext(q[:pos], term_exists=term_exists)
     pending = kw
     rest = q[pos + len(kw):]
     depth = 0
@@ -746,7 +534,8 @@ def parse_user_query_mdq_exact(q: str):
                          parse_chunk(rest, strict_keywords=True))
             return node
         pos, kw = hit
-        node = _fold(node, pending, compile_freetext(rest[:pos]))
+        node = _fold(node, pending,
+                     compile_freetext(rest[:pos], term_exists=term_exists))
         pending = kw
         rest = rest[pos + len(kw):]
     return node

@@ -100,12 +100,14 @@ class SearchSession:
         if grammar == "mdq-exact":
             from .freetext import parse_user_query_mdq_exact
 
-            node = parse_user_query_mdq_exact(query)
+            node = parse_user_query_mdq_exact(
+                query, term_exists=self.reader.term_exists)
         elif grammar in ("freetext", "freetext-cjk"):
             from .freetext import compile_freetext
 
             node = compile_freetext(query,
-                                    cjk_ngram=(grammar == "freetext-cjk"))
+                                    cjk_ngram=(grammar == "freetext-cjk"),
+                                    term_exists=self.reader.term_exists)
         else:
             node = parse_user_query(query)
         return self.search_node(node, k=k, with_urls=with_urls)
