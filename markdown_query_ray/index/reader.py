@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+from ..functions.introselect import nth_element
 from .build import term_part
 
 
@@ -177,11 +178,12 @@ class IndexReader:
         excluded.
 
         most_frequent: keep the ``limit`` highest-termfreq matches
-        (WILDCARD_LIMIT_MOST_FREQUENT, what FLAG_PARTIAL uses). Tie-break at
-        the cap boundary is (termfreq desc, term asc) — deterministic,
-        where xapian's nth_element leaves the equal-frequency subset
-        unspecified (a documented divergence observable only when the cap
-        cuts through a tie)."""
+        (WILDCARD_LIMIT_MOST_FREQUENT, what FLAG_PARTIAL uses). The subset
+        kept when the cap cuts through a termfreq tie is whatever
+        std::nth_element leaves in the first ``limit`` slots
+        (OrContext::select_most_frequent, api/queryinternal.cc:199-206,
+        over the lexicographic allterms order) — replicated bit-for-bit
+        by functions/introselect.py."""
         hi = prefix + "\U0010ffff"
         flt = (pc.field("term") >= prefix) & (pc.field("term") <= hi)
         freqs: dict[str, int] = {}
@@ -191,8 +193,9 @@ class IndexReader:
                 freqs[term] = freqs.get(term, 0) + int(tf)
         alive = {t: f for t, f in freqs.items() if f > 0}
         if most_frequent and limit and len(alive) > limit:
-            keep = sorted(alive.items(), key=lambda kv: (-kv[1], kv[0]))
-            return sorted(t for t, _ in keep[:limit])
+            arr = [(f, t) for t, f in sorted(alive.items())]
+            nth_element(arr, limit - 1, lambda a, b: a[0] > b[0])
+            return sorted(t for _, t in arr[:limit])
         terms = sorted(alive)
         if limit and len(terms) > limit:
             terms = terms[:limit]

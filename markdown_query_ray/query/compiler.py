@@ -213,6 +213,8 @@ def _fold(left, op: str, right):
             return right
         if rempty:
             return left
+        if isinstance(left, Or):  # operator|= flattens the left chain
+            return Or(left.children + (right,))
         return Or((left, right))
     if op == "ELITE":
         # Query(OP_ELITE_SET, l, r) with default set_size 10
@@ -227,10 +229,18 @@ def _fold(left, op: str, right):
             return right
         if rempty:
             return left
+        if isinstance(left, Xor):
+            # operator^= flattens: one multiway XOR, whose weight is the
+            # SUM of every matching child for odd-count docs — a nested
+            # binary chain loses the inner pair's weights (verified vs
+            # the real matcher)
+            return Xor(left.children + (right,))
         return Xor((left, right))
     if op == "AND":
         if lempty or rempty:
             return MatchNothing()
+        if isinstance(left, And):  # operator&= flattens the left chain
+            return And(left.children + (right,))
         return And((left, right))
     if op == "AND NOT":
         if lempty:

@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import BM25Params, QueryConfig
+from ..functions.introselect import nth_element
 from ..index.codec import decode_blocks
 from ..index.reader import IndexReader
 from .ast import (
@@ -492,8 +493,10 @@ class Evaluator:
         candidate pool, nested ELITE children apply their own selection
         first, everything else is one candidate postlist. Selection keeps
         the set_size highest-maxweight candidates
-        (OrContext::select_elite_set :188-197); xapian's nth_element leaves
-        ties at the cut unspecified — we keep the earliest in query order."""
+        (OrContext::select_elite_set :188-197). The subset kept when the
+        cut falls inside a maxweight tie is whatever std::nth_element
+        leaves in the first set_size slots — replicated bit-for-bit by
+        functions/introselect.py over the query-order candidate list."""
         units: list = []
 
         def add(n):
@@ -509,9 +512,9 @@ class Evaluator:
             add(c)
         if len(units) <= node.set_size:
             return units
-        mw = np.array([self._maxweight(u) for u in units], np.float64)
-        keep = np.argsort(-mw, kind="stable")[:node.set_size]
-        return [units[i] for i in np.sort(keep)]
+        arr = [(self._maxweight(u), u) for u in units]
+        nth_element(arr, node.set_size - 1, lambda a, b: a[0] > b[0])
+        return [u for _, u in arr[:node.set_size]]
 
     def _maxweight(self, node) -> float:
         """PostList::get_maxweight of a subtree: per-term BM25 upper bound
