@@ -28,11 +28,12 @@ pytestmark = pytest.mark.skipif(
 
 # operator-free queries (each token parsed individually + OR-joined by both
 # sides): common terms, rare planted terms, partial prefixes, corner-rule
-# tokens, quoted phrases. Excluded by design: tokens like "t"/"s" whose
-# FLAG_PARTIAL expansion exceeds 100 terms WITH a frequency tie at the cap
-# boundary — xapian's nth_element picks an unspecified tie subset there
-# (api/queryinternal.cc select_most_frequent), which no reimplementation
-# can reproduce bit-for-bit.
+# tokens, quoted phrases. Tokens like "t"/"s" whose FLAG_PARTIAL expansion
+# exceeds 100 terms with a frequency tie at the cap boundary are covered by
+# test_partial_cap_tie_subset_parity — the kept subset is whatever
+# std::nth_element leaves in the first 100 slots
+# (api/queryinternal.cc select_most_frequent), reproduced bit-for-bit by
+# functions/introselect.py.
 QUERIES = [
     "the",                     # stopword-grade + 26-term wildcard expansion
     "xqzrareuno",
@@ -131,6 +132,34 @@ def test_topk_rank_identical_to_real_xapian(parity_setup):
         for (d, w), s in zip(exp, got_scores):
             assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
                 f"score mismatch for {q!r} doc {d}: ours {s} xapian {w}"
+
+
+def test_partial_cap_tie_subset_parity(parity_setup):
+    """Single-letter partials whose wildcard expansion blows past the
+    100-term cap with frequency ties at the boundary: xapian keeps the
+    subset std::nth_element happens to leave in the first 100 slots
+    (select_most_frequent) — our introselect port must pick the SAME
+    subset, making docids and scores identical."""
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.compiler import parse_user_query
+    from markdown_query_ray.index.reader import IndexReader
+
+    xdb, ours = parity_setup
+    reader = IndexReader(ours)
+    letters = [c for c in "abcdefghijklmnopqrstuvwxyz"
+               if len(reader.expand_wildcard(c, 0)) > 100]
+    assert letters, "corpus too small to overflow the partial cap"
+    want = _xapian_results(xdb, letters, 100)
+    qcfg = QueryConfig(k=100, params=BM25Params.xapian())
+    for i, q in enumerate(letters):
+        got = qx.search(ours, parse_user_query(q), qcfg, distributed=False)
+        exp = want[i]
+        assert got.column("doc_id").to_pylist() == [d for d, _ in exp], \
+            f"docid mismatch for partial {q!r}"
+        for (d, w), s in zip(exp, got.column("score").to_pylist()):
+            assert s == pytest.approx(w, rel=1e-9, abs=1e-12), \
+                f"score mismatch for partial {q!r} doc {d}"
 
 
 MD_QUERIES = [
