@@ -289,9 +289,10 @@ def test_freetext_cjk_matches_raw_queryparser(cjk_setup):
 
 def test_freetext_cjk_fuzz_vs_raw_queryparser(cjk_setup):
     """Seeded random queries mixing CJK spans, Latin corpus words, booleans,
-    quotes, love/hate and brackets vs the real qp.parse_query under
-    XAPIAN_CJK_NGRAM. Excluded shapes (documented divergences/corners):
-    infix char directly before a CJK char, NEAR/ADJ with CJK operands."""
+    quotes, love/hate, brackets, NEAR/ADJ with CJK operands and
+    infix-before-CJK joints vs the real qp.parse_query under
+    XAPIAN_CJK_NGRAM (the last two were divergent before the lemon-table
+    grammar port; both now parse identically)."""
     from markdown_query_ray.config import BM25Params, QueryConfig
     from markdown_query_ray.query import executor as qx
     from markdown_query_ray.query.freetext import (
@@ -322,8 +323,13 @@ def test_freetext_cjk_fuzz_vs_raw_queryparser(cjk_setup):
             return "+" + cjk_span()
         if r < 0.78:
             return latin[int(rng.integers(0, len(latin)))] + cjk_span()
-        if r < 0.86:
+        if r < 0.84:
             return f"({cjk_span()} OR {latin[int(rng.integers(0, len(latin)))]})"
+        if r < 0.90:  # NEAR/ADJ with a CJK operand: grammar error -> retry
+            op = "NEAR" if rng.random() < 0.5 else "ADJ"
+            return f"{cjk_span()} {op} {latin[int(rng.integers(0, len(latin)))]}"
+        if r < 0.95:  # infix char directly before a CJK char ("a'中")
+            return latin[int(rng.integers(0, len(latin)))] + "'" + cjk_span()
         return cjk_span() + latin[int(rng.integers(0, len(latin)))]
 
     OPS = ["", "AND", "OR", "XOR", "and", "or"]
