@@ -100,8 +100,11 @@ class SearchSession:
         if grammar == "mdq-exact":
             from .freetext import parse_user_query_mdq_exact
 
-            node = parse_user_query_mdq_exact(
-                query, term_exists=self.reader.term_exists)
+            # mdq builds its QueryParser with only a stemmer — no
+            # set_database (xapian_utils.rs:579-586) — so the db-dependent
+            # c++/c# suffix rule always keeps the suffix there; passing
+            # term_exists would diverge from the reference's behavior
+            node = parse_user_query_mdq_exact(query)
         elif grammar in ("freetext", "freetext-cjk"):
             from .freetext import compile_freetext
 

@@ -231,7 +231,8 @@ int main(int argc, char** argv) {
         Xapian::Stem stem("en");
         Xapian::QueryParser qp;
         qp.set_stemmer(stem);
-        qp.set_database(db);
+        // NO set_database — mdq's parse_user_query never calls it
+        // (xapian_utils.rs:579-586); see the "query" mode note
         unsigned flags = Xapian::QueryParser::FLAG_BOOLEAN |
                          Xapian::QueryParser::FLAG_PHRASE |
                          Xapian::QueryParser::FLAG_LOVEHATE |
@@ -337,7 +338,10 @@ int main(int argc, char** argv) {
         Xapian::Stem stem("en");
         Xapian::QueryParser qp;
         qp.set_stemmer(stem);
-        qp.set_database(db);
+        // NO set_database: mdq's parse_user_query builds its QueryParser
+        // with only a stemmer (xapian_utils.rs:579-586), so the
+        // db-dependent c++/c# suffix rule always keeps the suffix
+        // (queryparser_internal.cc:795-805 both lookups miss)
         // mdq's flag set (xapian_utils.rs:583-591)
         unsigned flags = Xapian::QueryParser::FLAG_BOOLEAN |
                          Xapian::QueryParser::FLAG_PHRASE |
