@@ -286,10 +286,13 @@ def build_index(out_dir: str,
                 paths: list[str] | None = None,
                 dataset=None,
                 cfg: IndexConfig | None = None,
-                total_docs: int | None = None) -> dict:
+                total_docs: int | None = None,
+                id_base: int = 0) -> dict:
     """Build the full index under ``out_dir``. Input is either ``paths``
     (pages-shaped parquet: url, warc_ts, html, text, lang) or ``dataset``
-    (a Ray Dataset already carrying doc_id + text or html).
+    (a Ray Dataset carrying text or html plus either a ``doc_id`` column
+    or a ``url`` to derive deterministic ids from; ``id_base`` offsets
+    derived ids — updates continue the id space).
 
     Returns the global stats dict. Ray must already be initialised by the
     caller (the driver owns the session)."""
@@ -323,6 +326,12 @@ def build_index(out_dir: str,
             ds = read_pages(sorted(paths), columns=["url", "html"])
         else:
             ds = dataset
+            names = ds.schema().names
+            if "doc_id" not in names and "terms" not in names:
+                # url+text/html dataset without ids (the documented input
+                # shape): assign deterministic ids by url rank
+                from ..sources.pages import assign_doc_ids
+                ds = assign_doc_ids(ds, id_base=id_base)
         if "terms" in ds.schema().names:
             tok = ds  # caller already tokenized (e.g. field-prefix stage)
         else:

@@ -184,7 +184,8 @@ def update_index(index_dir: str,
         from ..sources.pages import read_pages
         dataset = read_pages(sorted(paths), columns=["url", "html"],
                              id_base=segs["next_doc_id"])
-    gseg = build_index(seg_dir, dataset=dataset, cfg=cfg)
+    gseg = build_index(seg_dir, dataset=dataset, cfg=cfg,
+                       id_base=segs["next_doc_id"])
 
     # ---- tombstone replaced urls + exact stat deltas -----------------------
     new_tok = pads.dataset(os.path.join(seg_dir, "tokenized"))

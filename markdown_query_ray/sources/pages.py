@@ -105,6 +105,30 @@ def read_pages(paths: list[str], columns: list[str] | None = None,
         _ReadShard(columns), batch_format="pyarrow", batch_size=1)
 
 
+def assign_doc_ids(dataset, id_base: int = 0):
+    """Attach a deterministic ``doc_id:uint64`` to a url-keyed Dataset that
+    lacks one: sort by url, then zip against ``ray.data.range`` so row
+    rank + ``id_base`` becomes the id. Ids are stable for the same input
+    SET regardless of how the caller partitioned it (the file-path scheme
+    of read_pages can't apply to an arbitrary Dataset). The sort is an
+    all-to-all exchange — for the build/update inputs this runs on it is
+    one shuffle of the (small) new-docs batch, not of the whole index."""
+    import ray
+    import ray.data
+
+    n = dataset.count()
+    ids = ray.data.range(n).map_batches(
+        lambda b: {"doc_id": b["id"].astype("uint64") + id_base},
+        batch_format="numpy")
+    zipped = dataset.sort("url").zip(ids)
+    # sort+zip can leave very few (even single) blocks, which starves any
+    # downstream actor pool — e.g. the tokenize stage dropped to one task
+    # (36k-doc update measured 125s -> 16s after this repartition)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = max(1, min(cpus * 2, -(-n // 1000)))
+    return zipped.repartition(nblocks)
+
+
 # ---------------------------------------------------------------------------
 # JSONL source (Common-Crawl-style dumps often ship as JSON lines)
 # ---------------------------------------------------------------------------

@@ -337,3 +337,30 @@ def test_wand_on_updated_index(base_index, tmp_path):
     exact = qx.search(idx, node, QueryConfig(k=10, use_wand=False),
                       distributed=False)
     assert wand.equals(exact)
+
+
+def test_update_with_idless_url_dataset(base_index, tmp_path):
+    """The documented input shape "a Dataset with url + text" (no doc_id):
+    ids are derived deterministically by url rank, continuing the index's
+    id space (assign_doc_ids via build_index(id_base=next_doc_id))."""
+    import ray.data
+
+    idx, rows = base_index
+    t = pa.table({
+        "url": pa.array(["u3", "new_a", "new_b"]),
+        "text": pa.array(["replaced gamma text", "fresh delta", "fresh eps"]),
+    })
+    p = str(tmp_path / "upd_noid.parquet")
+    pq.write_table(t, p)
+    update_index(idx, dataset=ray.data.read_parquet(p))
+
+    r = IndexReader(idx)
+    # 20 base + 3 new, one base doc (u3) tombstoned
+    assert r.n_docs == 22
+    assert _search_ids(idx, "delta") and _search_ids(idx, "eps")
+    assert _search_ids(idx, "replaced")
+    # replaced doc's old id no longer matches its old content
+    assert 3 not in _search_ids(idx, "doc3")
+    # new ids continue the id space deterministically (url rank order)
+    new_ids = _search_ids(idx, "fresh")
+    assert new_ids == {20, 21}  # new_a < new_b < u3 in url sort order
