@@ -381,7 +381,22 @@ class Evaluator:
             return ScoredSet(left.ids, left.scores + boost)
 
         if isinstance(node, Xor):
-            parts = [self.evaluate(c) for c in node.children]
+            # QueryXor::postlist_sub_xor flattens nested XOR children
+            # recursively into ONE multiway XorPostList: an odd-count doc
+            # is weighted by the sum of ALL matching leaves — a nested
+            # binary evaluation would drop the inner even-count pair's
+            # weights (oracle-confirmed on "a XOR (b XOR c)")
+            leaves: list = []
+
+            def _flat(x):
+                for c in x.children:
+                    if isinstance(c, Xor):
+                        _flat(c)
+                    else:
+                        leaves.append(c)
+
+            _flat(node)
+            parts = [self.evaluate(c) for c in leaves]
             ids_all = np.concatenate([p.ids for p in parts]) if parts \
                 else np.empty(0, np.uint64)
             uniq, counts = np.unique(ids_all, return_counts=True)

@@ -107,20 +107,44 @@ def read_pages(paths: list[str], columns: list[str] | None = None,
 
 def assign_doc_ids(dataset, id_base: int = 0):
     """Attach a deterministic ``doc_id:uint64`` to a url-keyed Dataset that
-    lacks one: sort by url, then zip against ``ray.data.range`` so row
-    rank + ``id_base`` becomes the id. Ids are stable for the same input
-    SET regardless of how the caller partitioned it (the file-path scheme
-    of read_pages can't apply to an arbitrary Dataset). The sort is an
-    all-to-all exchange — for the build/update inputs this runs on it is
-    one shuffle of the (small) new-docs batch, not of the whole index."""
+    lacks one: sort by (url, content-hash), then zip against
+    ``ray.data.range`` so row rank + ``id_base`` becomes the id. Ids are
+    stable for the same input SET regardless of how the caller partitioned
+    it (the file-path scheme of read_pages can't apply to an arbitrary
+    Dataset); the content-hash tiebreak keeps duplicate urls within one
+    batch deterministic too (Ray's sort is not stable across equal keys).
+    The sort is an all-to-all exchange — for the build/update inputs this
+    runs on it is one shuffle of the (small) new-docs batch, not of the
+    whole index."""
+    import hashlib
+
+    import pyarrow as pa
     import ray
     import ray.data
 
-    n = dataset.count()
+    def add_tiebreak(b: pa.Table) -> pa.Table:
+        key = next((c for c in ("text", "html") if c in b.column_names),
+                   None)
+        if key is None:
+            tb = [""] * b.num_rows
+        else:
+            col = b.column(key).to_pylist()
+            tb = [hashlib.sha1(v if isinstance(v, bytes)
+                               else str(v).encode()).hexdigest()
+                  for v in col]
+        return b.append_column("_id_tiebreak", pa.array(tb, pa.string()))
+
+    # materialize once: count() on a materialized dataset is metadata-only
+    # and the sort re-reads blocks instead of re-running the upstream
+    # pipeline a second time
+    m = dataset.map_batches(add_tiebreak, batch_format="pyarrow") \
+        .materialize()
+    n = m.count()
     ids = ray.data.range(n).map_batches(
         lambda b: {"doc_id": b["id"].astype("uint64") + id_base},
         batch_format="numpy")
-    zipped = dataset.sort("url").zip(ids)
+    zipped = m.sort(["url", "_id_tiebreak"]).zip(ids) \
+        .drop_columns(["_id_tiebreak"])
     # sort+zip can leave very few (even single) blocks, which starves any
     # downstream actor pool — e.g. the tokenize stage dropped to one task
     # (36k-doc update measured 125s -> 16s after this repartition)

@@ -399,6 +399,12 @@ def test_match_counts_equal_real_xapian(parity_setup):
 FREETEXT_QUERIES = [
     "thelhur thest",
     "thelhur thest ",              # trailing space: no partial
+    # c++/c# suffix rule (db-dependent; term_exists wired below): "thest+"
+    # strips (bare term exists), "xqzq++" keeps (neither form exists), and
+    # a stripped suffix breaks the would-be phrase chain of "thest+/theck"
+    "thest+ theck",
+    "xqzq++ theck",
+    "thest+/theck ",
     "the thelhur AND thest",
     "the and thelhur",             # any-case boolean
     "+thelhur thest",
@@ -446,9 +452,11 @@ def test_freetext_matches_raw_queryparser(parity_setup):
             continue
         assert parts[1] != "ERROR", (FREETEXT_QUERIES[qn], parts)
         want[qn].append((int(parts[2]) - 1, float(parts[3])))
+    from markdown_query_ray.index.reader import IndexReader
+    tex = IndexReader(ours).term_exists
     qcfg = QueryConfig(k=100, params=BM25Params.xapian(), use_wand=False)
     for i, q in enumerate(FREETEXT_QUERIES):
-        node = compile_freetext(q)
+        node = compile_freetext(q, term_exists=tex)
         got = qx.search(ours, node, qcfg, distributed=False)
         exp = want[i]
         assert got.column("doc_id").to_pylist() == [d for d, _ in exp], \

@@ -225,8 +225,12 @@ def campaign_freetext(xdb, ours, toks):
             return "+" + tok()
         if r < 0.62:
             return "-" + tok()
-        if r < 0.70:
+        if r < 0.66:
             return f"({tok()} OR {tok()})"
+        if r < 0.70:
+            # nested XOR/AND in brackets: multiway-flatten semantics
+            op = "XOR" if rng.random() < 0.6 else "AND"
+            return f"({tok()} {op} {tok()})"
         if r < 0.76:
             return f"{tok()} NEAR {tok()}"
         if r < 0.86:
