@@ -463,10 +463,11 @@ class Evaluator:
             scores += w.sumpart(p.tfs[sel], p.dls[sel])
         return ScoredSet(ids, scores)
 
-    def _eval_synonym(self, node: Synonym) -> ScoredSet:
-        """OP_SYNONYM: subtree as one pseudo-term — wdf = sum of child wdf
-        clamped to doclen (matcher/synonympostlist.cc:66-98), termfreq from
-        the pairwise independence estimate (orpostlist.cc:290-301)."""
+    def _synonym_parts(self, node: Synonym):
+        """(expansion terms, synonym TermWeight) for a SYNONYM node —
+        shared by the exhaustive evaluation, the subset rescorer and the
+        block-max serving path so all three use the identical estimated
+        termfreq (and therefore bit-identical weights)."""
         terms: list[str] = []
         for c in node.children:
             if isinstance(c, Term):
@@ -478,12 +479,20 @@ class Evaluator:
                 raise TypeError("SYNONYM supports term/wildcard children")
         terms = list(dict.fromkeys(terms))  # stable dedup
         if not terms:
-            return ScoredSet.empty()
+            return [], None
         self._load_terms(terms)
         stats = self.term_stats_for(terms)
         freqs = [stats[t]["termfreq"] for t in terms if t in stats]
         est_tf = synonym_termfreq_estimate(freqs, self.reader.n_docs)
-        w = self.weight("", wqf=1, termfreq=est_tf)
+        return terms, self.weight("", wqf=1, termfreq=est_tf)
+
+    def _eval_synonym(self, node: Synonym) -> ScoredSet:
+        """OP_SYNONYM: subtree as one pseudo-term — wdf = sum of child wdf
+        clamped to doclen (matcher/synonympostlist.cc:66-98), termfreq from
+        the pairwise independence estimate (orpostlist.cc:290-301)."""
+        terms, w = self._synonym_parts(node)
+        if w is None:
+            return ScoredSet.empty()
 
         plist = [self._postings_cache[t] for t in terms]
         plist = [p for p in plist if len(p.ids)]
@@ -499,6 +508,52 @@ class Evaluator:
         np.maximum.at(dls, inv, all_dls)  # doclen identical across terms
         wdf = np.minimum(wdf, dls)  # clamp to doclen
         return ScoredSet(uniq, w.sumpart(wdf, dls))
+
+    def evaluate_subset(self, node, docs: np.ndarray) -> np.ndarray:
+        """Exact scores of the (sorted, unique) ``docs`` under an
+        Or/Term/Synonym tree — the rescorer of the block-max serving path.
+        Summation structure mirrors evaluate() exactly (per-child arrays
+        added in child order; integer wdf accumulation inside SYNONYM), so
+        the scores are bit-identical to the exhaustive path's."""
+        if isinstance(node, Term):
+            p = self.postings(node.text)
+            w = self.weight(node.text, node.wqf)
+            s = np.zeros(len(docs), np.float64)
+            if len(p.ids):
+                pos = np.minimum(np.searchsorted(p.ids, docs),
+                                 len(p.ids) - 1)
+                hit = p.ids[pos] == docs
+                if hit.any():
+                    s[hit] = w.sumpart(p.tfs[pos[hit]], p.dls[pos[hit]])
+            return s
+        if isinstance(node, Synonym):
+            terms, w = self._synonym_parts(node)
+            s = np.zeros(len(docs), np.float64)
+            if w is None:
+                return s
+            wdf = np.zeros(len(docs), np.uint64)
+            dls = np.zeros(len(docs), np.uint64)
+            for t in terms:
+                p = self._postings_cache[t]
+                if not len(p.ids):
+                    continue
+                pos = np.minimum(np.searchsorted(p.ids, docs),
+                                 len(p.ids) - 1)
+                hit = p.ids[pos] == docs
+                if hit.any():
+                    wdf[hit] += p.tfs[pos[hit]]
+                    dls[hit] = np.maximum(dls[hit], p.dls[pos[hit]])
+            m = wdf > 0
+            if m.any():
+                wm = np.minimum(wdf[m], dls[m])  # clamp to doclen
+                s[m] = w.sumpart(wm, dls[m])
+            return s
+        if isinstance(node, Or):
+            s = np.zeros(len(docs), np.float64)
+            for c in node.children:
+                s += self.evaluate_subset(c, docs)
+            return s
+        raise TypeError(f"evaluate_subset: unsupported node {node!r}")
 
     # -- ELITE_SET selection -------------------------------------------------
     def _elite_select(self, node: EliteSet) -> list:
@@ -637,6 +692,31 @@ def flat_or_terms(node) -> list[Term] | None:
     return None
 
 
+def or_tree_units(node) -> list | None:
+    """If the tree is ORs (arbitrarily nested) over Term / SYNONYM leaves —
+    the natural-language serving shapes, FLAG_PARTIAL expansions included —
+    return the leaves in evaluation order; else None. Used to gate the
+    block-max top-k: pruning bounds come from the flattened leaves while
+    exact rescoring walks the original tree (evaluate_subset), so results
+    stay bit-identical to the exhaustive path."""
+    out: list = []
+
+    def walk(n) -> bool:
+        if isinstance(n, Term):
+            out.append(n)
+            return True
+        if isinstance(n, Synonym):
+            if not all(isinstance(c, (Term, Wildcard)) for c in n.children):
+                return False
+            out.append(n)
+            return True
+        if isinstance(n, Or):
+            return all(walk(c) for c in n.children)
+        return False
+
+    return out if walk(node) else None
+
+
 def wand_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
               ) -> list[tuple[float, int]]:
     """Document-at-a-time block-max WAND over decoded postings.
@@ -766,7 +846,35 @@ def block_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
        length), contributions added in query-term order so float summation
        order matches the exhaustive path bit-for-bit.
     """
-    terms = []
+    terms = _bound_entries(term_entries)
+    if not terms:
+        return []
+
+    def exact_scores(docs: np.ndarray) -> np.ndarray:
+        s = np.zeros(len(docs), np.float64)
+        for t in sorted(terms, key=lambda x: x["qorder"]):
+            ids = t["p"].ids
+            pos = np.searchsorted(ids, docs)
+            pos_c = np.minimum(pos, len(ids) - 1)
+            hit = ids[pos_c] == docs
+            if hit.any():
+                s[hit] += t["w"].sumpart(t["p"].tfs[pos_c[hit]],
+                                         t["p"].dls[pos_c[hit]])
+        return s
+
+    hits = _block_topk_core(terms, exact_scores, k)
+    if hits is None:
+        # pruning ineffective: score the full union (same result, no
+        # block machinery) — keeps this entry point self-contained
+        docs = np.unique(np.concatenate([t["p"].ids for t in terms]))
+        return topk_from_scored(ScoredSet(docs, exact_scores(docs)), k)
+    return hits
+
+
+def _bound_entries(term_entries: list[tuple[TermWeight, "Postings"]]
+                   ) -> list[dict]:
+    """Per-entry block upper bounds for the pruning passes."""
+    out = []
     for qorder, (w, p) in enumerate(term_entries):
         if len(p.ids) == 0:
             continue
@@ -781,24 +889,64 @@ def block_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
                                             max(1, int(p.dls.min()))))])
             block_of = np.zeros(len(p.ids), np.int64)
             bn = np.array([len(p.ids)], np.int64)
-        terms.append({"qorder": qorder, "w": w, "p": p, "bub": bub,
-                      "block_of": block_of, "bn": bn,
-                      "ubg": float(bub.max())})
-    if not terms:
+        out.append({"qorder": qorder, "w": w, "p": p, "bub": bub,
+                    "block_of": block_of, "bn": bn,
+                    "ubg": float(bub.max())})
+    return out
+
+
+def block_topk_tree(ev: "Evaluator", node, k: int
+                    ) -> list[tuple[float, int]] | None:
+    """Block-max top-k over an OR tree of Term/SYNONYM leaves (the NL /
+    FLAG_PARTIAL serving shapes), or None when the tree doesn't qualify.
+
+    Pruning entries are the flattened leaves; a SYNONYM leaf contributes
+    one entry per expansion term, bounded with the SYNONYM's own weight —
+    valid because BM25's sumpart is concave in wdf at fixed doclen and
+    decreasing in doclen, so
+    sumpart(min(sum tf_e, dl)) <= sum_e sumpart(max_wdf_e, min_dl_e).
+    Survivors are rescored exactly by walking the ORIGINAL tree
+    (Evaluator.evaluate_subset), so scores are bit-identical to the
+    exhaustive path; the bounds only decide what can be skipped."""
+    units = or_tree_units(node)
+    if units is None:
+        return None
+    entries: list[tuple[TermWeight, "Postings"]] = []
+    for u in units:
+        if isinstance(u, Term):
+            entries.append((ev.weight(u.text, u.wqf), ev.postings(u.text)))
+        else:  # Synonym
+            terms, w = ev._synonym_parts(u)
+            for t in terms:
+                entries.append((w, ev.postings(t)))
+    if len(entries) <= 1:
+        return None
+    bounds = _bound_entries(entries)
+    if not bounds:
         return []
+    return _block_topk_core(bounds,
+                            lambda docs: ev.evaluate_subset(node, docs), k)
+    # (a None return surfaces to the caller -> exhaustive evaluate(),
+    # whose vectorized synonym accumulation beats per-candidate gathers
+    # when pruning keeps most postings)
+
+
+def _block_topk_core(terms: list[dict], exact_scores, k: int
+                     ) -> list[tuple[float, int]] | None:
+    """Returns None when block pruning keeps most postings anyway
+    (dense/stopword-grade queries): the candidate-gather rescore then
+    costs more than a straight vectorized exhaustive pass, so callers
+    should fall back."""
     sum_ubg = sum(t["ubg"] for t in terms)
 
-    def exact_scores(docs: np.ndarray) -> np.ndarray:
-        s = np.zeros(len(docs), np.float64)
-        for t in sorted(terms, key=lambda x: x["qorder"]):
-            ids = t["p"].ids
-            pos = np.searchsorted(ids, docs)
-            pos_c = np.minimum(pos, len(ids) - 1)
-            hit = ids[pos_c] == docs
-            if hit.any():
-                s[hit] += t["w"].sumpart(t["p"].tfs[pos_c[hit]],
-                                         t["p"].dls[pos_c[hit]])
-        return s
+    # ---- pass 0: prunability regime ----------------------------------------
+    # Entry e's block b prunes only when bub_e(b) < theta - (sum_ubg -
+    # ubg_e). With many entries the sum-of-other-bounds term swamps any
+    # achievable theta (a top-k score), so wide synonym expansions
+    # (short-prefix partials) can never prune — skip the seeding pass
+    # instead of paying it and bailing after pass B.
+    if len(terms) > 16:
+        return None
 
     # ---- pass A ------------------------------------------------------------
     seeds = []
@@ -826,6 +974,10 @@ def block_topk(term_entries: list[tuple[TermWeight, Postings]], k: int
             cands.append(t["p"].ids[keep[t["block_of"]]])
     if not cands:
         return []
+    total = sum(len(t["p"].ids) for t in terms)
+    kept = sum(len(c) for c in cands)
+    if kept > 0.25 * total:
+        return None  # pruning failed; exhaustive is cheaper
     docs = np.unique(np.concatenate(cands))
 
     # ---- pass C ------------------------------------------------------------
@@ -842,13 +994,10 @@ def search_bucket(index_dir: str, node, qcfg: QueryConfig,
     reader = IndexReader(index_dir)
     ev = Evaluator(reader, qcfg.params, bucket)
     ev.prefetch(node)  # one batched partition read for the whole tree
-    terms = flat_or_terms(node)
-    if qcfg.use_wand and terms is not None and len(terms) > 1:
-        entries = []
-        for t in terms:
-            p = ev.postings(t.text)
-            entries.append((ev.weight(t.text, t.wqf), p))
-        return block_topk(entries, qcfg.k)
+    if qcfg.use_wand:
+        hits = block_topk_tree(ev, node, qcfg.k)
+        if hits is not None:
+            return hits
     return topk_from_scored(ev.evaluate(node), qcfg.k)
 
 

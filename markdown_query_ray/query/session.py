@@ -32,8 +32,7 @@ from ..index.reader import IndexReader
 from .compiler import parse_user_query
 from .executor import (
     Evaluator,
-    block_topk,
-    flat_or_terms,
+    block_topk_tree,
     topk_from_scored,
 )
 
@@ -124,11 +123,10 @@ class SearchSession:
         for b in buckets:
             ev = self._evaluator(b)
             ev.prefetch(node)
-            terms = flat_or_terms(node)
-            if self.qcfg.use_wand and terms is not None and len(terms) > 1:
-                entries = [(ev.weight(t.text, t.wqf), ev.postings(t.text))
-                           for t in terms]
-                hits.extend(block_topk(entries, k))
+            bhits = block_topk_tree(ev, node, k) \
+                if self.qcfg.use_wand else None
+            if bhits is not None:
+                hits.extend(bhits)
             else:
                 hits.extend(topk_from_scored(ev.evaluate(node), k))
         hits.sort(key=lambda t: (-t[0], t[1]))
