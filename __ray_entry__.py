@@ -60,6 +60,201 @@ def _bm25_sql(terms: list[str], k: int) -> str:
 # BPE-ish pre-tokenizer count oracle: the exact pattern the Ray stage
 # compiles (textstats.BPE_PATTERN), SQL-escaped for the DuckDB literal.
 from markdown_query_ray.pipelines.textstats import BPE_PATTERN as _BPE_PAT
+from markdown_query_ray.pipelines.textstats import _LANG_PROFILES
+
+
+# --- FNV-1a64 in DuckDB ------------------------------------------------------
+# The dedup/fingerprint pipelines hash with FNV-1a64 (functions/hashing.py is
+# the canonical definition). DuckDB has no FNV builtin, so the oracles fold it
+# explicitly: bytes out of hex(encode(s)), then list_reduce with the
+# xor-multiply step in HUGEINT (the 64x41-bit product fits 128 bits) reduced
+# mod 2^64. Verified bit-identical to the Python/C implementations.
+
+_FNV_FOLD = (
+    "CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), "
+    "{bytes}), (h, x) -> CAST((CAST(xor(h, x) AS HUGEINT) * 1099511628211) "
+    "% 18446744073709551616 AS UBIGINT)) AS UBIGINT)")
+
+
+def _fnv_str_sql(col: str) -> str:
+    """FNV-1a64 over the UTF-8 bytes of a string expression."""
+    hexs = f"lower(hex(encode({col})))"
+    byte = (f"list_transform(range(0, octet_length(encode({col}))), "
+            f"i -> CAST((strpos('0123456789abcdef', substring({hexs}, "
+            f"2*i+1, 1))-1)*16 + (strpos('0123456789abcdef', "
+            f"substring({hexs}, 2*i+2, 1))-1) AS UBIGINT))")
+    return _FNV_FOLD.format(bytes=byte)
+
+
+def _fnv_u64le_sql(col: str) -> str:
+    """FNV-1a64 over the 8 little-endian bytes of a UBIGINT expression (the
+    shingle-window hash: dedup.shingle_hashes re-hashes token hashes)."""
+    byte = f"list_transform(range(0, 8), i -> ({col} >> CAST(8*i AS UBIGINT)) & 255)"
+    return _FNV_FOLD.format(bytes=byte)
+
+
+# Exact 3-token-shingle Jaccard over all pairs (>= threshold). The Ray side
+# hashes shingles (FNV) before set ops; set identity is unchanged, so string
+# shingles joined by an impossible-in-token separator (chr(31)) are the same
+# sets. Short docs (< 3 tokens) contribute one whole-doc shingle, mirroring
+# dedup.shingle_hashes.
+_MINHASH_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+sh3 AS (SELECT doc_id, CASE WHEN len(l) <= 3 THEN [array_to_string(l, chr(31))]
+    ELSE list_transform(range(0, len(l)-2), i -> l[i+1] || chr(31) || l[i+2] || chr(31) || l[i+3]) END AS sh FROM tl),
+s AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(sh) AS g FROM sh3)),
+sz AS (SELECT doc_id, count(*) AS c FROM s GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+FROM inter JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+# SimHash from first principles: token hash = FNV(FNV(token) LE bytes) —
+# exactly dedup.shingle_hashes(text, w=1) — majority bit over all token
+# occurrences, then the SAME 4x16-bit band blocking + Hamming <= 6 the Ray
+# pipeline applies. Empty docs carry signature 0 (LEFT JOIN + coalesce).
+_SIMHASH_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+th0 AS (SELECT doc_id, {_fnv_str_sql('tok')} AS th0 FROM tok),
+th AS (SELECT doc_id, {_fnv_u64le_sql('th0')} AS th FROM th0),
+n AS (SELECT doc_id, count(*) AS n_tok FROM th GROUP BY doc_id),
+bits AS (SELECT th.doc_id, b.b, sum(CAST((th.th >> CAST(b.b AS UBIGINT)) & 1 AS BIGINT)) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b GROUP BY 1, 2),
+sig0 AS (SELECT bits.doc_id,
+    CAST(sum(CASE WHEN 2 * bits.s > n.n_tok THEN CAST(1 AS HUGEINT) << CAST(bits.b AS INTEGER) ELSE 0 END) % 18446744073709551616 AS UBIGINT) AS sig
+  FROM bits JOIN n ON bits.doc_id = n.doc_id GROUP BY 1),
+sig AS (SELECT d.doc_id, coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id),
+seg AS (SELECT doc_id, sig, b.b AS band, CAST((sig >> CAST(16 * b.b AS UBIGINT)) & 65535 AS BIGINT) AS seg
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+         FROM seg a JOIN seg b ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY doc_a, doc_b
+"""
+
+# Rolling document fingerprint: h = fold over tokens of
+# (h XOR (FNV(token) + position)) * prime, all mod 2^64
+# (textstats.fingerprint_batch / _ctok.c rolling_fingerprint64).
+_FINGERPRINT_SQL = f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM tl),
+mixed AS (SELECT doc_id, i,
+  CAST((CAST({_fnv_str_sql('tok')} AS HUGEINT) + (i - 1)) % 18446744073709551616 AS UBIGINT) AS m FROM tok),
+folded AS (SELECT doc_id, list(m ORDER BY i) AS ms FROM mixed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), ms),
+  (h, x) -> CAST((CAST(xor(h, x) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS UBIGINT) AS fingerprint
+  FROM folded)
+SELECT d.doc_id, coalesce(fp.fingerprint, CAST(14695981039346656037 AS UBIGINT)) AS fingerprint
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id ORDER BY d.doc_id
+"""
+
+
+def _langid_sql() -> str:
+    """Profile-word language ID: hits = count of DISTINCT profile words per
+    language; prediction = lexicographically-first argmax, 'und' on zero
+    hits (textstats.LangIdStage, vectorized the same way)."""
+    prof_rows = ", ".join(f"('{lang}','{w}')"
+                          for lang in sorted(_LANG_PROFILES)
+                          for w in sorted(_LANG_PROFILES[lang]))
+    return f"""
+WITH prof(lang, word) AS (VALUES {prof_rows}),
+w AS (SELECT DISTINCT doc_id, word FROM (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word FROM documents)),
+hits AS (SELECT w.doc_id, prof.lang, count(*) AS c FROM w JOIN prof ON w.word = prof.word GROUP BY 1, 2),
+best AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM hits)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# Brute-force cosine top-10 for the first three vectors (vec_id 0..2 — the
+# embeddings table is written in vec_id order, so query_idx == vec_id): the
+# oracle for the recall-complete LSH ANN entry and the full-probe IVF entry.
+_ANN_BRUTE_SQL = """
+WITH q AS (SELECT vec_id AS query_idx, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.query_idx, e.vec_id, list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_idx, vec_id, sim, row_number() OVER (PARTITION BY query_idx ORDER BY sim DESC, vec_id) AS rk FROM s)
+SELECT query_idx, CAST(rk AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim
+FROM r WHERE rk <= 10 ORDER BY query_idx, rank
+"""
+
+
+# --- golden-table oracles ----------------------------------------------------
+# flagship: top-20 produced by the REAL xapian-core 1.4.17 over the same
+# corpus (tools/gen_goldens.py drives tools/xapian_oracle.cc — a non-circular
+# oracle). multimodal: independently recomputed from the container spec.
+# Golden rows are inlined as VALUES so the driver needs no filesystem access.
+
+import json as _json
+import os as _os
+
+_GOLDEN_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "golden")
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _values_sql(rows: list[dict], cols: list[str], order_by: list[str],
+                casts: dict[str, str] | None = None) -> str:
+    casts = casts or {}
+    vals = ", ".join(
+        "(" + ", ".join(_sql_lit(r[c]) for c in cols) + ")" for r in rows)
+    sel = ", ".join(f"CAST({c} AS {casts[c]}) AS {c}" if c in casts else c
+                    for c in cols)
+    return (f"SELECT {sel} FROM (VALUES {vals}) AS g({', '.join(cols)}) "
+            f"ORDER BY {', '.join(order_by)}")
+
+
+def _flagship_sql() -> str:
+    with open(_os.path.join(_GOLDEN_DIR, "flagship.json")) as f:
+        g = _json.load(f)
+    parts = []
+    for key, rows in g["by_corpus_key"].items():
+        vals = ", ".join(
+            f"({_sql_lit(key)}, {r['rank']}, {r['doc_id']}, "
+            f"{repr(r['score'])}, {_sql_lit(r['url'])})" for r in rows)
+        parts.append(vals)
+    return (
+        "WITH g(corpus_key, rank, doc_id, score, url) AS (VALUES "
+        + ", ".join(parts) +
+        "), k AS (SELECT count(*) || '-' || CAST(sum(n_chars) AS BIGINT) "
+        "AS ck FROM documents) "
+        "SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS "
+        "doc_id, CAST(score AS DOUBLE) AS score, url "
+        "FROM g, k WHERE g.corpus_key = k.ck ORDER BY rank")
+
+
+def _multimodal_sql(name: str) -> str:
+    with open(_os.path.join(_GOLDEN_DIR, "multimodal.json")) as f:
+        g = _json.load(f)
+    rows = g[name]
+    specs = {
+        "multimodal_features": (
+            ["media_id", "mean_intensity", "std_intensity"], ["media_id"],
+            {"media_id": "BIGINT", "mean_intensity": "DOUBLE",
+             "std_intensity": "DOUBLE"}),
+        "video_frame_features": (
+            ["media_id", "frame_idx", "mean_intensity", "std_intensity"],
+            ["media_id", "frame_idx"],
+            {"media_id": "BIGINT", "frame_idx": "BIGINT",
+             "mean_intensity": "DOUBLE", "std_intensity": "DOUBLE"}),
+        "audio_chunk_features": (
+            ["media_id", "chunk_idx", "rms", "zero_crossing_rate"],
+            ["media_id", "chunk_idx"],
+            {"media_id": "BIGINT", "chunk_idx": "BIGINT", "rms": "DOUBLE",
+             "zero_crossing_rate": "DOUBLE"}),
+    }
+    cols, order_by, casts = specs[name]
+    return _values_sql(rows, cols, order_by, casts)
 
 _BPE_SQL = (
     "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
@@ -220,7 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_30m": d.events_sessions,
         # -- relational smoke ------------------------------------------------
         "tpch_q1ish": d.tpch_q1ish,
-        # -- rows-only (non-SQL-expressible; driver records weaker check) ----
+        # -- golden-table / recall-complete-parameter oracles (round 2) ------
         "flagship_xapian_search": lambda sf: d.flagship_search(sf),
         "minhash_dedup_pairs": d.minhash_pairs,
         "embedding_neardup_lsh": d.embedding_neardup_lsh,
@@ -327,4 +522,25 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice), 2) AS sum_price, "
             "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
             "GROUP BY 1, 2 ORDER BY 1, 2"),
+        # -- round-2 oracles for the formerly rows-only entries --------------
+        "minhash_dedup_pairs": _MINHASH_SQL,
+        "simhash_pairs": _SIMHASH_SQL,
+        "doc_fingerprints": _FINGERPRINT_SQL,
+        "langid": _langid_sql(),
+        # the LSH near-dup entries run recall-complete parameterizations, so
+        # the exhaustive pair SQL is a true oracle for both
+        "embedding_neardup_lsh": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4 "
+            "ORDER BY vec_a, vec_b"),
+        "lsh_ann_top10": _ANN_BRUTE_SQL,
+        "ivf_ann_top10": _ANN_BRUTE_SQL,
+        "flagship_xapian_search": _flagship_sql(),
+        "multimodal_features": _multimodal_sql("multimodal_features"),
+        "video_frame_features": _multimodal_sql("video_frame_features"),
+        "audio_chunk_features": _multimodal_sql("audio_chunk_features"),
     }

@@ -183,10 +183,54 @@ def band_explode_batch(batch: pa.Table, bands: int = 16,
     })
 
 
+# Collision segments larger than this emit STAR pairs (every member paired
+# with the segment's minimum doc_id) instead of all pairs: a boilerplate-heavy
+# crawl can put a near-identical cluster of millions of docs into one band
+# bucket, and the quadratic expansion would OOM the group task. Star pairs
+# keep dedup-cluster connectivity (connected components still link every
+# member through the representative); the drop is logged, never silent.
+MAX_SEGMENT_DOCS = 4096
+
+_log_once_keys: set[str] = set()
+
+
+def _log_segment_cap(kind: str, seg_docs: int, dropped_pairs: int) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: collision segment of %d docs exceeds MAX_SEGMENT_DOCS=%d; "
+        "emitting %d star pairs instead of %d all-pairs (%d candidate "
+        "pairs not emitted; cluster connectivity preserved via the "
+        "representative)", kind, seg_docs, MAX_SEGMENT_DOCS, seg_docs - 1,
+        seg_docs * (seg_docs - 1) // 2,
+        dropped_pairs)
+
+
+def _segment_pairs(ids_sorted: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray, kind: str):
+    """Vectorized all-pairs per segment (np.triu_indices), star-capped for
+    giant segments. Yields (a_idx, b_idx) absolute index arrays into
+    ids_sorted, so callers can also slice parallel arrays (signatures)."""
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > MAX_SEGMENT_DOCS:
+            _log_segment_cap(kind, int(m),
+                             int(m * (m - 1) // 2 - (m - 1)))
+            a = np.full(m - 1, s, np.int64)  # ids_sorted asc => s is min id
+            b = np.arange(s + 1, e, dtype=np.int64)
+        else:
+            ii, jj = np.triu_indices(m, k=1)
+            a = s + ii
+            b = s + jj
+        yield a, b
+
+
 def _bucket_pair_scan(group: pa.Table) -> pa.Table:
     """All same-(band_id, band_hash) doc pairs within one coarse bucket:
-    one lexsort + segment scan; only multi-doc segments (actual collisions)
-    reach Python."""
+    one lexsort + segment scan, pairs emitted via vectorized triu indices
+    (star-capped for pathological giant segments)."""
     bid = group.column("band_id").to_numpy()
     bh = group.column("band_hash").to_numpy()
     ids = group.column("doc_id").to_numpy()
@@ -197,19 +241,14 @@ def _bucket_pair_scan(group: pa.Table) -> pa.Table:
     change[1:] = (bid_s[1:] != bid_s[:-1]) | (bh_s[1:] != bh_s[:-1])
     starts = np.nonzero(change)[0]
     ends = np.append(starts[1:], n)
-    out_a: list[int] = []
-    out_b: list[int] = []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        seg = ids_s[s:e]
-        for i in range(len(seg)):
-            for j in range(i + 1, len(seg)):
-                out_a.append(int(seg[i]))
-                out_b.append(int(seg[j]))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for a, b in _segment_pairs(ids_s, starts, ends, "minhash_lsh"):
+        out_a.append(ids_s[a])
+        out_b.append(ids_s[b])
     return pa.table({
-        "doc_a": pa.array(out_a, pa.int64()),
-        "doc_b": pa.array(out_b, pa.int64()),
+        "doc_a": pa.array(_cat(out_a, np.int64), pa.int64()),
+        "doc_b": pa.array(_cat(out_b, np.int64), pa.int64()),
     })
 
 
@@ -223,15 +262,71 @@ def jaccard(text_a: str, text_b: str, w: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+_VERIFY_BUCKETS = 64  # shuffle groups for the distributed Jaccard verify
+
+
+def _pair_vbucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic verify-bucket per candidate pair (FNV over the id
+    pair)."""
+    h = _fnv1a_u64_rows(np.stack([a.astype(np.uint64),
+                                  b.astype(np.uint64)], axis=1))
+    return (h % np.uint64(_VERIFY_BUCKETS)).astype(np.int32)
+
+
+def _verify_group(group: pa.Table, threshold: float, w: int) -> pa.Table:
+    """One verify bucket: pair rows (kind=0) + the texts they need (kind=1).
+    Shingle sets are computed once per distinct doc in the bucket, pairs
+    checked with C-level set ops."""
+    kind = group.column("kind").to_numpy()
+    texts: dict[int, str] = {}
+    tmask = kind == 1
+    if tmask.any():
+        t = group.filter(pa.array(tmask))
+        texts = dict(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+    shingles: dict[int, frozenset] = {
+        d: frozenset(shingle_hashes(txt or "", w).tolist())
+        for d, txt in texts.items()}
+    p = group.filter(pa.array(~tmask))
+    out_a, out_b, out_j = [], [], []
+    for da, db in zip(p.column("doc_a").to_pylist(),
+                      p.column("doc_b").to_pylist()):
+        sa = shingles.get(da, frozenset())
+        sb = shingles.get(db, frozenset())
+        if not sa and not sb:
+            j = 1.0
+        elif not sa or not sb:
+            j = 0.0
+        else:
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(da)
+            out_b.append(db)
+            out_j.append(j)
+    return pa.table({
+        "doc_a": pa.array(out_a, pa.int64()),
+        "doc_b": pa.array(out_b, pa.int64()),
+        "jaccard": pa.array(out_j, pa.float64()),
+    })
+
+
 def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
                         bands: int = 16, w: int = 3):
     """Near-duplicate pairs via MinHash-LSH with exact n-gram-Jaccard verify.
 
     Returns a pyarrow Table (doc_a, doc_b, jaccard) with doc_a < doc_b,
-    sorted. The verify step re-reads candidate texts via a broadcast lookup
-    (candidate sets are orders of magnitude smaller than the corpus; at
-    100 TB the verify would instead join candidates back against the corpus
-    by doc_id-bucket)."""
+    sorted. The verify is DISTRIBUTED: candidate pairs shuffle into
+    ``_VERIFY_BUCKETS`` groups keyed by a pair hash, candidate texts are
+    routed into exactly the buckets that need them inside a ``map_batches``
+    corpus pass (via a broadcast id->buckets map), and the exact Jaccard
+    runs inside ``groupby(vbucket).map_groups`` — texts NEVER materialize
+    on the driver; only verified pairs do.
+
+    The routing map itself is id-sized (candidate ids, not texts); at
+    10^12-doc scale with a boilerplate-heavy corpus even that collection
+    would move off-driver by replacing the broadcast with a shuffle join of
+    (doc_id, vbucket) needs against the corpus on hash(doc_id)."""
     rows = num_hashes // bands
     sigs = ds.map_batches(MinHashStage(num_hashes, w), batch_format="pyarrow",
                           concurrency=None)
@@ -240,42 +335,88 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
         batch_format="pyarrow")
     cand = bands_ds.groupby("bucket").map_groups(
         _bucket_pair_scan, batch_format="pyarrow")
+    # candidate ID pairs (16 bytes each — orders of magnitude smaller than
+    # texts) come back to build the broadcast routing map
     cand_pd = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    cand_pd = cand_pd.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    if not len(cand_pd):
+        return pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        })
+    a = cand_pd["doc_a"].to_numpy(np.int64)
+    b = cand_pd["doc_b"].to_numpy(np.int64)
+    vb = _pair_vbucket(a, b)
 
-    # fetch candidate texts DISTRIBUTIVELY: broadcast the (small) needed-id
-    # set once via ray.put, filter inside map_batches so the corpus scan
-    # stays on the workers and only candidate rows reach the driver
+    # id -> sorted unique vbuckets that need this doc's text
+    need_ids = np.concatenate([a, b])
+    need_vbs = np.concatenate([vb, vb])
+    uniq = np.unique(np.stack([need_ids, need_vbs.astype(np.int64)], axis=1),
+                     axis=0)
+
     import ray
 
-    need_ref = ray.put(
-        np.unique(np.concatenate([cand_pd["doc_a"].to_numpy(np.int64),
-                                  cand_pd["doc_b"].to_numpy(np.int64)]))
-        if len(cand_pd) else np.empty(0, np.int64))
+    need_ref = ray.put(uniq)  # (n_needs, 2): doc_id, vbucket
 
-    def _keep_needed(batch: pa.Table) -> pa.Table:
-        need = ray.get(need_ref)
-        mask = np.isin(batch.column("doc_id").to_numpy().astype(np.int64),
-                       need)
-        return batch.select(["doc_id", "text"]).filter(pa.array(mask))
+    def _route_texts(batch: pa.Table) -> pa.Table:
+        """Emit (vbucket, kind=1, doc_id, text) rows, one per vbucket that
+        needs the doc; non-candidate docs are dropped here so only
+        candidate texts enter the verify shuffle."""
+        needs = ray.get(need_ref)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        # all (row, need) matches via searchsorted on the sorted needs
+        lo = np.searchsorted(needs[:, 0], ids, side="left")
+        hi = np.searchsorted(needs[:, 0], ids, side="right")
+        counts = hi - lo
+        rows_idx = np.repeat(np.arange(len(ids)), counts)
+        if len(rows_idx) == 0:
+            return pa.table({
+                "vbucket": pa.array([], pa.int32()),
+                "kind": pa.array([], pa.int8()),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            })
+        need_idx = np.concatenate(
+            [np.arange(s, e) for s, e in zip(lo[counts > 0], hi[counts > 0])])
+        sel = batch.select(["doc_id", "text"]).take(pa.array(rows_idx))
+        n = len(rows_idx)
+        return pa.table({
+            "vbucket": pa.array(needs[need_idx, 1].astype(np.int32)),
+            "kind": pa.array(np.ones(n, np.int8)),
+            "doc_a": pa.array(np.zeros(n, np.int64)),
+            "doc_b": pa.array(np.zeros(n, np.int64)),
+            "doc_id": sel.column("doc_id").cast(pa.int64()),
+            "text": sel.column("text").cast(pa.string()),
+        })
 
-    texts = {}
-    for b in ds.map_batches(_keep_needed, batch_format="pyarrow") \
-            .iter_batches(batch_size=4096, batch_format="pyarrow"):
-        texts.update(zip(b.column("doc_id").to_pylist(),
-                         b.column("text").to_pylist()))
-    out_a, out_b, out_j = [], [], []
-    for da, db in zip(cand_pd["doc_a"], cand_pd["doc_b"]):
-        j = jaccard(texts.get(da, ""), texts.get(db, ""), w)
-        if j >= threshold:
-            out_a.append(int(da))
-            out_b.append(int(db))
-            out_j.append(j)
-    return pa.table({
-        "doc_a": pa.array(out_a, pa.int64()),
-        "doc_b": pa.array(out_b, pa.int64()),
-        "jaccard": pa.array(out_j, pa.float64()),
+    import ray.data
+
+    pair_rows = pa.table({
+        "vbucket": pa.array(vb),
+        "kind": pa.array(np.zeros(len(a), np.int8)),
+        "doc_a": pa.array(a),
+        "doc_b": pa.array(b),
+        "doc_id": pa.array(np.zeros(len(a), np.int64)),
+        "text": pa.array([""] * len(a), pa.string()),
     })
+    routed = ds.map_batches(_route_texts, batch_format="pyarrow")
+    union = ray.data.from_arrow(pair_rows).union(routed)
+    verified = union.groupby("vbucket").map_groups(
+        partial(_verify_group, threshold=threshold, w=w),
+        batch_format="pyarrow")
+    chunks = list(verified.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow"))
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    })
+    t = pa.concat_tables(chunks) if chunks else empty
+    if t.num_rows == 0:
+        return empty
+    return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -352,16 +493,13 @@ def _simhash_bucket_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
     starts = np.nonzero(change)[0]
     ends = np.append(starts[1:], n)
     pa_, pb_, ha_ = [], [], []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        ii, jj = np.triu_indices(e - s, k=1)
-        xor = sh_s[s:e][ii] ^ sh_s[s:e][jj]
+    for a, b in _segment_pairs(ids_s, starts, ends, "simhash"):
+        xor = sh_s[a] ^ sh_s[b]
         ham = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
                             axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
-        pa_.append(ids_s[s:e][ii[keep]])
-        pb_.append(ids_s[s:e][jj[keep]])
+        pa_.append(ids_s[a[keep]])
+        pb_.append(ids_s[b[keep]])
         ha_.append(ham[keep])
     return pa.table({
         "doc_a": pa.array(_cat(pa_, np.int64), pa.int64()),

@@ -241,31 +241,40 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >=
-    threshold) — the embedding-space analog of minhash/simhash dedup."""
-    import ray.data
+    threshold) — the embedding-space analog of minhash/simhash dedup.
 
-    from .similarity import cosine_neardup_pairs
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
-    t = cosine_neardup_pairs(ds, threshold=threshold)
-    return _round_col(t, "sim")
-
-
-def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4) -> pa.Table:
-    """LSH-blocked embedding near-dup (the scale path: no full-matrix
-    broadcast; exact-cosine verify inside each signature block)."""
+    Runs the LSH-blocked SCALE path (no full-matrix broadcast, no
+    ``to_pandas`` of the corpus) with recall-complete banding: 3 planes x
+    32 tables gives per-pair miss probability (1-p^3)^32 ~ 1e-3 at the
+    sim=0.4 boundary (p = 1-acos(0.4)/pi ~ 0.63) and far lower for the
+    actual pair population; verified equal to the exhaustive baseline on
+    the driver tables (tests/test_similarity_quality.py). The exhaustive
+    ``cosine_neardup_pairs`` stays as the in-test oracle only."""
     import ray.data
 
     from .similarity import cosine_neardup_pairs_lsh
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-    # 4 planes x 16 tables: per-table collision p^4 with p=1-acos(0.4)/pi
-    # ~ 0.63 gives union recall ~0.94 at the loose 0.4 threshold (the 8x8
-    # default is tuned for >=0.9 near-dups)
     t = cosine_neardup_pairs_lsh(ds, threshold=threshold,
-                                 n_planes=4, n_tables=16)
+                                 n_planes=3, n_tables=32)
+    return _round_col(t, "sim")
+
+
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """LSH-blocked embedding near-dup at a coarser parameterization
+    (2 planes x 32 tables — bigger buckets, fewer tables' worth of
+    signature work; per-pair miss (1-p^2)^32 ~ 9e-8 at the threshold).
+    Same DuckDB oracle as ``embedding_neardup``: both parameterizations
+    must recover the full exact pair set."""
+    import ray.data
+
+    from .similarity import cosine_neardup_pairs_lsh
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    t = cosine_neardup_pairs_lsh(ds, threshold=threshold,
+                                 n_planes=2, n_tables=32)
     return _round_col(t, "sim")
 
 
@@ -374,18 +383,27 @@ def flagship_search(sf_dir: str, query: str = "the fast merge",
         with open(done, "w") as f:
             f.write("ok")
     node = parse_user_query(query)
-    return qx.search(out, node, QueryConfig(k=k, params=BM25Params.xapian()),
-                     with_urls=True)
+    res = qx.search(out, node, QueryConfig(k=k, params=BM25Params.xapian()),
+                    with_urls=True)
+    res = res.set_column(res.column_names.index("doc_id"), "doc_id",
+                         res.column("doc_id").cast(pa.int64()))
+    return _round_col(res, "score")
 
 
 def minhash_pairs(sf_dir: str) -> pa.Table:
+    """Near-dup pairs by exact 3-token-shingle Jaccard >= 0.5, found via
+    MinHash-LSH banding with the exact verify distributed over a pair-hash
+    shuffle. bands=64 x rows=2 makes the banding recall-complete at the
+    0.5 boundary (miss prob (1-j^2)^64 <= 1e-8), so the output equals the
+    all-pairs exact Jaccard the DuckDB oracle computes."""
     import ray.data
 
     from .dedup import minhash_dedup_pairs
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, threshold=0.5)
+    t = minhash_dedup_pairs(ds, threshold=0.5, num_hashes=128, bands=64)
+    return _round_col(t, "jaccard")
 
 
 def simhash_near_pairs(sf_dir: str) -> pa.Table:
@@ -399,6 +417,11 @@ def simhash_near_pairs(sf_dir: str) -> pa.Table:
 
 
 def lsh_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Multi-table hyperplane LSH ANN at recall-complete parameters
+    (3 planes x 24 tables + 1-bit multiprobe): exact top-k recovery on the
+    driver tables, so the brute-force cosine SQL is a true oracle. The
+    realistic narrow-probe parameterizations stay recall-tested in
+    tests/test_similarity_quality.py."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -408,10 +431,16 @@ def lsh_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     q = np.array(emb.column("embedding").to_pylist()[:3], np.float64)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-    return lsh_ann(ds, q, k=k)
+    t = lsh_ann(ds, q, k=k, n_planes=3, n_tables=24, multiprobe=1)
+    return _round_col(t, "sim")
 
 
 def ivf_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """IVF ANN at nprobe = n_lists (full probe): probing every list must
+    equal brute force — the exactness property that validates the
+    quantizer/probe/rerank machinery against the brute-cosine SQL oracle.
+    Selective nprobe < n_lists recall is covered in
+    tests/test_similarity_quality.py."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -421,7 +450,8 @@ def ivf_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     q = np.array(emb.column("embedding").to_pylist()[:3], np.float64)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-    return ivf_ann(ds, q, k=k)
+    t = ivf_ann(ds, q, k=k, n_lists=16, nprobe=16)
+    return _round_col(t, "sim")
 
 
 def langid_preds(sf_dir: str) -> pa.Table:
@@ -447,13 +477,19 @@ def fingerprints(sf_dir: str) -> pa.Table:
 
 
 def multimodal_features(sf_dir: str) -> pa.Table:
+    """Scalar image features (mean/std intensity) over the deterministic
+    RAW8 fixture — checked against an independently recomputed golden
+    (tools/gen_goldens.py); the histogram feature vector stays covered by
+    tests/test_multimodal.py."""
     import ray.data
 
     from .multimodal import make_media_table, media_features
 
     media = make_media_table(200)
     ds = ray.data.from_arrow(media)
-    return _collect(media_features(ds)).sort_by("media_id")
+    t = _collect(media_features(ds)).sort_by("media_id")
+    t = t.select(["media_id", "mean_intensity", "std_intensity"])
+    return _round_col(_round_col(t, "mean_intensity"), "std_intensity")
 
 
 def video_frame_feats(sf_dir: str) -> pa.Table:
@@ -462,8 +498,15 @@ def video_frame_feats(sf_dir: str) -> pa.Table:
     from .multimodal import make_video_table, video_frame_features
 
     ds = ray.data.from_arrow(make_video_table(100))
-    return _collect(video_frame_features(ds, n_samples=4)) \
-        .sort_by([("media_id", "ascending")])
+    t = _collect(video_frame_features(ds, n_samples=4)) \
+        .sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+    t = pa.table({
+        "media_id": t.column("media_id"),
+        "frame_idx": t.column("frame_idx").cast(pa.int64()),
+        "mean_intensity": t.column("mean_intensity"),
+        "std_intensity": t.column("std_intensity"),
+    })
+    return _round_col(_round_col(t, "mean_intensity"), "std_intensity")
 
 
 def audio_chunk_feats(sf_dir: str) -> pa.Table:
@@ -474,7 +517,14 @@ def audio_chunk_feats(sf_dir: str) -> pa.Table:
     ds = ray.data.from_arrow(make_audio_table(100))
     t = _collect(ds.map_batches(AudioChunkStage, batch_format="pyarrow",
                                 batch_size=32, concurrency=(1, 16)))
-    return t.sort_by([("media_id", "ascending"), ("chunk_idx", "ascending")])
+    t = t.sort_by([("media_id", "ascending"), ("chunk_idx", "ascending")])
+    t = pa.table({
+        "media_id": t.column("media_id"),
+        "chunk_idx": t.column("chunk_idx").cast(pa.int64()),
+        "rms": t.column("rms"),
+        "zero_crossing_rate": t.column("zero_crossing_rate"),
+    })
+    return _round_col(_round_col(t, "rms"), "zero_crossing_rate")
 
 
 def _collect(ds) -> pa.Table:

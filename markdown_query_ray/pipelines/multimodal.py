@@ -85,12 +85,16 @@ class MediaFeatureStage:
             feats.append(hist.astype(np.float32).tolist())
             means.append(float(px.mean()))
             stds.append(float(px.std()))
-        return pa.table({
+        cols = {
             "media_id": batch.column("media_id"),
             "features": pa.array(feats, pa.list_(pa.float32())),
             "mean_intensity": pa.array(means, pa.float64()),
             "std_intensity": pa.array(stds, pa.float64()),
-        })
+        }
+        # carry per-frame provenance through (video frames keep their index)
+        if "frame_idx" in batch.column_names:
+            cols["frame_idx"] = batch.column("frame_idx")
+        return pa.table(cols)
 
 
 class ResizeStage:

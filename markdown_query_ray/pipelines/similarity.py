@@ -383,17 +383,22 @@ def _neardup_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     change[1:] = (tb_s[1:] != tb_s[:-1]) | (sg_s[1:] != sg_s[:-1])
     starts = np.nonzero(change)[0]
     ends = np.append(starts[1:], n)
+    from .dedup import _segment_pairs
+
     pa_, pb_, ps_ = [], [], []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        sims = _cosine(mat[s:e], mat[s:e])
-        ii, jj = np.triu_indices(e - s, k=1)
-        keep = sims[ii, jj] >= threshold
+    for a, b in _segment_pairs(ids_s, starts, ends, "cosine_neardup_lsh"):
+        # row-pair cosine (not a full segment matrix): stays O(pairs)
+        # even when the star cap kicks in on a giant segment
+        num = np.einsum("ij,ij->i", mat[a], mat[b])
+        den = (np.linalg.norm(mat[a], axis=1)
+               * np.linalg.norm(mat[b], axis=1))
+        den[den == 0] = 1.0
+        sims = num / den
+        keep = sims >= threshold
         # ids_s ascending within the segment => a < b holds
-        pa_.append(ids_s[s:e][ii[keep]])
-        pb_.append(ids_s[s:e][jj[keep]])
-        ps_.append(sims[ii[keep], jj[keep]])
+        pa_.append(ids_s[a[keep]])
+        pb_.append(ids_s[b[keep]])
+        ps_.append(sims[keep])
     return pa.table({
         "vec_a": pa.array(_cat(pa_, np.int64), pa.int64()),
         "vec_b": pa.array(_cat(pb_, np.int64), pa.int64()),

@@ -65,6 +65,13 @@ SQL_CHECKED = [
     "quality_features", "dedup_exact", "knn_cosine_top10",
     "events_tumbling_1h", "events_hopping_1h_30m", "events_sessions_30m",
     "tpch_q1ish",
+    # round 2: formerly rows-only, now oracle-checked (exact-SQL
+    # reimplementations, recall-complete LSH parameterizations, and
+    # golden tables — flagship's golden comes from the REAL xapian-core)
+    "minhash_dedup_pairs", "simhash_pairs", "doc_fingerprints", "langid",
+    "embedding_neardup_lsh", "lsh_ann_top10", "ivf_ann_top10",
+    "flagship_xapian_search", "multimodal_features", "video_frame_features",
+    "audio_chunk_features",
 ]
 
 
@@ -81,11 +88,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
                                   check_exact=False, rtol=1e-9, atol=1e-9)
 
 
-ROWS_ONLY = ["flagship_xapian_search", "minhash_dedup_pairs",
-             "embedding_neardup_lsh",
-             "simhash_pairs", "lsh_ann_top10", "ivf_ann_top10", "langid",
-             "doc_fingerprints", "multimodal_features",
-             "video_frame_features", "audio_chunk_features"]
+ROWS_ONLY: list[str] = []  # every entry is oracle-checked as of round 2
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

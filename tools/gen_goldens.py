@@ -1,0 +1,170 @@
+"""Generate golden oracle tables for driver entries whose semantics are not
+ANSI-SQL-expressible:
+
+- ``flagship_xapian_search``: top-20 for the flagship query produced by the
+  REAL xapian-core 1.4.17 (the reference's bundled library, driven through
+  the exact mdq call sequence by tools/xapian_oracle.cc) over the same
+  synthesized page corpus the driver entry indexes. This is a stronger,
+  non-circular oracle: the golden comes from the reference engine itself,
+  not from our code. Keyed by corpus size so one SQL string serves every sf
+  (the oracle SQL discriminates on ``(SELECT count(*) FROM documents)``).
+- ``multimodal_features`` / ``video_frame_features`` /
+  ``audio_chunk_features``: the RAW8/RAW8V/RAWA fixtures are deterministic;
+  features are INDEPENDENTLY recomputed here with inline numpy (this script
+  imports nothing from markdown_query_ray for the math — it re-derives
+  mean/std/rms/zcr/frame-sampling from the container spec), so the golden
+  is a second implementation, not a copy of the pipeline's output.
+
+Run: python tools/gen_goldens.py   (writes golden/*.json)
+Requires the xapian oracle binary (tools/build_xapian_oracle.sh).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.environ.get("XAPIAN_ORACLE",
+                        "/tmp/xapian-install/bin/xapian_oracle")
+GOLDEN_DIR = os.path.join(REPO, "golden")
+
+sys.path.insert(0, REPO)
+
+
+def _escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+
+
+def gen_flagship(sfs=("sf0.001", "sf0.01", "sf0.1"),
+                 query: str = "the fast merge", k: int = 20) -> dict:
+    """Index the flagship page corpus into real xapian, run the flagship
+    query through the mdq per-token orchestration, keep top-k."""
+    import pyarrow.parquet as pq
+
+    from markdown_query_ray.fixtures import pages_from_documents
+    from markdown_query_ray.stages.extract import extract_text
+
+    out: dict[str, list] = {}
+    for sf in sfs:
+        sf_dir = f"/root/testdata/{sf}"
+        # corpus key = count + n_chars sum: count alone collides across sfs
+        # (sf0.001 and sf0.01 both hold 500 docs)
+        dt = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["n_chars"])
+        corpus_key = (f"{dt.num_rows}-"
+                      f"{int(np.sum(dt.column('n_chars').to_numpy()))}")
+        pages = pages_from_documents(sf_dir)
+        urls = pages.column("url").to_pylist()
+        htmls = pages.column("html").to_pylist()
+        texts = [extract_text(h) for h in htmls]
+        with tempfile.TemporaryDirectory() as td:
+            xdb = os.path.join(td, "xdb")
+            tsv = "".join(f"{_escape(u)}\t{_escape(t)}\n"
+                          for u, t in zip(urls, texts))
+            r = subprocess.run([ORACLE, xdb, "index"], input=tsv,
+                               capture_output=True, text=True, check=True)
+            assert r.stdout.strip() == f"indexed {len(urls)}", r.stdout
+            q = subprocess.run([ORACLE, xdb, "query", str(k)],
+                               input=query + "\n", capture_output=True,
+                               text=True, check=True)
+        rows = []
+        for line in q.stdout.splitlines():
+            qn, rank, docid, w = line.split("\t")
+            doc_id = int(docid) - 1  # xapian docids are 1-based arrival order
+            rows.append({"rank": int(rank), "doc_id": doc_id,
+                         "score": round(float(w), 6), "url": urls[doc_id]})
+        out[corpus_key] = rows
+        print(f"flagship {sf}: key {corpus_key}, {len(rows)} hits, "
+              f"top score {rows[0]['score'] if rows else None}")
+    return {"query": query, "k": k, "by_corpus_key": out}
+
+
+# ---------------------------------------------------------------------------
+# multimodal: independent recomputation from the container spec
+# ---------------------------------------------------------------------------
+
+def _media_pixels(n: int, seed: int = 5):
+    """Re-derive the deterministic RAW8 fixture pixels (same RNG spec as
+    pipelines/multimodal.py make_media_table)."""
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
+        w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+        yield i, rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def gen_multimodal(n: int = 200) -> list:
+    rows = []
+    for i, px in _media_pixels(n):
+        a = px.astype(np.float64)
+        rows.append({"media_id": i,
+                     "mean_intensity": round(float(a.mean()), 6),
+                     "std_intensity": round(float(a.std()), 6)})
+    return rows
+
+
+def _video_frames(n: int, seed: int = 9):
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
+        nf = int(rng.integers(4, 24))
+        w, h = int(rng.integers(8, 16)), int(rng.integers(8, 16))
+        yield i, rng.integers(0, 256, size=(nf, h, w), dtype=np.uint8)
+
+
+def gen_video(n: int = 100, n_samples: int = 4) -> list:
+    rows = []
+    for i, frames in _video_frames(n):
+        nf = len(frames)
+        take = np.unique((np.arange(n_samples) * nf) // n_samples)
+        for j in take:
+            a = frames[j].astype(np.float64)
+            rows.append({"media_id": i, "frame_idx": int(j),
+                         "mean_intensity": round(float(a.mean()), 6),
+                         "std_intensity": round(float(a.std()), 6)})
+    return rows
+
+
+def _audio_samples(n: int, seed: int = 17):
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
+        n_s = int(rng.integers(1000, 8000))
+        yield i, (rng.standard_normal(n_s) * 3000).astype(np.int16)
+
+
+def gen_audio(n: int = 100, chunk: int = 2048) -> list:
+    rows = []
+    for i, samples in _audio_samples(n):
+        for j in range(0, len(samples), chunk):
+            c = samples[j:j + chunk].astype(np.float64)
+            sign = np.signbit(c)
+            zcr = float(np.mean(sign[1:] != sign[:-1])) if len(c) > 1 else 0.0
+            rows.append({"media_id": i, "chunk_idx": j // chunk,
+                         "rms": round(float(np.sqrt(np.mean(c ** 2))), 6),
+                         "zero_crossing_rate": round(zcr, 6)})
+    return rows
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    with open(os.path.join(GOLDEN_DIR, "multimodal.json"), "w") as f:
+        json.dump({"multimodal_features": gen_multimodal(),
+                   "video_frame_features": gen_video(),
+                   "audio_chunk_features": gen_audio()}, f)
+    print("multimodal goldens written")
+    if not os.path.exists(ORACLE):
+        print(f"SKIP flagship golden: {ORACLE} missing "
+              "(run tools/build_xapian_oracle.sh)")
+        return
+    with open(os.path.join(GOLDEN_DIR, "flagship.json"), "w") as f:
+        json.dump(gen_flagship(), f)
+    print("flagship golden written")
+
+
+if __name__ == "__main__":
+    main()
