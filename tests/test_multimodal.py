@@ -124,5 +124,7 @@ def test_distributed_video_pipeline(ray_session):
     ds = ray.data.from_arrow(make_video_table(12))
     out = video_frame_features(ds, n_samples=3, batch_size=4).to_pandas()
     assert len(out) > 0
-    assert set(out.columns) == {"media_id", "features", "mean_intensity",
-                                "std_intensity"}
+    # frame_idx rides through the feature stage so per-frame rows keep
+    # their provenance (golden-oracle comparisons key on it)
+    assert set(out.columns) == {"media_id", "frame_idx", "features",
+                                "mean_intensity", "std_intensity"}
