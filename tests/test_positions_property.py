@@ -14,7 +14,9 @@ from markdown_query_ray.index.codec import encode_partition, encode_varints
 from markdown_query_ray.query.executor import (
     Postings,
     _ordered_within,
+    _ordered_within_many,
     _unordered_within,
+    _unordered_within_many,
 )
 
 VOCAB = ["a", "b", "c", "d"]
@@ -82,6 +84,50 @@ def test_window_checks_match_bruteforce(docs, terms, window):
             _brute_ordered(toks, terms, window), (toks, terms, window)
         assert _unordered_within(pl, window) == \
             _brute_unordered(toks, terms, window), (toks, terms, window)
+
+
+def _fake_postings(per_doc_positions: list[np.ndarray]) -> Postings:
+    """Postings over docs 0..n-1 with the given per-doc position arrays."""
+    n = len(per_doc_positions)
+    off = np.zeros(n + 1, np.int64)
+    off[1:] = np.cumsum([len(p) for p in per_doc_positions])
+    vals = (np.concatenate(per_doc_positions).astype(np.uint64)
+            if n else np.empty(0, np.uint64))
+    ids = np.arange(n, dtype=np.uint64)
+    return Postings(ids, np.ones(n, np.uint64), np.ones(n, np.uint64),
+                    pos_off=off, pos_vals=vals)
+
+
+@settings(max_examples=300, deadline=None)
+@given(docs=docs_strategy,
+       terms=st.lists(st.sampled_from(VOCAB), min_size=2, max_size=3),
+       window=st.integers(min_value=2, max_value=6))
+def test_vectorized_window_checks_match_scalar(docs, terms, window):
+    """The many-doc vectorized verification must agree doc-for-doc with the
+    scalar spec (which itself matches brute force above), including
+    duplicate slots sharing one Postings object — the evaluator's cache
+    hands "wet NEAR wet" the same object twice."""
+    window = max(window, len(terms))
+    # keep only docs where every term occurs (the evaluator checks the
+    # window only on the AND intersection)
+    cand = [toks for toks in docs
+            if all(any(x == t for x in toks) for t in terms)]
+    if not cand:
+        return
+    per_term: dict[str, Postings] = {
+        t: _fake_postings([
+            np.asarray([i + 1 for i, x in enumerate(toks) if x == t],
+                       np.uint64) for toks in cand])
+        for t in set(terms)}
+    plists = [per_term[t] for t in terms]
+    idxs = [np.arange(len(cand), dtype=np.int64) for _ in terms]
+    got_o = _ordered_within_many(plists, idxs, window)
+    got_u = _unordered_within_many(plists, idxs, window)
+    for j, toks in enumerate(cand):
+        pl = _plists(toks, terms)
+        assert got_o[j] == _ordered_within(pl, window), (toks, terms, window)
+        assert got_u[j] == _unordered_within(pl, window), (toks, terms,
+                                                           window)
 
 
 @settings(max_examples=100, deadline=None)
