@@ -185,6 +185,72 @@ def _manifest_row(skey: int, path: str, n_blocks: int, n_postings: int,
     })
 
 
+URL_MAP_BUCKETS = 64
+# below this many rows the url map is written in one local pass (the Ray
+# shuffle's fixed cost exceeds the work); above it, a bucket groupby
+URL_MAP_DRIVER_ROWS = 1_000_000
+
+
+def _url_bucket_batch(batch: pa.Table) -> pa.Table:
+    """(url, doc_id, doclen, ubucket) rows for the url-map shuffle; bucket =
+    FNV-1a64(url) % URL_MAP_BUCKETS (the same vectorized hash updates use
+    for lookups)."""
+    from ..functions.hashing import fnv1a64_strings
+
+    col = batch.column("url")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = fnv1a64_strings(col)
+    return pa.table({
+        "url": batch.column("url"),
+        "doc_id": batch.column("doc_id"),
+        "doclen": batch.column("doclen"),
+        "ubucket": pa.array((h % np.uint64(URL_MAP_BUCKETS))
+                            .astype(np.int32)),
+    })
+
+
+def _write_url_map_group(group: pa.Table, out_dir: str) -> pa.Table:
+    """map_groups body: write one url-map bucket file atomically."""
+    b = int(group.column("ubucket")[0].as_py())
+    path = os.path.join(out_dir, "url_map", f"umap-{b:04d}.parquet")
+    if not os.path.exists(path):
+        _write_atomic(group.select(["url", "doc_id", "doclen"]), path)
+    return pa.table({"bucket": pa.array([b], pa.int32()),
+                     "rows": pa.array([group.num_rows], pa.int64())})
+
+
+def url_map_lookup(seg_dir: str, urls: list[str]) -> pa.Table | None:
+    """(doc_id, url, doclen) rows of ``urls`` from a segment's url map,
+    reading ONLY the hash buckets the urls fall in — the per-update lookup
+    never scans the segment's corpus. Returns None when the segment predates
+    the url map (callers fall back to the tokenized scan)."""
+    um_dir = os.path.join(seg_dir, "url_map")
+    if not os.path.exists(os.path.join(um_dir, "_SUCCESS")):
+        return None
+    from ..functions.hashing import fnv1a64_strings
+
+    need = np.unique(fnv1a64_strings(pa.array(urls, pa.string()))
+                     % np.uint64(URL_MAP_BUCKETS))
+    tabs = []
+    for b in need:
+        p = os.path.join(um_dir, f"umap-{int(b):04d}.parquet")
+        if os.path.exists(p):
+            t = pq.read_table(p)
+            t = t.filter(pc.is_in(t.column("url"),
+                                  value_set=pa.array(urls, pa.string())))
+            if len(t):
+                tabs.append(t.select(["doc_id", "url", "doclen"]))
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], pa.uint64()),
+                         "url": pa.array([], pa.string()),
+                         "doclen": pa.array([], pa.uint32())})
+    out = pa.concat_tables(tabs)
+    return pa.table({"doc_id": out.column("doc_id").cast(pa.uint64()),
+                     "url": out.column("url"),
+                     "doclen": out.column("doclen").cast(pa.uint32())})
+
+
 def _clear_parquet_dir(d: str) -> None:
     """Remove stale parquet output (incl. write tmp files) from an
     incomplete multi-file write so a re-run starts clean."""
@@ -357,6 +423,44 @@ def build_index(out_dir: str,
 
     tokds = ray.data.read_parquet(tok_dir,
                                   file_extensions=["parquet"])
+
+    # ---- stage 1b: url -> (doc_id, doclen) hash-bucketed map ---------------
+    # Updates look up replaced urls here instead of scanning every segment's
+    # tokenized table (a corpus scan per update batch at 10^12 docs). One
+    # small shuffle of (url, doc_id, doclen) rows into URL_MAP_BUCKETS
+    # bucket files; lookups read only the buckets their urls hash to.
+    t0 = time.perf_counter()
+    um_done = os.path.join(out_dir, "url_map", "_SUCCESS")
+    if "url" in tokds.schema().names and not os.path.exists(um_done):
+        _clear_parquet_dir(os.path.join(out_dir, "url_map"))
+        tok_rows = sum(
+            pq.ParquetFile(os.path.join(tok_dir, f)).metadata.num_rows
+            for f in os.listdir(tok_dir) if f.endswith(".parquet"))
+        if tok_rows <= URL_MAP_DRIVER_ROWS:
+            # small build: one local pass beats a Ray shuffle whose fixed
+            # scheduling cost exceeds the work (measured 1.4 s vs 0.1 s at
+            # 5k docs)
+            t = pq.ParquetDataset(tok_dir).read(
+                columns=["url", "doc_id", "doclen"])
+            bucketed = _url_bucket_batch(t)
+            ub = bucketed.column("ubucket").to_numpy()
+            for b in np.unique(ub):
+                _write_url_map_group(
+                    bucketed.filter(pa.array(ub == b)), out_dir)
+        else:
+            from functools import partial as _partial
+
+            umds = ray.data.read_parquet(
+                tok_dir, file_extensions=["parquet"],
+                columns=["url", "doc_id", "doclen"])
+            umds.map_batches(
+                _url_bucket_batch, batch_format="pyarrow"
+            ).groupby("ubucket").map_groups(
+                _partial(_write_url_map_group, out_dir=out_dir),
+                batch_format="pyarrow").materialize()
+        with open(um_done, "w") as f:
+            f.write("ok")
+    _mark("url_map", t0)
 
     # ---- stage 2: global stats (per-file partials, driver reduce) ----------
     # The docs table (doc_id, url, doclen) is NOT re-written: tokenized/ IS

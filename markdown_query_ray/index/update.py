@@ -59,18 +59,26 @@ def load_segments(index_dir: str) -> dict:
 def _live_url_ids(index_dir: str, segs: dict, urls: list[str],
                   exclude_gen: int | None = None) -> pa.Table:
     """(doc_id, url, doclen) of LIVE docs among ``urls`` across segments.
+    Reads the segment's hash-bucketed url map when present (only the
+    buckets the urls fall in — no corpus scan per update); segments built
+    before the url map fall back to a filtered tokenized scan.
     ``exclude_gen`` ignores that generation's own tombstones — a re-run
     after a crash mid-commit must recompute the SAME replaced set, not an
     empty one (its first attempt's tombstones already cover the urls)."""
+    from .build import url_map_lookup
+
     ts = _tombstone_ids(index_dir, exclude_gen=exclude_gen)
     tabs = []
     for seg in segs["segments"]:
-        tok = os.path.join(index_dir, seg, "tokenized")
-        if not os.path.isdir(tok):
-            continue
-        t = pads.dataset(tok).to_table(
-            columns=["doc_id", "url", "doclen"],
-            filter=pc.field("url").isin(urls))
+        seg_dir = os.path.join(index_dir, seg)
+        t = url_map_lookup(seg_dir, urls)
+        if t is None:
+            tok = os.path.join(seg_dir, "tokenized")
+            if not os.path.isdir(tok):
+                continue
+            t = pads.dataset(tok).to_table(
+                columns=["doc_id", "url", "doclen"],
+                filter=pc.field("url").isin(urls))
         if len(t):
             tabs.append(t)
     if not tabs:

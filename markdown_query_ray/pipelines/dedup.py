@@ -191,8 +191,6 @@ def band_explode_batch(batch: pa.Table, bands: int = 16,
 # member through the representative); the drop is logged, never silent.
 MAX_SEGMENT_DOCS = 4096
 
-_log_once_keys: set[str] = set()
-
 
 def _log_segment_cap(kind: str, seg_docs: int, dropped_pairs: int) -> None:
     import logging

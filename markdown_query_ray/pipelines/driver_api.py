@@ -222,16 +222,24 @@ def dedup_exact_ids(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": t.column("doc_id").cast(pa.int64())})
 
 
-def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
+def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
+    """First ``n`` query vectors, read with a parquet row filter + column
+    prune (never the whole table onto the driver)."""
     import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n)])
+    t = t.sort_by("vec_id")
+    return np.array(t.column("embedding").to_pylist(), np.float64)
+
+
+def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     import ray.data
 
     from .similarity import knn_bruteforce
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    qrow = emb.filter(
-        pa.compute.equal(emb.column("vec_id"), query_vec_id))
-    q = np.array(qrow.column("embedding").to_pylist()[0], np.float64)
+    q = _query_vectors(sf_dir, query_vec_id + 1)[query_vec_id]
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     t = knn_bruteforce(ds, q[None, :], k=k)
@@ -422,13 +430,11 @@ def lsh_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     driver tables, so the brute-force cosine SQL is a true oracle. The
     realistic narrow-probe parameterizations stay recall-tested in
     tests/test_similarity_quality.py."""
-    import pyarrow.parquet as pq
     import ray.data
 
     from .similarity import lsh_ann
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    q = np.array(emb.column("embedding").to_pylist()[:3], np.float64)
+    q = _query_vectors(sf_dir, 3)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     t = lsh_ann(ds, q, k=k, n_planes=3, n_tables=24, multiprobe=1)
@@ -441,13 +447,11 @@ def ivf_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     quantizer/probe/rerank machinery against the brute-cosine SQL oracle.
     Selective nprobe < n_lists recall is covered in
     tests/test_similarity_quality.py."""
-    import pyarrow.parquet as pq
     import ray.data
 
     from .similarity import ivf_ann
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    q = np.array(emb.column("embedding").to_pylist()[:3], np.float64)
+    q = _query_vectors(sf_dir, 3)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     t = ivf_ann(ds, q, k=k, n_lists=16, nprobe=16)
