@@ -171,6 +171,34 @@ ORDER BY d.doc_id
 """
 
 
+# URL canonicalization: the oracle reconstructs both the messy url AND its
+# canonical form from doc_id by applying the documented rules in SQL — an
+# independent derivation, not a replay of the pipeline.
+_MESSY_URL_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END || '://' || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site' || (doc_id % 97) || "
+    "'.Example' || (doc_id % 11) || '.com' ELSE 'site' || (doc_id % 97) || "
+    "'.example' || (doc_id % 11) || '.com' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END || "
+    "'/Docs/' || doc_id || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN '#section' ELSE '' END")
+
+_URL_CANON_SQL = (
+    f"SELECT doc_id, {_MESSY_URL_SQL} AS url, "
+    "'https://site' || (doc_id % 97) || '.example' || (doc_id % 11) || "
+    "'.com/Docs/' || doc_id || "
+    "CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS canon_url "
+    "FROM documents ORDER BY doc_id")
+
+_DOMAIN_STATS_SQL = (
+    "SELECT 'example' || (doc_id % 11) || '.com' AS domain, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+    "FROM documents GROUP BY 1 ORDER BY 1")
+
+
 # Brute-force cosine top-10 for the first three vectors (vec_id 0..2 — the
 # embeddings table is written in vec_id order, so query_idx == vec_id): the
 # oracle for the recall-complete LSH ANN entry and the full-probe IVF entry.
@@ -424,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_top10": d.ivf_ann_topk,
         "langid": d.langid_preds,
         "doc_fingerprints": d.fingerprints,
+        "url_canonicalize": d.url_canon,
+        "domain_doc_stats": d.domain_doc_stats,
         "multimodal_features": d.multimodal_features,
         "video_frame_features": d.video_frame_feats,
         "audio_chunk_features": d.audio_chunk_feats,
@@ -539,6 +569,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_a, vec_b"),
         "lsh_ann_top10": _ANN_BRUTE_SQL,
         "ivf_ann_top10": _ANN_BRUTE_SQL,
+        "url_canonicalize": _URL_CANON_SQL,
+        "domain_doc_stats": _DOMAIN_STATS_SQL,
         "flagship_xapian_search": _flagship_sql(),
         "multimodal_features": _multimodal_sql("multimodal_features"),
         "video_frame_features": _multimodal_sql("video_frame_features"),

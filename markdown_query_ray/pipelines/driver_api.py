@@ -531,6 +531,41 @@ def audio_chunk_feats(sf_dir: str) -> pa.Table:
     return _round_col(_round_col(t, "rms"), "zero_crossing_rate")
 
 
+def url_canon(sf_dir: str) -> pa.Table:
+    """(doc_id, url, canon_url): URL canonicalization over deterministic
+    messy urls synthesized from doc_id (the oracle reconstructs BOTH
+    columns from the rules in SQL — an independent check of the math)."""
+    import ray.data
+
+    from .webnorm import url_canonicalize
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+    t = _collect(url_canonicalize(ds)).sort_by("doc_id")
+    return pa.table({
+        "doc_id": t.column("doc_id").cast(pa.int64()),
+        "url": t.column("url"),
+        "canon_url": t.column("canon_url"),
+    })
+
+
+def domain_doc_stats(sf_dir: str) -> pa.Table:
+    """(domain, n_docs, sum_chars) per registered domain of the canonical
+    url — the per-domain quota/quality aggregate."""
+    import ray.data
+
+    from .webnorm import domain_stats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    t = _collect(domain_stats(ds)).sort_by("domain")
+    return pa.table({
+        "domain": t.column("domain"),
+        "n_docs": t.column("n_docs").cast(pa.int64()),
+        "sum_chars": t.column("sum_chars").cast(pa.int64()),
+    })
+
+
 def _collect(ds) -> pa.Table:
     """Materialize a (small, aggregated) Dataset result to one Table."""
     t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)

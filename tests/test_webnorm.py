@@ -1,0 +1,58 @@
+"""URL canonicalization rules, case by case (pipelines/webnorm.py — the
+rule list in its docstring is the spec the DuckDB oracle re-derives)."""
+
+import pyarrow as pa
+
+from markdown_query_ray.pipelines.webnorm import (
+    canonical_url_batch,
+    registered_domain_batch,
+)
+
+
+def canon(url: str) -> str:
+    t = pa.table({"url": pa.array([url], pa.string())})
+    return canonical_url_batch(t).column("canon_url")[0].as_py()
+
+
+def test_scheme_host_lowercased():
+    assert canon("HTTPS://WWW.Example.COM/Path") == "https://example.com/Path"
+
+
+def test_path_case_preserved():
+    assert canon("https://a.example/CaseSensitive") == \
+        "https://a.example/CaseSensitive"
+
+
+def test_default_ports_stripped():
+    assert canon("https://a.example:443/x") == "https://a.example/x"
+    assert canon("http://a.example:80/x") == "http://a.example/x"
+    assert canon("https://a.example:8443/x") == "https://a.example:8443/x"
+
+
+def test_fragment_dropped():
+    assert canon("https://a.example/x#frag") == "https://a.example/x"
+
+
+def test_tracking_params_dropped_rest_sorted():
+    assert canon("https://a.example/x?b=2&utm_source=f&a=1&fbclid=z") == \
+        "https://a.example/x?a=1&b=2"
+    assert canon("https://a.example/x?utm_campaign=c") == \
+        "https://a.example/x"
+
+
+def test_trailing_slash_and_empty_path():
+    assert canon("https://a.example/x/") == "https://a.example/x"
+    assert canon("https://a.example/") == "https://a.example/"
+    assert canon("https://a.example") == "https://a.example/"
+
+
+def test_unparseable_passthrough():
+    assert canon("not a url") == "not a url"
+
+
+def test_registered_domain():
+    t = pa.table({"canon_url": pa.array(
+        ["https://a.b.example.com/x", "https://example.org/",
+         "not a url"], pa.string())})
+    assert registered_domain_batch(t).column("domain").to_pylist() == \
+        ["example.com", "example.org", ""]
