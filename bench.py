@@ -134,6 +134,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.events_sessions(sf_dir)
     with timed("tpch_q1ish"):
         d.tpch_q1ish(sf_dir)
+    with timed("webnorm"):  # url canonicalization + per-domain aggregate
+        d.url_canon(sf_dir)
+        d.domain_doc_stats(sf_dir)
 
     total = round(sum(timings.values()), 4)
     return {

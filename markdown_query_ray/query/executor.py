@@ -224,8 +224,16 @@ def _ordered_within_many(plists: list["Postings"],
         k = fdoc.astype(np.uint64) * big + fpos
         pos = np.searchsorted(k, cur, side="right")
         ok = pos < len(k)
-        nxt = k[np.minimum(pos, max(len(k) - 1, 0))] if len(k) else cur
-        same_doc = ok & (nxt // big == cur // big)
+        capped = np.minimum(pos, max(len(k) - 1, 0))
+        if len(k):
+            nxt = k[capped]
+            # chains never leave their doc: the successor's doc (an int64
+            # array lookup) must equal the start's doc — avoids u64 key
+            # division, which numpy executes as a scalar loop
+            same_doc = ok & (fdoc[capped] == start_docs)
+        else:
+            nxt = cur
+            same_doc = np.zeros(len(cur), bool)
         alive &= same_doc
         cur = np.where(alive, nxt, cur)
     with np.errstate(over="ignore"):
@@ -261,10 +269,17 @@ def _unordered_within_many(plists: list["Postings"],
             maxpos = max(maxpos, int(fpos.max()))
         gathered[gid] = (fpos, fdoc, len(slots))
     big = np.uint64(maxpos + window + 2)
-    bases = np.concatenate([
+    all_keys = np.concatenate([
         fdoc.astype(np.uint64) * big + fpos
         for fpos, fdoc, _ in gathered.values()])
-    bases = np.unique(bases)
+    all_docs = np.concatenate([fdoc for _, fdoc, _ in gathered.values()])
+    # keys are already unique — one token occupies one position, and
+    # duplicate slots were grouped above — so a sort suffices (np.unique
+    # would pay an extra dedupe pass); doc ranks ride along to avoid u64
+    # key division (a scalar loop in numpy)
+    order = np.argsort(all_keys)
+    bases = all_keys[order]
+    base_docs = all_docs[order]
     ok = np.ones(len(bases), bool)
     for fpos, fdoc, mult in gathered.values():
         k = fdoc.astype(np.uint64) * big + fpos
@@ -272,7 +287,7 @@ def _unordered_within_many(plists: list["Postings"],
         hi = np.searchsorted(k, bases + np.uint64(window), side="left")
         ok &= (hi - lo) >= mult
     keep = np.zeros(n, bool)
-    keep[(bases[ok] // big).astype(np.int64)] = True
+    keep[base_docs[ok]] = True
     return keep
 
 
