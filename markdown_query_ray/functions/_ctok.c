@@ -793,6 +793,48 @@ static PyObject *seg_ids_inline64(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* seg_prefix_sum64(vals_u64le, counts_i64le) -> uint64le bytearray.
+ * Per-segment running sum WITHOUT the gap-1 bias of seg_ids_inline64:
+ * segment b's outputs are [v0, v0+v1, v0+v1+v2, ...] — the positional
+ * payload reconstruction ([first_pos, gap, gap, ...] -> absolute
+ * positions) fused into one pass (replaces cumsum + repeat + subtract
+ * over the whole stream). */
+static PyObject *seg_prefix_sum64(PyObject *self, PyObject *args) {
+    Py_buffer vals, counts;
+    if (!PyArg_ParseTuple(args, "y*y*", &vals, &counts)) return NULL;
+    size_t nv = (size_t)vals.len / 8, nb = (size_t)counts.len / 8;
+    const uint64_t *v = (const uint64_t *)vals.buf;
+    const int64_t *c = (const int64_t *)counts.buf;
+    size_t total = 0;
+    for (size_t b = 0; b < nb; b++)
+        if (c[b] > 0) total += (size_t)c[b];
+    if (total != nv) {
+        PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+        PyErr_SetString(PyExc_ValueError,
+                        "seg_prefix_sum64: length mismatch");
+        return NULL;
+    }
+    PyObject *out = PyByteArray_FromStringAndSize(
+        NULL, (Py_ssize_t)(total * 8));
+    if (!out) {
+        PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+        return NULL;
+    }
+    uint64_t *o = (uint64_t *)PyByteArray_AS_STRING(out);
+    size_t vi = 0, oi = 0;
+    for (size_t b = 0; b < nb; b++) {
+        int64_t k = c[b];
+        if (k <= 0) continue;
+        uint64_t acc = 0;
+        for (int64_t j = 0; j < k; j++) {
+            acc += v[vi++];
+            o[oi++] = acc;
+        }
+    }
+    PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+    return out;
+}
+
 /* repeat_arange64(counts_i64le) -> int64le bytearray: [0]*c0 + [1]*c1 + ...
  * (np.repeat(np.arange(n), counts) without the numpy fancy-index cost). */
 static PyObject *repeat_arange64(PyObject *self, PyObject *args) {
@@ -823,6 +865,9 @@ static PyMethodDef Methods[] = {
     {"seg_ids_inline64", seg_ids_inline64, METH_VARARGS,
      "seg_ids_inline64(vals_u64le, counts_i64le) -> "
      "absolute ids uint64le bytearray"},
+    {"seg_prefix_sum64", seg_prefix_sum64, METH_VARARGS,
+     "seg_prefix_sum64(vals_u64le, counts_i64le) -> per-segment running "
+     "sums uint64le bytearray"},
     {"for_pack64", for_pack64, METH_VARARGS,
      "for_pack64(uint64le_vals, int64le_seg_counts) -> "
      "(payload bytearray, int64le seg byte-end offsets)"},

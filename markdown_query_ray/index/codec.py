@@ -568,7 +568,16 @@ def decode_positions(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(counts, out=offsets[1:])
     if len(vals) == 0:
         return offsets, np.empty(0, np.uint64)
-    # segmented cumsum: payload per posting is [first_pos, gap, gap, ...]
+    # segmented running sum: payload per posting is [first_pos, gap, ...]
+    from ..functions.ctok import load as _load_ctok
+
+    ct = _load_ctok()
+    seg = getattr(ct, "seg_prefix_sum64", None) if ct else None
+    if seg is not None:
+        positions = np.frombuffer(
+            seg(np.ascontiguousarray(vals).data,
+                np.ascontiguousarray(counts).data), np.uint64)
+        return offsets, positions
     cs = np.cumsum(vals, dtype=np.uint64)
     starts = offsets[:-1][counts > 0]
     base = cs[starts] - vals[starts]

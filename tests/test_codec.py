@@ -187,3 +187,38 @@ def test_blocks_table_schema_stable():
     assert blocks.schema.names == [
         "term", "block_id", "first_doc_id", "last_doc_id", "n",
         "ids_enc", "tfs_enc", "dls_enc", "max_wdf", "min_doclen", "sum_wdf"]
+
+
+def test_seg_prefix_sum_kernel_matches_numpy():
+    """The fused C positional reconstruction must equal the numpy segmented
+    cumsum for random segment layouts (incl. empty segments)."""
+    import numpy as np
+
+    from markdown_query_ray.functions.ctok import load as load_ctok
+
+    ct = load_ctok()
+    if ct is None or not hasattr(ct, "seg_prefix_sum64"):
+        import pytest
+
+        pytest.skip("C kernels unavailable")
+    rng = np.random.Generator(np.random.PCG64(21))
+    for _ in range(50):
+        nseg = int(rng.integers(0, 40))
+        counts = rng.integers(0, 7, size=nseg).astype(np.int64)
+        vals = rng.integers(0, 1 << 40, size=int(counts.sum())).astype(
+            np.uint64)
+        got = np.frombuffer(
+            ct.seg_prefix_sum64(np.ascontiguousarray(vals).data,
+                                np.ascontiguousarray(counts).data),
+            np.uint64)
+        # numpy reference
+        offsets = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        if len(vals) == 0:
+            assert len(got) == 0
+            continue
+        cs = np.cumsum(vals, dtype=np.uint64)
+        starts = offsets[:-1][counts > 0]
+        base = cs[starts] - vals[starts]
+        want = cs - np.repeat(base, counts[counts > 0])
+        assert np.array_equal(got, want)
