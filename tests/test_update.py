@@ -364,3 +364,67 @@ def test_update_with_idless_url_dataset(base_index, tmp_path):
     # new ids continue the id space deterministically (url rank order)
     new_ids = _search_ids(idx, "fresh")
     assert new_ids == {20, 21}  # new_a < new_b < u3 in url sort order
+
+
+def test_positional_update_and_compact_rank_identity(ray_session, tmp_path):
+    """PHRASE/NEAR over an updated positional index (and its compaction)
+    must rank-identically to a fresh positional build of the merged corpus
+    — positions ride through delta segments, tombstones, and compact."""
+    import ray.data
+
+    from markdown_query_ray.query.ast import Phrase
+
+    pcfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=4,
+                       num_doc_buckets=2, block_size=16, positions=True)
+    rows = [(f"u{i}", f"alpha beta doc{i} alpha gamma beta")
+            for i in range(30)]
+    p = str(tmp_path / "base.parquet")
+    _pages(rows, p)
+    idx = str(tmp_path / "idx")
+    build_index(idx, dataset=ray.data.read_parquet(p), cfg=pcfg,
+                total_docs=30)
+
+    # update: replace half the urls with REORDERED text (phrase set must
+    # change), add new docs containing the phrase
+    upd_rows = [(f"u{i}", f"beta alpha doc{i} gamma") for i in range(15)] + \
+               [(f"v{i}", f"alpha beta fresh{i}") for i in range(10)]
+    upd = pa.table({
+        "url": pa.array([u for u, _ in upd_rows], pa.string()),
+        "text": pa.array([t for _, t in upd_rows], pa.string()),
+    })
+    update_index(idx, dataset=ray.data.from_arrow(upd))
+
+    # fresh rebuild of the logically-equivalent corpus, ids matching the
+    # update's id assignment (survivors keep ids; replacements/new get
+    # 30.. in sorted-url order — reproduce via the same assign path)
+    from markdown_query_ray.sources.pages import assign_doc_ids
+
+    merged_rows = [(u, t) for u, t in rows if int(u[1:]) >= 15]
+    live = pa.table({
+        "url": pa.array([u for u, _ in merged_rows], pa.string()),
+        "text": pa.array([t for _, t in merged_rows], pa.string()),
+        "doc_id": pa.array([np.uint64(int(u[1:]))
+                            for u, _ in merged_rows]),
+    })
+    newpart = assign_doc_ids(
+        ray.data.from_arrow(upd), id_base=30)
+    fresh = str(tmp_path / "fresh")
+    build_index(fresh,
+                dataset=ray.data.from_arrow(live).union(newpart),
+                cfg=pcfg)
+
+    compacted = str(tmp_path / "compacted")
+    compact(idx, compacted)
+
+    qcfg = QueryConfig(k=100, params=BM25Params.xapian())
+    for node in (Phrase(("alpha", "beta")),
+                 Phrase(("beta", "alpha")),
+                 Phrase(("alpha", "gamma"), window=4, ordered=False)):
+        want = qx.search(fresh, node, qcfg, distributed=False)
+        for which in (idx, compacted):
+            got = qx.search(which, node, qcfg, distributed=False)
+            assert got.column("doc_id").to_pylist() == \
+                want.column("doc_id").to_pylist(), (which, node)
+            assert np.allclose(got.column("score").to_numpy(),
+                               want.column("score").to_numpy(),
+                               rtol=1e-9), (which, node)
