@@ -300,6 +300,12 @@ class Evaluator:
         self.params = params
         self.bucket = bucket
         self._postings_cache: dict[str, Postings] = {}
+        # verified phrase results: the index snapshot an evaluator sees is
+        # immutable, and positional verification over a stopword-grade
+        # intersection costs ~1 s per 10M candidate positions — a cached
+        # SearchSession re-running the same phrase every keystroke must
+        # not re-verify (keyed by the node's full semantics)
+        self._phrase_cache: dict[tuple, ScoredSet] = {}
         # term -> stats dict (None = known-absent): every weight() /
         # _maxweight call would otherwise issue its own parquet dataset
         # scan over the term_stats of every segment
@@ -556,6 +562,15 @@ class Evaluator:
         window = node.window if node.window else len(terms)
         if len(terms) == 1:
             return self.evaluate(Term(terms[0]))
+        memo_key = (tuple(terms), window, node.ordered)
+        cached = self._phrase_cache.get(memo_key)
+        if cached is None:
+            cached = self._eval_phrase_verified(terms, window, node.ordered)
+            self._phrase_cache[memo_key] = cached
+        return cached
+
+    def _eval_phrase_verified(self, terms: list[str], window: int,
+                              ordered: bool) -> ScoredSet:
         plists = [self.postings(t) for t in terms]
         if any(len(p.ids) == 0 for p in plists):
             return ScoredSet.empty()
@@ -568,7 +583,7 @@ class Evaluator:
         # (the scalar _ordered_within/_unordered_within are the spec; the
         # _many versions run every candidate doc in a few numpy passes)
         idxs = [np.searchsorted(p.ids, ids) for p in plists]
-        if node.ordered:
+        if ordered:
             keep = _ordered_within_many(plists, idxs, window)
         else:
             keep = _unordered_within_many(plists, idxs, window)
