@@ -193,6 +193,44 @@ def write_pages_corpus(out_dir: str, n_docs: int, n_files: int = 4,
     return sorted(paths)
 
 
+def write_pages_corpus_parallel(out_dir: str, n_docs: int,
+                                n_files: int = 64,
+                                token_scale: int = 1) -> list[str]:
+    """Ray-parallel corpus writer, byte-identical to write_pages_corpus for
+    the same (n_docs, n_files, token_scale): row content is a pure function
+    of the row index, so each file generates independently. Ray must be
+    initialised by the caller."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    jobs = []
+    start = 0
+    for f in range(n_files):
+        count = min(per, n_docs - start)
+        if count <= 0:
+            break
+        jobs.append({"f": f, "start": start, "count": count})
+        start += count
+
+    def write_one(batch: pa.Table) -> pa.Table:
+        paths = []
+        for row in batch.to_pylist():
+            path = os.path.join(out_dir, f"pages-{row['f']:05d}.parquet")
+            t = make_pages_table(row["start"], row["count"], token_scale)
+            pq.write_table(t, path,
+                           row_group_size=max(64, row["count"] // 4))
+            paths.append(path)
+        return pa.table({"path": pa.array(paths, pa.string())})
+
+    out = ray.data.from_items(jobs).map_batches(
+        write_one, batch_format="pyarrow", batch_size=1).take_all()
+    return sorted(r["path"] for r in out)
+
+
 def pages_from_documents(sf_dir: str) -> pa.Table:
     """Wrap the driver's ``documents`` table (doc_id, text, lang, ...) into the
     Common-Crawl page shape so driver-contract pipelines can exercise the full

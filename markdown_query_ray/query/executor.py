@@ -566,6 +566,8 @@ class Evaluator:
         cached = self._phrase_cache.get(memo_key)
         if cached is None:
             cached = self._eval_phrase_verified(terms, window, node.ordered)
+            if len(self._phrase_cache) >= 64:  # bound long-lived sessions
+                self._phrase_cache.pop(next(iter(self._phrase_cache)))
             self._phrase_cache[memo_key] = cached
         return cached
 
