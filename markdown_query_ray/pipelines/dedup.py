@@ -141,12 +141,31 @@ class MinHashStage:
         return x.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(shingle_hashes(t, self.w))
-                for t in batch.column("text").to_pylist()]
+        # one fused pass for the whole batch: concatenate every doc's
+        # shingle hashes (C kernel per doc), apply all permutations in one
+        # (H, total) matrix op, then per-doc segment minima via
+        # minimum.reduceat — no per-doc signature() Python overhead
+        per_doc = [shingle_hashes(t, self.w)
+                   for t in batch.column("text").to_pylist()]
+        lens = np.array([len(h) for h in per_doc], np.int64)
+        n = len(per_doc)
+        sigs = np.full((n, self.num_hashes), np.iinfo(np.uint64).max,
+                       np.uint64)
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz):
+            all_h = np.concatenate([per_doc[i] for i in nz])
+            with np.errstate(over="ignore"):
+                x = self.a[:, None] * all_h[None, :] + self.b[:, None]
+            starts = np.zeros(len(nz), np.int64)
+            np.cumsum(lens[nz[:-1]], out=starts[1:])
+            sigs[nz] = np.minimum.reduceat(x, starts, axis=1).T
+        flat = sigs.ravel()
+        offs = np.arange(0, (n + 1) * self.num_hashes, self.num_hashes,
+                         dtype=np.int32)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "minhash": pa.array([s.tolist() for s in sigs],
-                                pa.list_(pa.uint64())),
+            "minhash": pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(flat, pa.uint64())),
         })
 
 
