@@ -86,3 +86,32 @@ def test_update_uses_map_and_stays_exact(built, ray_session):
         list(range(50))
     segs = load_segments(built)
     assert segs["next_doc_id"] == 450
+
+
+def test_url_map_regenerates_on_resume(built, ray_session):
+    """A lost/corrupt url_map (no _SUCCESS) is rebuilt by re-running
+    build_index, while the tokenized staging and posting partitions resume
+    (crash-safety of the stage marker)."""
+    import shutil
+
+    from markdown_query_ray.index.build import build_index, url_map_lookup
+
+    shutil.rmtree(os.path.join(built, "url_map"))
+    assert url_map_lookup(built, ["u"]) is None  # fallback signalled
+    from markdown_query_ray.config import IndexConfig
+
+    # re-run the build: tokenized staging short-circuits via _SUCCESS, so
+    # any dataset arg works; only the missing url_map is regenerated
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    tok = os.path.join(built, "tokenized")
+    ds = ray.data.read_parquet(tok)  # any dataset arg; staging short-circuits
+    build_index(built, dataset=ds,
+                cfg=IndexConfig(num_term_parts=4, num_doc_buckets=2))
+    assert os.path.exists(os.path.join(built, "url_map", "_SUCCESS"))
+    t = pads.dataset(tok).to_table(columns=["url"])
+    urls = t.column("url").to_pylist()[:5]
+    got = url_map_lookup(built, urls)
+    assert got is not None and got.num_rows == 5
