@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": d.fingerprints,
         "url_canonicalize": d.url_canon,
         "domain_doc_stats": d.domain_doc_stats,
+        "warc_extract": d.warc_extract,
         "multimodal_features": d.multimodal_features,
         "video_frame_features": d.video_frame_feats,
         "audio_chunk_features": d.audio_chunk_feats,
@@ -571,6 +572,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_top10": _ANN_BRUTE_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "domain_doc_stats": _DOMAIN_STATS_SQL,
+        # WARC round-trip: html -> gzip-member WARC -> parse -> extract is
+        # byte-identical per url, so the oracle is the documents table
+        "warc_extract": (
+            "SELECT doc_id, 'https://docs.example/d/' || doc_id AS url, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+            "ORDER BY doc_id"),
         "flagship_xapian_search": _flagship_sql(),
         "multimodal_features": _multimodal_sql("multimodal_features"),
         "video_frame_features": _multimodal_sql("video_frame_features"),

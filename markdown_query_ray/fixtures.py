@@ -231,6 +231,56 @@ def write_pages_corpus_parallel(out_dir: str, n_docs: int,
     return sorted(r["path"] for r in out)
 
 
+def write_warc_corpus(out_dir: str, n_docs: int, n_files: int = 4,
+                      token_scale: int = 1, gzip_members: bool = True,
+                      start: int = 0) -> list[str]:
+    """The pages corpus as Common-Crawl-style WARC files: one ``response``
+    record per page (HTTP response payload: status line + headers + html),
+    each record its own gzip member when ``gzip_members`` (the CC layout).
+    Deterministic; returns sorted paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    paths = []
+    row = start
+    for f in range(n_files):
+        count = min(per, n_docs - row + start)
+        if count <= 0:
+            break
+        t = make_pages_table(row, count, token_scale)
+        ext = ".warc.gz" if gzip_members else ".warc"
+        path = os.path.join(out_dir, f"crawl-{f:05d}{ext}")
+        write_warc_file(t, path, gzip_members=gzip_members)
+        paths.append(path)
+        row += count
+    return sorted(paths)
+
+
+def write_warc_file(pages: pa.Table, path: str,
+                    gzip_members: bool = True) -> None:
+    """Write one WARC file of ``response`` records from a pages-shaped
+    table (url, warc_ts, html), one gzip member per record when asked
+    (the Common-Crawl layout)."""
+    import gzip
+
+    with open(path, "wb") as out:
+        for url, ts, html in zip(pages.column("url").to_pylist(),
+                                 pages.column("warc_ts").to_pylist(),
+                                 pages.column("html").to_pylist()):
+            http = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    b"\r\n" + html)
+            date = ts.strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+            rec = (f"WARC/1.0\r\n"
+                   f"WARC-Type: response\r\n"
+                   f"WARC-Target-URI: {url}\r\n"
+                   f"WARC-Date: {date}\r\n"
+                   f"Content-Length: {len(http)}\r\n"
+                   f"\r\n").encode("ascii") + http + b"\r\n\r\n"
+            out.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+
+
 def pages_from_documents(sf_dir: str) -> pa.Table:
     """Wrap the driver's ``documents`` table (doc_id, text, lang, ...) into the
     Common-Crawl page shape so driver-contract pipelines can exercise the full

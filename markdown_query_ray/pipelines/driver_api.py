@@ -531,6 +531,48 @@ def audio_chunk_feats(sf_dir: str) -> pa.Table:
     return _round_col(_round_col(t, "rms"), "zero_crossing_rate")
 
 
+def warc_extract(sf_dir: str) -> pa.Table:
+    """(doc_id, url, n_chars): the documents table round-tripped through
+    the crawl-native path — html pages written as gzip-member WARC files,
+    parsed back by the WARC source, text re-extracted. The extract is
+    byte-identical per url (the round-1 invariant), so the oracle derives
+    n_chars straight from the documents table."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..fixtures import pages_from_documents, write_warc_file
+    from ..sources.warc import read_warc
+    from ..stages.extract import extract_batch
+
+    key = hashlib.md5(
+        f"{sf_dir}|v{__version__}|warc".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"warc-{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        pages = pages_from_documents(sf_dir)
+        per = max(1, pages.num_rows // 4)
+        for f in range(0, pages.num_rows, per):
+            write_warc_file(pages.slice(f, per),
+                            os.path.join(out, f"crawl-{f:08d}.warc.gz"))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    import glob
+
+    ds = read_warc(glob.glob(os.path.join(out, "*.warc.gz")))
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "url": b.column("url"),
+            "n_chars": pc.utf8_length(b.column("text")).cast(pa.int64()),
+        })
+
+    return _collect(ds.map_batches(project, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
 def url_canon(sf_dir: str) -> pa.Table:
     """(doc_id, url, canon_url): URL canonicalization over deterministic
     messy urls synthesized from doc_id (the oracle reconstructs BOTH
