@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": d.url_canon,
         "domain_doc_stats": d.domain_doc_stats,
         "warc_extract": d.warc_extract,
+        "span_dedup": d.span_dedup_survivors,
         "multimodal_features": d.multimodal_features,
         "video_frame_features": d.video_frame_feats,
         "audio_chunk_features": d.audio_chunk_feats,
@@ -578,6 +579,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'https://docs.example/d/' || doc_id AS url, "
             "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
             "ORDER BY doc_id"),
+        # C4-style span dedup: first (doc_id, span_idx) per distinct span
+        "span_dedup": (
+            "WITH sp AS (SELECT doc_id, unnest(l) AS span, "
+            "CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS span_idx "
+            "FROM (SELECT doc_id, string_split(text, '. ') AS l "
+            "FROM documents)), "
+            "r AS (SELECT doc_id, span_idx, row_number() OVER ("
+            "PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM sp) "
+            "SELECT doc_id, span_idx FROM r WHERE rn = 1 "
+            "ORDER BY doc_id, span_idx"),
         "flagship_xapian_search": _flagship_sql(),
         "multimodal_features": _multimodal_sql("multimodal_features"),
         "video_frame_features": _multimodal_sql("video_frame_features"),

@@ -68,6 +68,77 @@ def exact_dedup(ds):
     return agg.select_columns(["doc_id"])
 
 
+SPAN_IDX_BITS = 20  # spans per doc bound for the packed dedup key
+
+
+def span_explode_batch(batch: pa.Table, sep: str = ". ") -> pa.Table:
+    """(doc_id, span_idx, h_lo, h_hi) — one row per separator-delimited
+    span, content-hashed straight out of the Arrow buffers. The C4-style
+    span/sentence granularity for sub-document dedup."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a128_strings
+
+    col = pc.fill_null(batch.column("text"), "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(col, sep)
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    # span index within its doc = position - segment start
+    pos = np.arange(len(parent))
+    seg_start = np.ones(len(parent), bool)
+    seg_start[1:] = parent[1:] != parent[:-1]
+    span_idx = pos - np.maximum.accumulate(np.where(seg_start, pos, 0))
+    lo, hi = fnv1a128_strings(
+        flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)[parent]
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "span_idx": pa.array(span_idx.astype(np.int64)),
+        "h_lo": pa.array(lo),
+        "h_hi": pa.array(hi),
+    })
+
+
+def span_dedup(ds, sep: str = ". "):
+    """Sub-document (sentence/paragraph) exact dedup, C4-style: keep the
+    first occurrence of every distinct span across the corpus, first =
+    minimum (doc_id, span_idx). Returns a Dataset of surviving
+    (doc_id, span_idx) rows.
+
+    Shape: one vectorized explode+hash pass, then a ``Min`` aggregate over
+    16-byte span hashes — only hashes shuffle, never span text; same
+    scale story as exact_dedup. The (doc_id, span_idx) pair packs into one
+    uint64 Min key (span_idx < 2^SPAN_IDX_BITS; a crawl page has far fewer
+    sentences, and the explode asserts it)."""
+    from ray.data.aggregate import Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = span_explode_batch(batch, sep)
+        si = t.column("span_idx").to_numpy()
+        if len(si) and si.max() >= (1 << SPAN_IDX_BITS):
+            raise ValueError("span_idx exceeds packed-key bound")
+        key = (t.column("doc_id").to_numpy() << SPAN_IDX_BITS) | si
+        return pa.table({
+            "h_lo": t.column("h_lo"),
+            "h_hi": t.column("h_hi"),
+            "key": pa.array(key.astype(np.int64)),
+        })
+
+    agg = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["h_lo", "h_hi"]).aggregate(Min("key", alias_name="key"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(k >> SPAN_IDX_BITS),
+            "span_idx": pa.array(k & ((1 << SPAN_IDX_BITS) - 1)),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

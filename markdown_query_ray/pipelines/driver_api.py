@@ -573,6 +573,23 @@ def warc_extract(sf_dir: str) -> pa.Table:
         .sort_by("doc_id")
 
 
+def span_dedup_survivors(sf_dir: str) -> pa.Table:
+    """(doc_id, span_idx) of first occurrences of each distinct '. '-span
+    — C4-style sub-document exact dedup."""
+    import ray.data
+
+    from .dedup import span_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = _collect(span_dedup(ds)).sort_by(
+        [("doc_id", "ascending"), ("span_idx", "ascending")])
+    return pa.table({
+        "doc_id": t.column("doc_id").cast(pa.int64()),
+        "span_idx": t.column("span_idx").cast(pa.int64()),
+    })
+
+
 def url_canon(sf_dir: str) -> pa.Table:
     """(doc_id, url, canon_url): URL canonicalization over deterministic
     messy urls synthesized from doc_id (the oracle reconstructs BOTH

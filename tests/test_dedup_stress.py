@@ -71,3 +71,27 @@ def test_simhash_star_cap_bounds_giant_cluster(stress_ds):
     cluster_pairs = {(x, y) for x, y in zip(a, b)
                      if x < N_CLUSTER and y < N_CLUSTER}
     assert cluster_pairs == {(0, i) for i in range(1, N_CLUSTER)}
+
+
+def test_span_dedup_semantics(ray_session):
+    """C4-style span dedup: first (doc_id, span_idx) per distinct span
+    survives; later repeats — within a doc or across docs — are dropped."""
+    import pyarrow as pa
+    import ray.data
+
+    from markdown_query_ray.pipelines.dedup import span_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta. common sentence. gamma",
+            "common sentence. delta. common sentence",
+            "alpha beta. epsilon",
+        ], pa.string()),
+    })
+    out = span_dedup(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "span_idx"]].to_numpy()))
+    # doc0: all three spans first occurrences; doc1: "common sentence"@0
+    # loses to doc0@1, "delta"@1 survives, repeat @2 drops; doc2:
+    # "alpha beta"@0 loses to doc0@0, "epsilon"@1 survives
+    assert got == [(0, 0), (0, 1), (0, 2), (1, 1), (2, 1)]

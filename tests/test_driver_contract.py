@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "embedding_neardup_lsh", "lsh_ann_top10", "ivf_ann_top10",
     "flagship_xapian_search", "multimodal_features", "video_frame_features",
     "audio_chunk_features",
-    "url_canonicalize", "domain_doc_stats", "warc_extract",
+    "url_canonicalize", "domain_doc_stats", "warc_extract", "span_dedup",
 ]
 
 
