@@ -171,6 +171,43 @@ ORDER BY d.doc_id
 """
 
 
+def _composite_sql(terms: list[str], k: int, min_tokens: int) -> str:
+    """Full-chain oracle: quality filter -> exact dedup (first doc_id per
+    distinct text) -> classic BM25 over the SURVIVING corpus (N/avgdl/df
+    recomputed on the filtered set, mirroring what the index build sees)."""
+    base = (
+        "WITH base AS (SELECT doc_id, text FROM ("
+        "SELECT doc_id, text, row_number() OVER (PARTITION BY text "
+        "ORDER BY doc_id) AS rn FROM documents "
+        f"WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        f">= {min_tokens}) WHERE rn = 1), "
+        "toks AS (SELECT doc_id, unnest(list_filter("
+        "string_split(lower(text), ' '), x -> x <> '')) AS term "
+        "FROM base), "
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks "
+        "GROUP BY doc_id), "
+        "st AS (SELECT CAST((SELECT count(*) FROM base) AS BIGINT) "
+        "AS n_docs, (SELECT sum(dl) FROM dl) / CAST((SELECT count(*) "
+        "FROM base) AS DOUBLE) AS avgdl) ")
+    per_term = " UNION ALL ".join(
+        f"SELECT tf.doc_id, "
+        f"greatest(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5)), 0.0) * "
+        f"(tf.tf / (1.2 * ((dl.dl * (1.0 / st.avgdl)) * 0.75 + 0.25) "
+        f"+ tf.tf)) AS s "
+        f"FROM (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM toks "
+        f"WHERE term = '{t}' GROUP BY doc_id) tf, "
+        f"(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+        f"WHERE term = '{t}') df, st, dl WHERE dl.doc_id = tf.doc_id"
+        for t in terms)
+    return (
+        base +
+        f", scored AS (SELECT doc_id, sum(s) AS score FROM ({per_term}) "
+        f"GROUP BY doc_id) "
+        f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) "
+        f"AS BIGINT) AS rank, doc_id, round(score, 6) AS score "
+        f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
+
+
 # URL canonicalization: the oracle reconstructs both the messy url AND its
 # canonical form from doc_id by applying the documented rules in SQL — an
 # independent derivation, not a replay of the pipeline.
@@ -456,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_doc_stats": d.domain_doc_stats,
         "warc_extract": d.warc_extract,
         "span_dedup": d.span_dedup_survivors,
+        "composite_quality_dedup_bm25": lambda sf: d.composite_pipeline(sf),
         "multimodal_features": d.multimodal_features,
         "video_frame_features": d.video_frame_feats,
         "audio_chunk_features": d.audio_chunk_feats,
@@ -580,6 +618,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
             "ORDER BY doc_id"),
         # C4-style span dedup: first (doc_id, span_idx) per distinct span
+        "composite_quality_dedup_bm25": _composite_sql(
+            ["merge", "sort"], 10, 30),
         "span_dedup": (
             "WITH sp AS (SELECT doc_id, unnest(l) AS span, "
             "CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS span_idx "

@@ -573,6 +573,60 @@ def warc_extract(sf_dir: str) -> pa.Table:
         .sort_by("doc_id")
 
 
+def composite_pipeline(sf_dir: str, min_tokens: int = 30,
+                       terms: list[str] | None = None,
+                       k: int = 10) -> pa.Table:
+    """The full training-data chain composed end to end — quality filter
+    (n_tokens >= min_tokens) -> exact dedup (first doc_id per distinct
+    text) -> index build over the SURVIVING subset -> BM25 top-k — with
+    every stage SQL-expressible, so one DuckDB oracle validates the whole
+    composition including the corpus-dependent BM25 stats (N, avgdl, df
+    are computed over the filtered+deduped corpus, not the raw table)."""
+    import ray.data
+
+    from .dedup import exact_dedup
+    from .textstats import token_count_batch
+
+    terms = terms or ["merge", "sort"]
+    key = hashlib.md5(
+        f"{sf_dir}|v{__version__}|composite-{min_tokens}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"composite-{key}")
+    done = os.path.join(out, "_INDEX_DONE")
+    if not os.path.exists(done):
+        ds = _docs_dataset(sf_dir)
+
+        def quality_gate(b: pa.Table) -> pa.Table:
+            n = token_count_batch(b).column("n_tokens").to_numpy()
+            return b.filter(pa.array(n >= min_tokens))
+
+        filtered = ds.map_batches(quality_gate, batch_format="pyarrow")
+        survivors = exact_dedup(filtered.select_columns(["doc_id", "text"]))
+        keep = np.sort(survivors.to_pandas()["doc_id"]
+                       .to_numpy(np.uint64))
+        import ray
+
+        keep_ref = ray.put(keep)
+
+        def keep_only(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy().astype(np.uint64)
+            return b.filter(pa.array(
+                np.isin(ids, ray.get(keep_ref), assume_unique=False)))
+
+        cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=8,
+                          num_doc_buckets=1, block_size=128)
+        build_index(out, dataset=filtered.map_batches(
+            keep_only, batch_format="pyarrow"), cfg=cfg)
+        with open(done, "w") as f:
+            f.write("ok")
+    node = Term(terms[0]) if len(terms) == 1 \
+        else Or(tuple(Term(t) for t in terms))
+    qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)
+    res = qx.search(out, node, qcfg).select(["rank", "doc_id", "score"])
+    res = res.set_column(1, "doc_id", res.column("doc_id").cast(pa.int64()))
+    return _round_col(res, "score")
+
+
 def span_dedup_survivors(sf_dir: str) -> pa.Table:
     """(doc_id, span_idx) of first occurrences of each distinct '. '-span
     — C4-style sub-document exact dedup."""

@@ -73,6 +73,7 @@ SQL_CHECKED = [
     "flagship_xapian_search", "multimodal_features", "video_frame_features",
     "audio_chunk_features",
     "url_canonicalize", "domain_doc_stats", "warc_extract", "span_dedup",
+    "composite_quality_dedup_bm25",
 ]
 
 
