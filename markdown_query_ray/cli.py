@@ -60,6 +60,24 @@ def _index_cfg(args) -> "IndexConfig":
         positions=args.positions, store_payload=store)
 
 
+def _crawl_dataset(args, drop_ids: bool = False):
+    """Dataset from --warc / --jsonl inputs (None if neither given).
+    ``drop_ids`` strips the source-assigned doc_ids so update_index can
+    re-key new docs into the index's continuing id space."""
+    ds = None
+    if getattr(args, "warc", None):
+        from .sources.warc import read_warc
+
+        ds = read_warc(args.warc)
+    elif getattr(args, "jsonl", None):
+        from .sources.jsonl import read_jsonl
+
+        ds = read_jsonl(args.jsonl)
+    if ds is not None and drop_ids:
+        ds = ds.drop_columns(["doc_id"])
+    return ds
+
+
 def cmd_build(args) -> int:
     _ray_up(args.num_cpus)
     cfg = _index_cfg(args)
@@ -70,7 +88,11 @@ def cmd_build(args) -> int:
     else:
         from .index.build import build_index
 
-        g = build_index(args.index, paths=args.pages, cfg=cfg)
+        ds = _crawl_dataset(args)
+        if ds is not None:
+            g = build_index(args.index, dataset=ds, cfg=cfg)
+        else:
+            g = build_index(args.index, paths=args.pages, cfg=cfg)
     print(json.dumps(g["stage_metrics"]))
     return 0
 
@@ -79,7 +101,11 @@ def cmd_update(args) -> int:
     _ray_up(args.num_cpus)
     from .index.update import update_index
 
-    g = update_index(args.index, paths=args.pages)
+    ds = _crawl_dataset(args, drop_ids=True)
+    if ds is not None:
+        g = update_index(args.index, dataset=ds)
+    else:
+        g = update_index(args.index, paths=args.pages)
     print(json.dumps({"n_docs": g["n_docs"],
                       "avg_doclen": g["avg_doclen"]}))
     return 0
@@ -168,12 +194,18 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("index")
     b.add_argument("--pages", nargs="+", default=None)
     b.add_argument("--markdown", nargs="+", default=None)
+    b.add_argument("--warc", nargs="+", default=None,
+                   help="WARC files (Common-Crawl layout, .warc/.warc.gz)")
+    b.add_argument("--jsonl", nargs="+", default=None,
+                   help="JSONL corpora (.jsonl/.jsonl.gz)")
     add_index_opts(b)
     b.set_defaults(fn=cmd_build)
 
     u = sub.add_parser("update")
     u.add_argument("index")
-    u.add_argument("--pages", nargs="+", required=True)
+    u.add_argument("--pages", nargs="+", default=None)
+    u.add_argument("--warc", nargs="+", default=None)
+    u.add_argument("--jsonl", nargs="+", default=None)
     u.set_defaults(fn=cmd_update)
 
     c = sub.add_parser("compact")

@@ -109,3 +109,35 @@ def test_query_set(corpus, tmp_path, capsys):
     assert rc == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert any(ln.startswith("xqzrareuno\t1\t") for ln in lines)
+
+
+def test_build_from_warc_update_from_jsonl(ray_session, tmp_path, capsys):
+    """Crawl-native inputs through the CLI: --warc build, --jsonl update
+    (replacements re-keyed into the continuing id space), query finds the
+    refreshed text."""
+    import gzip
+    import json as _json
+
+    from markdown_query_ray.fixtures import make_pages_table, write_warc_corpus
+    from markdown_query_ray.stages.extract import extract_text
+
+    warcs = write_warc_corpus(str(tmp_path / "w"), n_docs=80, n_files=2)
+    t = make_pages_table(0, 20)
+    lines = [
+        _json.dumps({"url": u, "text": extract_text(h) + " zzrefreshed"})
+        for u, h in zip(t.column("url").to_pylist(),
+                        t.column("html").to_pylist())]
+    jp = str(tmp_path / "upd.jsonl.gz")
+    with open(jp, "wb") as f:
+        f.write(gzip.compress("\n".join(lines).encode()))
+
+    idx = str(tmp_path / "idx")
+    assert main(["build", idx, "--warc", *warcs, "--parts", "4",
+                 "--buckets", "2"]) == 0
+    capsys.readouterr()
+    assert main(["update", idx, "--jsonl", jp]) == 0
+    stats = capsys.readouterr().out.strip()
+    assert '"n_docs": 80' in stats  # 20 replaced, none net-new
+    assert main(["query", idx, "zzrefreshed", "-k", "30"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 20  # exactly the replaced docs match
