@@ -137,6 +137,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     with timed("webnorm"):  # url canonicalization + per-domain aggregate
         d.url_canon(sf_dir)
         d.domain_doc_stats(sf_dir)
+    with timed("composite_pipeline"):  # quality -> dedup -> index -> BM25
+        d.composite_pipeline(sf_dir)
 
     total = round(sum(timings.values()), 4)
     return {
