@@ -97,3 +97,36 @@ def test_warc_index_rank_identical_to_parquet_path(ray_session, corpora,
             rb.column("doc_id").to_pylist(), q
         assert np.allclose(ra.column("score").to_numpy(),
                            rb.column("score").to_numpy(), rtol=1e-12), q
+
+
+def test_warc_parse_roundtrip_property():
+    """Random record payloads (incl. CRLF-looking bytes, empty bodies,
+    binary) survive the write -> parse round trip in both encodings."""
+    import gzip
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payload = st.binary(min_size=0, max_size=200)
+    urls = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1, max_size=40)
+
+    @settings(max_examples=60, deadline=None)
+    @given(recs=st.lists(st.tuples(urls, payload), min_size=0, max_size=6),
+           gz=st.booleans())
+    def run(recs, gz):
+        blob = b""
+        for u, body in recs:
+            http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+            rec = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+                   f"WARC-Target-URI: {u}\r\n"
+                   f"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                   f"Content-Length: {len(http)}\r\n\r\n"
+                   ).encode() + http + b"\r\n\r\n"
+            blob += gzip.compress(rec, mtime=0) if gz else rec
+        got_urls, _, got_bodies = response_rows(blob)
+        assert got_urls == [u for u, _ in recs]
+        assert got_bodies == [b for _, b in recs]
+
+    run()
