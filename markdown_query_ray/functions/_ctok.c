@@ -835,6 +835,49 @@ static PyObject *seg_prefix_sum64(PyObject *self, PyObject *args) {
     return out;
 }
 
+/* oph_bin_min64(hashes_u64le, counts_i64le, k) -> uint64le bytearray of
+ * n_segments * k per-bin minima (one-permutation minhash: bin = h % k,
+ * min of the hashes landing in each bin; empty bins hold UINT64_MAX).
+ * Replaces the O(k * n_shingles) classic permutation pass with one
+ * O(n_shingles) scatter-min per doc. */
+static PyObject *oph_bin_min64(PyObject *self, PyObject *args) {
+    Py_buffer vals, counts;
+    long k_arg;
+    if (!PyArg_ParseTuple(args, "y*y*l", &vals, &counts, &k_arg))
+        return NULL;
+    size_t nv = (size_t)vals.len / 8, nb = (size_t)counts.len / 8;
+    size_t k = (size_t)k_arg;
+    const uint64_t *v = (const uint64_t *)vals.buf;
+    const int64_t *c = (const int64_t *)counts.buf;
+    size_t total = 0;
+    for (size_t b = 0; b < nb; b++)
+        if (c[b] > 0) total += (size_t)c[b];
+    if (total != nv || k == 0) {
+        PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+        PyErr_SetString(PyExc_ValueError, "oph_bin_min64: bad lengths");
+        return NULL;
+    }
+    PyObject *out = PyByteArray_FromStringAndSize(
+        NULL, (Py_ssize_t)(nb * k * 8));
+    if (!out) {
+        PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+        return NULL;
+    }
+    uint64_t *o = (uint64_t *)PyByteArray_AS_STRING(out);
+    for (size_t i = 0; i < nb * k; i++) o[i] = UINT64_MAX;
+    size_t vi = 0;
+    for (size_t b = 0; b < nb; b++) {
+        uint64_t *row = o + b * k;
+        for (int64_t j = 0; j < c[b]; j++) {
+            uint64_t h = v[vi++];
+            uint64_t *slot = row + (h % (uint64_t)k);
+            if (h < *slot) *slot = h;
+        }
+    }
+    PyBuffer_Release(&vals); PyBuffer_Release(&counts);
+    return out;
+}
+
 /* repeat_arange64(counts_i64le) -> int64le bytearray: [0]*c0 + [1]*c1 + ...
  * (np.repeat(np.arange(n), counts) without the numpy fancy-index cost). */
 static PyObject *repeat_arange64(PyObject *self, PyObject *args) {
@@ -868,6 +911,9 @@ static PyMethodDef Methods[] = {
     {"seg_prefix_sum64", seg_prefix_sum64, METH_VARARGS,
      "seg_prefix_sum64(vals_u64le, counts_i64le) -> per-segment running "
      "sums uint64le bytearray"},
+    {"oph_bin_min64", oph_bin_min64, METH_VARARGS,
+     "oph_bin_min64(hashes_u64le, counts_i64le, k) -> per-segment "
+     "per-bin minima (n_segments x k uint64le; empty bins UINT64_MAX)"},
     {"for_pack64", for_pack64, METH_VARARGS,
      "for_pack64(uint64le_vals, int64le_seg_counts) -> "
      "(payload bytearray, int64le seg byte-end offsets)"},

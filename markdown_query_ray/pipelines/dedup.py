@@ -189,10 +189,25 @@ def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
 
 
 class MinHashStage:
-    """Per-batch minhash signatures. The permutation parameters (a, b) are
-    generated once per actor from a fixed seed."""
+    """Per-batch minhash signatures. Two signature modes:
 
-    def __init__(self, num_hashes: int = 128, w: int = 3, seed: int = 7):
+    - ``"classic"`` (default): k independent multiply-shift permutations,
+      one (k, n_shingles) matrix op per batch — the textbook scheme, but
+      O(k * shingles) per doc: ~400k uint64 mults for a web-page-sized
+      document at k=128, which dominated a 512k-page near-dup run.
+    - ``"oph"``: one-permutation hashing with rotation densification
+      (Li, Owen & Zhang 2012; Shrivastava & Li 2014): bin = h % k, min
+      per bin, empty bins borrow the nearest filled bin to the left
+      (cyclic) — O(shingles) per doc, ~k-fold cheaper on long docs, same
+      E[collision] = Jaccard. The exact-Jaccard verify downstream keeps
+      precision exact either way; banding recall is checked empirically
+      (tests/test_similarity_quality.py).
+
+    The permutation parameters are generated once per actor from a fixed
+    seed; both modes are deterministic across processes."""
+
+    def __init__(self, num_hashes: int = 128, w: int = 3, seed: int = 7,
+                 mode: str = "classic"):
         rng = np.random.Generator(np.random.PCG64(seed))
         self.a = rng.integers(1, MERSENNE61, size=num_hashes,
                               dtype=np.uint64)
@@ -200,6 +215,9 @@ class MinHashStage:
                               dtype=np.uint64)
         self.num_hashes = num_hashes
         self.w = w
+        if mode not in ("classic", "oph"):
+            raise ValueError(f"unknown minhash mode {mode!r}")
+        self.mode = mode
 
     def signature(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
@@ -211,11 +229,44 @@ class MinHashStage:
             x = self.a[:, None] * sh[None, :] + self.b[:, None]
         return x.min(axis=1)
 
+    def _oph_sigs(self, all_h: np.ndarray, lens_nz: np.ndarray
+                  ) -> np.ndarray:
+        """(n_nz, k) one-permutation signatures with rotation
+        densification, C scatter-min when available."""
+        k = self.num_hashes
+        sent = np.iinfo(np.uint64).max
+        from ..functions.ctok import load as _load_ctok
+
+        ct = _load_ctok()
+        oph = getattr(ct, "oph_bin_min64", None) if ct else None
+        if oph is not None:
+            sigs = np.frombuffer(
+                oph(np.ascontiguousarray(all_h).data,
+                    np.ascontiguousarray(lens_nz).data, k),
+                np.uint64).reshape(len(lens_nz), k).copy()
+        else:
+            sigs = np.full((len(lens_nz), k), sent, np.uint64)
+            starts = np.zeros(len(lens_nz), np.int64)
+            np.cumsum(lens_nz[:-1], out=starts[1:])
+            for i, (s, ln) in enumerate(zip(starts, lens_nz)):
+                h = all_h[s:s + ln]
+                np.minimum.at(sigs[i], (h % np.uint64(k)).astype(np.int64),
+                              h)
+        # rotation densification: empty bins borrow the nearest filled bin
+        # to the LEFT (cyclic) — fully vectorized over the (n, k) matrix
+        filled = sigs != sent
+        idx = np.where(filled, np.arange(k)[None, :], -1)
+        left = np.maximum.accumulate(idx, axis=1)
+        wrap = left[:, -1]  # docs with shingles have >= 1 filled bin
+        take = np.where(left >= 0, left, wrap[:, None])
+        take = np.maximum(take, 0)  # all-empty rows can't occur (lens > 0)
+        return np.take_along_axis(sigs, take, axis=1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         # one fused pass for the whole batch: concatenate every doc's
-        # shingle hashes (C kernel per doc), apply all permutations in one
-        # (H, total) matrix op, then per-doc segment minima via
-        # minimum.reduceat — no per-doc signature() Python overhead
+        # shingle hashes (C kernel per doc), then either the classic
+        # (H, total) permutation matrix op + segment minima, or the
+        # O(shingles) OPH scatter-min
         per_doc = [shingle_hashes(t, self.w)
                    for t in batch.column("text").to_pylist()]
         lens = np.array([len(h) for h in per_doc], np.int64)
@@ -225,11 +276,14 @@ class MinHashStage:
         nz = np.nonzero(lens > 0)[0]
         if len(nz):
             all_h = np.concatenate([per_doc[i] for i in nz])
-            with np.errstate(over="ignore"):
-                x = self.a[:, None] * all_h[None, :] + self.b[:, None]
-            starts = np.zeros(len(nz), np.int64)
-            np.cumsum(lens[nz[:-1]], out=starts[1:])
-            sigs[nz] = np.minimum.reduceat(x, starts, axis=1).T
+            if self.mode == "oph":
+                sigs[nz] = self._oph_sigs(all_h, lens[nz])
+            else:
+                with np.errstate(over="ignore"):
+                    x = self.a[:, None] * all_h[None, :] + self.b[:, None]
+                starts = np.zeros(len(nz), np.int64)
+                np.cumsum(lens[nz[:-1]], out=starts[1:])
+                sigs[nz] = np.minimum.reduceat(x, starts, axis=1).T
         flat = sigs.ravel()
         offs = np.arange(0, (n + 1) * self.num_hashes, self.num_hashes,
                          dtype=np.int32)
@@ -400,7 +454,8 @@ def _verify_group(group: pa.Table, threshold: float, w: int) -> pa.Table:
 
 
 def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
-                        bands: int = 16, w: int = 3):
+                        bands: int = 16, w: int = 3,
+                        sig_mode: str = "classic"):
     """Near-duplicate pairs via MinHash-LSH with exact n-gram-Jaccard verify.
 
     Returns a pyarrow Table (doc_a, doc_b, jaccard) with doc_a < doc_b,
@@ -416,8 +471,8 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
     would move off-driver by replacing the broadcast with a shuffle join of
     (doc_id, vbucket) needs against the corpus on hash(doc_id)."""
     rows = num_hashes // bands
-    sigs = ds.map_batches(MinHashStage(num_hashes, w), batch_format="pyarrow",
-                          concurrency=None)
+    sigs = ds.map_batches(MinHashStage(num_hashes, w, mode=sig_mode),
+                          batch_format="pyarrow", concurrency=None)
     bands_ds = sigs.map_batches(
         partial(band_explode_batch, bands=bands, rows=rows),
         batch_format="pyarrow")

@@ -168,3 +168,26 @@ def test_minhash_candidates_are_true_near_dups(ray_session):
         perfect = [r for r in pairs.to_pylist()
                    if texts[r["doc_a"]] == texts[r["doc_b"]]]
         assert len(perfect) >= n_exact_pairs // 2  # LSH may miss some bands
+
+
+def test_oph_minhash_equals_classic_pairs(ray_session):
+    """One-permutation-hashing signatures (the O(shingles) scale mode) must
+    recover the same verified near-dup pair set as the classic permutation
+    matrix at the recall-complete banding parameters."""
+    import ray.data
+
+    from markdown_query_ray.pipelines.dedup import minhash_dedup_pairs
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    a = minhash_dedup_pairs(ds, threshold=0.5, num_hashes=128, bands=64,
+                            sig_mode="classic")
+    b = minhash_dedup_pairs(ds, threshold=0.5, num_hashes=128, bands=64,
+                            sig_mode="oph")
+    pa_ = list(zip(a.column("doc_a").to_pylist(),
+                   a.column("doc_b").to_pylist(),
+                   a.column("jaccard").to_pylist()))
+    pb_ = list(zip(b.column("doc_a").to_pylist(),
+                   b.column("doc_b").to_pylist(),
+                   b.column("jaccard").to_pylist()))
+    assert pa_ == pb_ and len(pa_) > 0
