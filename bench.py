@@ -138,7 +138,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.url_canon(sf_dir)
         d.domain_doc_stats(sf_dir)
     with timed("composite_pipeline"):  # quality -> dedup -> index -> BM25
-        d.composite_pipeline(sf_dir)
+        d.composite_pipeline(sf_dir, fresh=True)  # cold: cache cleared inside
 
     total = round(sum(timings.values()), 4)
     return {

@@ -68,6 +68,49 @@ def exact_dedup(ds):
     return agg.select_columns(["doc_id"])
 
 
+_EXACT_ROW_BUCKETS = 64  # shuffle-coarsening groups for exact_dedup_rows
+
+
+def exact_dedup_rows(ds, column: str = "text",
+                     num_buckets: int = _EXACT_ROW_BUCKETS):
+    """Like :func:`exact_dedup`, but returns the surviving ROWS (all input
+    columns) instead of just survivor doc_ids — for pipelines that consume
+    the surviving documents downstream (e.g. dedup -> index build), where a
+    doc_id-only answer would force a second join pass over the corpus.
+
+    Shape: content-hash in a vectorized ``map_batches``, then ONE shuffle of
+    the full rows keyed by a coarse ``h_lo % num_buckets`` bucket (equal
+    content hash => equal bucket), and a vectorized per-bucket lexsort that
+    keeps the minimum-doc_id row per (h_lo, h_hi). The corpus text moves
+    exactly once — unavoidable when the survivors' text IS the output — and
+    nothing ever materializes on the driver (contrast with collecting
+    exact_dedup's id set and broadcasting it for an isin filter, which is
+    corpus-scale driver state at 10^12 docs)."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = content_hash_batch(batch, column)
+        lo = h.column("h_lo").to_numpy()
+        bucket = (lo % np.uint64(num_buckets)).astype(np.int32)
+        batch = batch.append_column("h_lo", h.column("h_lo"))
+        batch = batch.append_column("h_hi", h.column("h_hi"))
+        return batch.append_column("__bucket", pa.array(bucket))
+
+    def pick_first(group: pa.Table) -> pa.Table:
+        lo = group.column("h_lo").to_numpy()
+        hi = group.column("h_hi").to_numpy()
+        ids = group.column("doc_id").to_numpy()
+        order = np.lexsort((ids, hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        first = np.ones(len(order), bool)
+        first[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
+        keep = np.sort(order[first])  # preserve input row order in the block
+        return group.take(pa.array(keep)).drop_columns(
+            ["h_lo", "h_hi", "__bucket"])
+
+    return ds.map_batches(add_key, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(pick_first, batch_format="pyarrow")
+
+
 SPAN_IDX_BITS = 20  # spans per doc bound for the packed dedup key
 
 
@@ -223,11 +266,39 @@ class MinHashStage:
         if len(sh) == 0:
             return np.full(self.num_hashes, np.iinfo(np.uint64).max,
                            np.uint64)
-        # multiply-shift family: (a*h + b) mod 2^64 (natural uint64
-        # wraparound) — one C-level matrix op per doc, deterministic
-        with np.errstate(over="ignore"):
-            x = self.a[:, None] * sh[None, :] + self.b[:, None]
-        return x.min(axis=1)
+        return self._classic_sigs(sh, np.array([len(sh)], np.int64))[0]
+
+    # Transient budget for the classic (k, chunk) permutation matrix:
+    # 2^25 uint64 = 256 MiB per task regardless of k, so a batch of
+    # web-page-sized docs (multi-million total shingles) can't OOM a
+    # worker. min is associative, so chunked per-segment minima combined
+    # with np.minimum are bit-identical to the one-shot matrix.
+    _CLASSIC_CHUNK_ELEMS = 1 << 25
+
+    def _classic_sigs(self, all_h: np.ndarray, lens_nz: np.ndarray
+                      ) -> np.ndarray:
+        """(n_nz, k) classic multiply-shift signatures over the
+        concatenated shingle hashes, processed in shingle chunks (docs may
+        straddle chunk boundaries; partial minima are merged)."""
+        k = self.num_hashes
+        n = len(lens_nz)
+        sigs = np.full((n, k), np.iinfo(np.uint64).max, np.uint64)
+        bounds = np.zeros(n + 1, np.int64)
+        np.cumsum(lens_nz, out=bounds[1:])
+        total = int(bounds[-1])
+        chunk = max(1, self._CLASSIC_CHUNK_ELEMS // k)
+        for c0 in range(0, total, chunk):
+            c1 = min(c0 + chunk, total)
+            with np.errstate(over="ignore"):
+                x = self.a[:, None] * all_h[c0:c1][None, :] \
+                    + self.b[:, None]
+            # docs overlapping [c0, c1): bounds[i0] <= c0 < bounds[i0+1]
+            i0 = int(np.searchsorted(bounds, c0, "right")) - 1
+            i1 = int(np.searchsorted(bounds, c1, "left"))
+            starts = np.maximum(bounds[i0:i1] - c0, 0)
+            part = np.minimum.reduceat(x, starts, axis=1).T
+            np.minimum(sigs[i0:i1], part, out=sigs[i0:i1])
+        return sigs
 
     def _oph_sigs(self, all_h: np.ndarray, lens_nz: np.ndarray
                   ) -> np.ndarray:
@@ -279,11 +350,7 @@ class MinHashStage:
             if self.mode == "oph":
                 sigs[nz] = self._oph_sigs(all_h, lens[nz])
             else:
-                with np.errstate(over="ignore"):
-                    x = self.a[:, None] * all_h[None, :] + self.b[:, None]
-                starts = np.zeros(len(nz), np.int64)
-                np.cumsum(lens[nz[:-1]], out=starts[1:])
-                sigs[nz] = np.minimum.reduceat(x, starts, axis=1).T
+                sigs[nz] = self._classic_sigs(all_h, lens[nz])
         flat = sigs.ravel()
         offs = np.arange(0, (n + 1) * self.num_hashes, self.num_hashes,
                          dtype=np.int32)

@@ -222,15 +222,33 @@ def dedup_exact_ids(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": t.column("doc_id").cast(pa.int64())})
 
 
+def _query_vector(sf_dir: str, vec_id: int) -> np.ndarray:
+    """The query vector with ``vec_id == vec_id``, read with a parquet row
+    filter + column prune (never the whole table onto the driver). Selects
+    by value, not position — a vec_id space with gaps must not silently
+    return a neighboring vector."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", vec_id)])
+    if t.num_rows != 1:
+        raise KeyError(f"vec_id {vec_id}: {t.num_rows} rows")
+    return np.array(t.column("embedding").to_pylist()[0], np.float64)
+
+
 def _query_vectors(sf_dir: str, n: int) -> np.ndarray:
-    """First ``n`` query vectors, read with a parquet row filter + column
-    prune (never the whole table onto the driver)."""
+    """Query matrix for vec_ids 0..n-1 (row i IS vec_id i — selected by
+    value, so a vec_id space with gaps raises instead of silently shifting
+    rows), read with a parquet row filter + column prune."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "<", n)])
     t = t.sort_by("vec_id")
+    if t.column("vec_id").to_pylist() != list(range(n)):
+        raise KeyError(f"vec_ids 0..{n - 1} not all present")
     return np.array(t.column("embedding").to_pylist(), np.float64)
 
 
@@ -239,7 +257,7 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
 
     from .similarity import knn_bruteforce
 
-    q = _query_vectors(sf_dir, query_vec_id + 1)[query_vec_id]
+    q = _query_vector(sf_dir, query_vec_id)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     t = knn_bruteforce(ds, q[None, :], k=k)
@@ -575,16 +593,23 @@ def warc_extract(sf_dir: str) -> pa.Table:
 
 def composite_pipeline(sf_dir: str, min_tokens: int = 30,
                        terms: list[str] | None = None,
-                       k: int = 10) -> pa.Table:
+                       k: int = 10, fresh: bool = False) -> pa.Table:
     """The full training-data chain composed end to end — quality filter
     (n_tokens >= min_tokens) -> exact dedup (first doc_id per distinct
-    text) -> index build over the SURVIVING subset -> BM25 top-k — with
-    every stage SQL-expressible, so one DuckDB oracle validates the whole
-    composition including the corpus-dependent BM25 stats (N, avgdl, df
-    are computed over the filtered+deduped corpus, not the raw table)."""
+    text, SURVIVING ROWS flow straight into the build) -> index build ->
+    BM25 top-k — with every stage SQL-expressible, so one DuckDB oracle
+    validates the whole composition including the corpus-dependent BM25
+    stats (N, avgdl, df are computed over the filtered+deduped corpus,
+    not the raw table).
+
+    Scale shape: the dedup stage is :func:`~.dedup.exact_dedup_rows` —
+    one hash-bucketed shuffle of the filtered rows whose groups emit the
+    surviving rows directly, so NOTHING corpus-sized ever lands on the
+    driver (the previous survivor-id collect + ``np.isin`` broadcast was
+    10^11+ uint64 of driver state at 10^12 docs)."""
     import ray.data
 
-    from .dedup import exact_dedup
+    from .dedup import exact_dedup_rows
     from .textstats import token_count_batch
 
     terms = terms or ["merge", "sort"]
@@ -593,6 +618,9 @@ def composite_pipeline(sf_dir: str, min_tokens: int = 30,
     ).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"composite-{key}")
     done = os.path.join(out, "_INDEX_DONE")
+    if fresh:  # bench mode: time the actual build, not a cache hit
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(done):
         ds = _docs_dataset(sf_dir)
 
@@ -601,22 +629,10 @@ def composite_pipeline(sf_dir: str, min_tokens: int = 30,
             return b.filter(pa.array(n >= min_tokens))
 
         filtered = ds.map_batches(quality_gate, batch_format="pyarrow")
-        survivors = exact_dedup(filtered.select_columns(["doc_id", "text"]))
-        keep = np.sort(survivors.to_pandas()["doc_id"]
-                       .to_numpy(np.uint64))
-        import ray
-
-        keep_ref = ray.put(keep)
-
-        def keep_only(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy().astype(np.uint64)
-            return b.filter(pa.array(
-                np.isin(ids, ray.get(keep_ref), assume_unique=False)))
-
+        survivors = exact_dedup_rows(filtered)
         cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=8,
                           num_doc_buckets=1, block_size=128)
-        build_index(out, dataset=filtered.map_batches(
-            keep_only, batch_format="pyarrow"), cfg=cfg)
+        build_index(out, dataset=survivors, cfg=cfg)
         with open(done, "w") as f:
             f.write("ok")
     node = Term(terms[0]) if len(terms) == 1 \

@@ -62,7 +62,11 @@ def read_jsonl(paths: list[str], id_base: int = 0,
                 ids.append(base + j)
                 urls.append(str(row.get(url_key) or f"jsonl://{p}#{j}"))
                 ts = row.get(ts_key) if ts_key else None
-                tss.append(np.datetime64(ts, "us") if ts else None)
+                # strip a trailing Z (Dolma/CC jsonl timestamps are
+                # Z-suffixed ISO; np.datetime64 on tz-aware strings is
+                # deprecated and will hard-error) — same as warc.py
+                tss.append(np.datetime64(str(ts).rstrip("Z"), "us")
+                           if ts else None)
                 texts.append(str(row.get(text_key) or ""))
         return pa.table({
             "doc_id": pa.array(ids, pa.uint64()),
