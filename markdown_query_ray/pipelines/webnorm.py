@@ -54,9 +54,10 @@ def _canon_query(q: str) -> str:
 def canonical_url_batch(batch: pa.Table,
                         url_col: str = "url",
                         out_col: str = "canon_url") -> pa.Table:
-    """Append the canonical form of ``url_col``. One extract_regex kernel
-    pass; scheme/host case-folding and port/fragment handling vectorized;
-    the query-parameter sort touches only rows that have a query."""
+    """Append the canonical form of ``url_col``. One extract_regex split,
+    then Arrow string kernels end to end for the www./port/slash rules;
+    Python touches ONLY the rows that actually carry a query string (the
+    parameter drop+sort), so a query-free crawl batch never leaves C."""
     col = batch.column(url_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -64,43 +65,62 @@ def canonical_url_batch(batch: pa.Table,
     if ex.null_count == len(ex):
         # nothing parses: pass urls through untouched
         return batch.append_column(out_col, col)
-    valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
-    scheme = pc.utf8_lower(pc.struct_field(ex, "scheme")).to_pylist()
-    host = pc.utf8_lower(pc.struct_field(ex, "host")).to_pylist()
-    path = pc.struct_field(ex, "path").to_pylist()
-    query = pc.struct_field(ex, "query").to_pylist()
-    urls = col.to_pylist()
-    out = []
-    for i, ok in enumerate(valid):
-        if not ok:
-            out.append(urls[i])  # unparseable: keep verbatim
-            continue
-        s, h, p, q = scheme[i], host[i], path[i] or "", query[i] or ""
-        if h.startswith("www."):
-            h = h[4:]
-        if (s == "https" and h.endswith(":443")) or \
-                (s == "http" and h.endswith(":80")):
-            h = h.rsplit(":", 1)[0]
-        if not p:
-            p = "/"
-        elif len(p) > 1 and p.endswith("/"):
-            p = p[:-1]
-        out.append(f"{s}://{h}{p}{_canon_query(q)}")
-    return batch.append_column(out_col, pa.array(out, pa.string()))
+    valid = pc.is_valid(ex)
+    scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(ex, "host"))
+    host = pc.replace_substring_regex(host, pattern=r"^www\.",
+                                      replacement="")
+    host = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(host, pattern=r":443$", replacement=""),
+        host)
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, pattern=r":80$", replacement=""),
+        host)
+    path = pc.struct_field(ex, "path")
+    # empty path -> "/"; one trailing slash stripped from non-root paths
+    # ((.)/$ needs a preceding char, so "/" itself is untouched)
+    path = pc.if_else(
+        pc.equal(path, ""), pa.scalar("/"),
+        pc.replace_substring_regex(path, pattern=r"(.)/$",
+                                   replacement=r"\1"))
+    # query canonicalization: per-url param drop+sort, but only for the
+    # rows that have one ("?x..." — len > 1)
+    query = pc.struct_field(ex, "query")
+    has_q = pc.fill_null(pc.greater(pc.utf8_length(query), 1), False) \
+        .to_numpy(zero_copy_only=False)
+    q_out = np.full(len(col), "", dtype=object)
+    if has_q.any():
+        q_np = query.to_numpy(zero_copy_only=False)
+        # crawl query strings repeat heavily; canonicalize each distinct
+        # value once
+        uq, inv = np.unique(q_np[has_q].astype(str), return_inverse=True)
+        canon_uq = np.array([_canon_query(q) for q in uq], dtype=object)
+        q_out[has_q] = canon_uq[inv]
+    canon = pc.binary_join_element_wise(
+        scheme, pa.scalar("://"), host, path,
+        pa.array(q_out, pa.string()), "")
+    return batch.append_column(
+        out_col, pc.if_else(valid, canon, col))
 
 
 def registered_domain_batch(batch: pa.Table,
                             url_col: str = "canon_url") -> pa.Table:
     """Append ``domain`` = last two host labels of the canonical url (a
     public-suffix list would slot in here; two labels is the deterministic,
-    SQL-expressible stand-in)."""
+    SQL-expressible stand-in). Fully vectorized: one host extract, one
+    anchored last-two-labels extract, if_else fallbacks."""
     col = batch.column(url_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     hosts = pc.extract_regex(col, r"^[a-z][a-z0-9+.-]*://(?P<h>[^/?#:]*)")
-    hs = [(h["h"] if h is not None else "") for h in hosts.to_pylist()]
-    doms = [".".join(h.split(".")[-2:]) if h else "" for h in hs]
-    return batch.append_column("domain", pa.array(doms, pa.string()))
+    h = pc.struct_field(hosts, "h")
+    two = pc.struct_field(
+        pc.extract_regex(h, r"(?P<d>[^.]*\.[^.]+)$"), "d")
+    dom = pc.if_else(pc.is_valid(two), two,
+                     pc.if_else(pc.is_valid(h), h, pa.scalar("")))
+    return batch.append_column("domain", dom.cast(pa.string()))
 
 
 def synth_messy_urls_batch(batch: pa.Table) -> pa.Table:
@@ -109,17 +129,33 @@ def synth_messy_urls_batch(batch: pa.Table) -> pa.Table:
     params, unsorted params, fragments, trailing slashes — every rule of
     the canonicalizer exercised, reconstructible in SQL from doc_id."""
     ids = batch.column("doc_id").to_numpy().astype(np.int64)
-    urls = []
-    for i in ids:
-        scheme = "HTTPS" if i % 5 == 0 else "https"
-        host = f"WWW.Site{i % 97}.Example{i % 11}.com" if i % 2 == 0 \
-            else f"site{i % 97}.example{i % 11}.com"
-        port = ":443" if i % 7 == 0 else ""
-        path = f"/Docs/{i}/" if i % 3 == 0 else f"/Docs/{i}"
-        query = "?b=2&utm_source=feed&a=1" if i % 2 == 0 else ""
-        frag = "#section" if i % 4 == 0 else ""
-        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
-    return batch.append_column("url", pa.array(urls, pa.string()))
+    i_s = pc.cast(pa.array(ids), pa.string())
+    a_s = pc.cast(pa.array(ids % 97), pa.string())
+    b_s = pc.cast(pa.array(ids % 11), pa.string())
+
+    def _j(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    even = pa.array(ids % 2 == 0)
+    scheme = pc.if_else(pa.array(ids % 5 == 0),
+                        pa.scalar("HTTPS"), pa.scalar("https"))
+    host = pc.if_else(
+        even,
+        _j(pa.scalar("WWW.Site"), a_s, pa.scalar(".Example"), b_s,
+           pa.scalar(".com")),
+        _j(pa.scalar("site"), a_s, pa.scalar(".example"), b_s,
+           pa.scalar(".com")))
+    port = pc.if_else(pa.array(ids % 7 == 0),
+                      pa.scalar(":443"), pa.scalar(""))
+    path = pc.if_else(pa.array(ids % 3 == 0),
+                      _j(pa.scalar("/Docs/"), i_s, pa.scalar("/")),
+                      _j(pa.scalar("/Docs/"), i_s))
+    query = pc.if_else(even, pa.scalar("?b=2&utm_source=feed&a=1"),
+                       pa.scalar(""))
+    frag = pc.if_else(pa.array(ids % 4 == 0),
+                      pa.scalar("#section"), pa.scalar(""))
+    url = _j(scheme, pa.scalar("://"), host, port, path, query, frag)
+    return batch.append_column("url", url.cast(pa.string()))
 
 
 def url_canonicalize(ds):
