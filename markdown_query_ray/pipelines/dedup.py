@@ -394,12 +394,18 @@ def band_explode_batch(batch: pa.Table, bands: int = 16,
     })
 
 
-# Collision segments larger than this emit STAR pairs (every member paired
-# with the segment's minimum doc_id) instead of all pairs: a boilerplate-heavy
-# crawl can put a near-identical cluster of millions of docs into one band
-# bucket, and the quadratic expansion would OOM the group task. Star pairs
-# keep dedup-cluster connectivity (connected components still link every
-# member through the representative); the drop is logged, never silent.
+# Collision segments larger than this emit STAR + CHAIN pairs (every member
+# paired with the segment's minimum doc_id, plus every consecutive sorted
+# pair) instead of all pairs: a boilerplate-heavy crawl can put a
+# near-identical cluster of millions of docs into one band bucket, and the
+# quadratic expansion would OOM the group task. RECALL CAVEAT (logged, never
+# silent): pre-threshold connectivity is fully preserved (components link
+# through the hub), but the emitted edges still pass the downstream
+# threshold filter (exact Jaccard / Hamming / cosine), so a true pair (x, y)
+# is lost when EVERY emitted edge on a path x..y fails the threshold. The
+# chain edges mitigate this — consecutive doc_ids in a crawl are the likely
+# near-identical neighbors, and each survives or fails on its own — but only
+# all-pairs (m <= cap) is exact.
 MAX_SEGMENT_DOCS = 4096
 
 
@@ -408,27 +414,39 @@ def _log_segment_cap(kind: str, seg_docs: int, dropped_pairs: int) -> None:
 
     logging.getLogger(__name__).warning(
         "%s: collision segment of %d docs exceeds MAX_SEGMENT_DOCS=%d; "
-        "emitting %d star pairs instead of %d all-pairs (%d candidate "
-        "pairs not emitted; cluster connectivity preserved via the "
-        "representative)", kind, seg_docs, MAX_SEGMENT_DOCS, seg_docs - 1,
+        "emitting %d star+chain pairs instead of %d all-pairs (%d candidate "
+        "pairs not emitted). Pre-threshold connectivity is preserved via "
+        "the representative, but post-threshold recall may drop: an "
+        "in-threshold pair is reported only if some emitted star/chain "
+        "path between its ends survives the threshold filter.",
+        kind, seg_docs, MAX_SEGMENT_DOCS, 2 * seg_docs - 3,
         seg_docs * (seg_docs - 1) // 2,
         dropped_pairs)
 
 
 def _segment_pairs(ids_sorted: np.ndarray, starts: np.ndarray,
                    ends: np.ndarray, kind: str):
-    """Vectorized all-pairs per segment (np.triu_indices), star-capped for
-    giant segments. Yields (a_idx, b_idx) absolute index arrays into
-    ids_sorted, so callers can also slice parallel arrays (signatures)."""
+    """Vectorized all-pairs per segment (np.triu_indices); giant segments
+    are capped to star edges (min-id hub -> every member) plus chain edges
+    (consecutive sorted members), 2m-3 pairs total — linear, and the chain
+    keeps crawl-adjacent near-dups directly paired even when the hub edge
+    fails the downstream threshold (see MAX_SEGMENT_DOCS caveat). Yields
+    (a_idx, b_idx) absolute index arrays into ids_sorted, so callers can
+    also slice parallel arrays (signatures)."""
     for s, e in zip(starts, ends):
         m = e - s
         if m < 2:
             continue
         if m > MAX_SEGMENT_DOCS:
             _log_segment_cap(kind, int(m),
-                             int(m * (m - 1) // 2 - (m - 1)))
-            a = np.full(m - 1, s, np.int64)  # ids_sorted asc => s is min id
-            b = np.arange(s + 1, e, dtype=np.int64)
+                             int(m * (m - 1) // 2 - (2 * m - 3)))
+            # star: (s, x) for every other member (s is min id: asc sort);
+            # chain: (x_i, x_{i+1}) for i >= s+1 ((s, s+1) is already the
+            # first star edge). All 2m-3 pairs distinct.
+            a = np.concatenate([np.full(m - 1, s, np.int64),
+                                np.arange(s + 1, e - 1, dtype=np.int64)])
+            b = np.concatenate([np.arange(s + 1, e, dtype=np.int64),
+                                np.arange(s + 2, e, dtype=np.int64)])
         else:
             ii, jj = np.triu_indices(m, k=1)
             a = s + ii
@@ -485,7 +503,10 @@ def _pair_vbucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def _verify_group(group: pa.Table, threshold: float, w: int) -> pa.Table:
     """One verify bucket: pair rows (kind=0) + the texts they need (kind=1).
     Shingle sets are computed once per distinct doc in the bucket, pairs
-    checked with C-level set ops."""
+    checked with C-level set ops. Duplicate candidate pairs (the same pair
+    surfacing from several LSH bands) land in the same bucket — vbucket is
+    a pure function of the id pair — and are dropped here with one
+    np.unique, so no driver-side dedup is ever needed."""
     kind = group.column("kind").to_numpy()
     texts: dict[int, str] = {}
     tmask = kind == 1
@@ -497,9 +518,11 @@ def _verify_group(group: pa.Table, threshold: float, w: int) -> pa.Table:
         d: frozenset(shingle_hashes(txt or "", w).tolist())
         for d, txt in texts.items()}
     p = group.filter(pa.array(~tmask))
+    ab = np.unique(np.stack([
+        p.column("doc_a").to_numpy().astype(np.int64),
+        p.column("doc_b").to_numpy().astype(np.int64)], axis=1), axis=0)
     out_a, out_b, out_j = [], [], []
-    for da, db in zip(p.column("doc_a").to_pylist(),
-                      p.column("doc_b").to_pylist()):
+    for da, db in zip(ab[:, 0].tolist(), ab[:, 1].tolist()):
         sa = shingles.get(da, frozenset())
         sb = shingles.get(db, frozenset())
         if not sa and not sb:
@@ -520,23 +543,211 @@ def _verify_group(group: pa.Table, threshold: float, w: int) -> pa.Table:
     })
 
 
+_JOIN_BUCKETS = 64  # shuffle groups for the needs-vs-corpus semi-join
+
+# Bloom prefilter for the semi-join's corpus side: sized to ~16 bits per
+# candidate id (k=2 => fp ~ 1.5%), clamped to a FIXED budget so driver and
+# broadcast state stay O(1) in corpus size. At the cap the filter degrades
+# to higher fp — which only admits extra rows into the join shuffle, never
+# changes results (the in-group searchsorted match is exact).
+_BLOOM_MIN_BITS = 1 << 20   # 128 KiB
+_BLOOM_MAX_BITS = 1 << 30   # 128 MiB hard cap (fixed broadcast budget)
+
+
+def _doc_jkey(ids: np.ndarray, num_buckets: int = _JOIN_BUCKETS
+              ) -> np.ndarray:
+    """Deterministic join bucket per doc_id (FNV, matching the other
+    coarse-bucket keys)."""
+    h = _fnv1a_u64_rows(ids.astype(np.uint64)[:, None])
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _bloom_size_bits(n_ids: int) -> int:
+    bits = _BLOOM_MIN_BITS
+    while bits < 16 * max(n_ids, 1) and bits < _BLOOM_MAX_BITS:
+        bits <<= 1
+    return bits
+
+
+def _bloom_idx(ids: np.ndarray, m_bits: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Two vectorized hash index streams per id (FNV + a splitmix step)."""
+    h = _fnv1a_u64_rows(ids.astype(np.uint64)[:, None])
+    g = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    g ^= g >> np.uint64(27)
+    mask = np.uint64(m_bits - 1)
+    return h & mask, g & mask
+
+
+def _bloom_add(words: np.ndarray, ids: np.ndarray, m_bits: int) -> None:
+    for idx in _bloom_idx(ids, m_bits):
+        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bloom_test(words: np.ndarray, ids: np.ndarray,
+                m_bits: int) -> np.ndarray:
+    i1, i2 = _bloom_idx(ids, m_bits)
+    t1 = (words[(i1 >> np.uint64(6)).astype(np.int64)]
+          >> (i1 & np.uint64(63))) & np.uint64(1)
+    t2 = (words[(i2 >> np.uint64(6)).astype(np.int64)]
+          >> (i2 & np.uint64(63))) & np.uint64(1)
+    return ((t1 & t2) != 0)
+
+
+def _bloom_block_batch(batch: pa.Table, m_bits: int) -> pa.Table:
+    """One candidate-pair block -> one fixed-size bitmap row."""
+    ids = np.concatenate([
+        batch.column("doc_a").to_numpy().astype(np.int64),
+        batch.column("doc_b").to_numpy().astype(np.int64)])
+    words = np.zeros(m_bits // 64, np.uint64)
+    _bloom_add(words, ids, m_bits)
+    return pa.table({"bits": pa.array([words.tobytes()], pa.large_binary())})
+
+
+def _candidate_bloom(cand, m_bits: int):
+    """OR per-block bitmaps into one filter with O(m_bits) driver state
+    (streaming — blocks never accumulate) and return its ray.put handle."""
+    import ray
+
+    words = np.zeros(m_bits // 64, np.uint64)
+    blocks = cand.map_batches(partial(_bloom_block_batch, m_bits=m_bits),
+                              batch_format="pyarrow")
+    for b in blocks.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in b.column("bits").to_pylist():
+            words |= np.frombuffer(buf, np.uint64)
+    return ray.put(words)
+
+
+def _pair_rows_batch(batch: pa.Table) -> pa.Table:
+    """Candidate pairs -> verify-shuffle rows (vbucket, kind=0, doc_a,
+    doc_b). Duplicates across bands are fine: equal pair => equal vbucket,
+    deduped inside the verify group."""
+    a = batch.column("doc_a").to_numpy().astype(np.int64)
+    b = batch.column("doc_b").to_numpy().astype(np.int64)
+    n = len(a)
+    return pa.table({
+        "vbucket": pa.array(_pair_vbucket(a, b)),
+        "kind": pa.array(np.zeros(n, np.int8)),
+        "doc_a": pa.array(a),
+        "doc_b": pa.array(b),
+        "doc_id": pa.array(np.zeros(n, np.int64)),
+        "text": pa.array([""] * n, pa.string()),
+    })
+
+
+def _needs_batch(batch: pa.Table) -> pa.Table:
+    """Candidate pairs -> per-batch-unique (jkey, doc_id, vbucket) need
+    rows: 'vbucket V needs doc D's text'."""
+    a = batch.column("doc_a").to_numpy().astype(np.int64)
+    b = batch.column("doc_b").to_numpy().astype(np.int64)
+    vb = _pair_vbucket(a, b).astype(np.int64)
+    uniq = np.unique(np.stack([np.concatenate([a, b]),
+                               np.concatenate([vb, vb])], axis=1), axis=0)
+    return pa.table({
+        "jkey": pa.array(_doc_jkey(uniq[:, 0])),
+        "kind": pa.array(np.zeros(len(uniq), np.int8)),
+        "doc_id": pa.array(uniq[:, 0], pa.int64()),
+        "vbucket": pa.array(uniq[:, 1].astype(np.int32)),
+        "text": pa.array([""] * len(uniq), pa.string()),
+    })
+
+
+def _corpus_keyed_batch(batch: pa.Table, bloom_ref=None,
+                        m_bits: int = 0) -> pa.Table:
+    """Corpus rows -> (jkey, kind=1, doc_id, text) join-side rows.
+    With a candidate Bloom filter, non-candidate rows (minus ~fp%) are
+    dropped HERE, map-side, so their texts never enter the join shuffle;
+    false positives are eliminated exactly in ``_route_join_group``."""
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    if bloom_ref is not None:
+        import ray
+
+        keep = _bloom_test(ray.get(bloom_ref), ids, m_bits)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
+    return pa.table({
+        "jkey": pa.array(_doc_jkey(ids)),
+        "kind": pa.array(np.ones(len(ids), np.int8)),
+        "doc_id": pa.array(ids, pa.int64()),
+        "vbucket": pa.array(np.zeros(len(ids), np.int32)),
+        "text": batch.column("text").cast(pa.string()),
+    })
+
+
+def _route_join_group(group: pa.Table) -> pa.Table:
+    """One join bucket: need rows (kind=0) semi-join the corpus rows
+    (kind=1) on doc_id; emits one (vbucket, kind=1, doc_id, text) verify
+    row per unique (doc_id, vbucket) need. Non-candidate corpus rows die
+    here, so only candidate texts enter the verify shuffle."""
+    kind = group.column("kind").to_numpy()
+    nmask = kind == 0
+    empty = pa.table({
+        "vbucket": pa.array([], pa.int32()),
+        "kind": pa.array([], pa.int8()),
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    })
+    if not nmask.any() or nmask.all():
+        return empty
+    needs = group.filter(pa.array(nmask))
+    # re-dedup across source batches
+    nuniq = np.unique(np.stack(
+        [needs.column("doc_id").to_numpy().astype(np.int64),
+         needs.column("vbucket").to_numpy().astype(np.int64)], axis=1),
+        axis=0)
+    corpus = group.filter(pa.array(~nmask))
+    cids = corpus.column("doc_id").to_numpy().astype(np.int64)
+    corder = np.argsort(cids, kind="stable")
+    cids_s = cids[corder]
+    pos = np.searchsorted(cids_s, nuniq[:, 0])
+    pos_ok = pos < len(cids_s)
+    hit = np.zeros(len(nuniq), bool)
+    hit[pos_ok] = cids_s[pos[pos_ok]] == nuniq[pos_ok, 0]
+    nuniq = nuniq[hit]
+    rows = corder[pos[hit]]
+    sel = corpus.select(["doc_id", "text"]).take(pa.array(rows))
+    n = len(rows)
+    return pa.table({
+        "vbucket": pa.array(nuniq[:, 1].astype(np.int32)),
+        "kind": pa.array(np.ones(n, np.int8)),
+        "doc_a": pa.array(np.zeros(n, np.int64)),
+        "doc_b": pa.array(np.zeros(n, np.int64)),
+        "doc_id": sel.column("doc_id").cast(pa.int64()),
+        "text": sel.column("text").cast(pa.string()),
+    })
+
+
 def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
                         bands: int = 16, w: int = 3,
                         sig_mode: str = "classic"):
     """Near-duplicate pairs via MinHash-LSH with exact n-gram-Jaccard verify.
 
     Returns a pyarrow Table (doc_a, doc_b, jaccard) with doc_a < doc_b,
-    sorted. The verify is DISTRIBUTED: candidate pairs shuffle into
-    ``_VERIFY_BUCKETS`` groups keyed by a pair hash, candidate texts are
-    routed into exactly the buckets that need them inside a ``map_batches``
-    corpus pass (via a broadcast id->buckets map), and the exact Jaccard
-    runs inside ``groupby(vbucket).map_groups`` — texts NEVER materialize
-    on the driver; only verified pairs do.
+    sorted. Fully distributed — NOTHING corpus- or candidate-scale ever
+    lands on the driver:
 
-    The routing map itself is id-sized (candidate ids, not texts); at
-    10^12-doc scale with a boilerplate-heavy corpus even that collection
-    would move off-driver by replacing the broadcast with a shuffle join of
-    (doc_id, vbucket) needs against the corpus on hash(doc_id)."""
+    1. signatures -> band-explode -> coarse-bucket groupby -> per-group
+       pair scan = candidate id pairs (a Dataset, materialized once in the
+       object store because it feeds two consumers);
+    2. candidate texts are found with a SHUFFLE SEMI-JOIN: (doc_id,
+       vbucket) need rows and corpus rows co-shuffle on
+       ``hash(doc_id) % _JOIN_BUCKETS`` and match inside ``map_groups``
+       (replaces the round-2 broadcast id->vbucket map, which was a
+       candidate-count-sized driver collection). A FIXED-size candidate
+       Bloom filter (<= 128 MiB regardless of scale, built by OR-ing
+       per-block bitmaps in a streaming driver pass) is broadcast to the
+       corpus pass so non-candidate texts are dropped map-side instead of
+       riding the join shuffle; Bloom false positives only add join
+       traffic — the in-group match stays exact;
+    3. pair rows and routed texts co-shuffle on the pair-hash ``vbucket``
+       and the exact Jaccard runs inside ``map_groups``; duplicate pairs
+       from different bands dedup in-group (equal pair => equal vbucket).
+
+    Only verified pairs reach the driver."""
     rows = num_hashes // bands
     sigs = ds.map_batches(MinHashStage(num_hashes, w, mode=sig_mode),
                           batch_format="pyarrow", concurrency=None)
@@ -545,84 +756,43 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
         batch_format="pyarrow")
     cand = bands_ds.groupby("bucket").map_groups(
         _bucket_pair_scan, batch_format="pyarrow")
-    # candidate ID pairs (16 bytes each — orders of magnitude smaller than
-    # texts) come back to build the broadcast routing map
-    cand_pd = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    if not len(cand_pd):
-        return pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        })
-    a = cand_pd["doc_a"].to_numpy(np.int64)
-    b = cand_pd["doc_b"].to_numpy(np.int64)
-    vb = _pair_vbucket(a, b)
-
-    # id -> sorted unique vbuckets that need this doc's text
-    need_ids = np.concatenate([a, b])
-    need_vbs = np.concatenate([vb, vb])
-    uniq = np.unique(np.stack([need_ids, need_vbs.astype(np.int64)], axis=1),
-                     axis=0)
-
-    import ray
-
-    need_ref = ray.put(uniq)  # (n_needs, 2): doc_id, vbucket
-
-    def _route_texts(batch: pa.Table) -> pa.Table:
-        """Emit (vbucket, kind=1, doc_id, text) rows, one per vbucket that
-        needs the doc; non-candidate docs are dropped here so only
-        candidate texts enter the verify shuffle."""
-        needs = ray.get(need_ref)
-        ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        # all (row, need) matches via searchsorted on the sorted needs
-        lo = np.searchsorted(needs[:, 0], ids, side="left")
-        hi = np.searchsorted(needs[:, 0], ids, side="right")
-        counts = hi - lo
-        rows_idx = np.repeat(np.arange(len(ids)), counts)
-        if len(rows_idx) == 0:
-            return pa.table({
-                "vbucket": pa.array([], pa.int32()),
-                "kind": pa.array([], pa.int8()),
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "text": pa.array([], pa.string()),
-            })
-        need_idx = np.concatenate(
-            [np.arange(s, e) for s, e in zip(lo[counts > 0], hi[counts > 0])])
-        sel = batch.select(["doc_id", "text"]).take(pa.array(rows_idx))
-        n = len(rows_idx)
-        return pa.table({
-            "vbucket": pa.array(needs[need_idx, 1].astype(np.int32)),
-            "kind": pa.array(np.ones(n, np.int8)),
-            "doc_a": pa.array(np.zeros(n, np.int64)),
-            "doc_b": pa.array(np.zeros(n, np.int64)),
-            "doc_id": sel.column("doc_id").cast(pa.int64()),
-            "text": sel.column("text").cast(pa.string()),
-        })
-
-    import ray.data
-
-    pair_rows = pa.table({
-        "vbucket": pa.array(vb),
-        "kind": pa.array(np.zeros(len(a), np.int8)),
-        "doc_a": pa.array(a),
-        "doc_b": pa.array(b),
-        "doc_id": pa.array(np.zeros(len(a), np.int64)),
-        "text": pa.array([""] * len(a), pa.string()),
-    })
-    routed = ds.map_batches(_route_texts, batch_format="pyarrow")
-    union = ray.data.from_arrow(pair_rows).union(routed)
-    verified = union.groupby("vbucket").map_groups(
-        partial(_verify_group, threshold=threshold, w=w),
-        batch_format="pyarrow")
-    chunks = list(verified.iter_batches(batch_size=65536,
-                                        batch_format="pyarrow"))
+    # three consumers (pair rows + need rows + bloom): materialize the id
+    # pairs — 16 bytes/pair in the distributed object store, never the
+    # driver
+    cand = cand.materialize()
     empty = pa.table({
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64()),
         "jaccard": pa.array([], pa.float64()),
     })
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+    # The bucket groupby leaves one near-empty block per collision bucket;
+    # every downstream stage (bloom pass, two groupby shuffles) pays
+    # per-block task overhead on them. Coalesce to a block count
+    # PROPORTIONAL TO ROWS (~200k pairs/block — 1e9 candidates still get
+    # 5k blocks), which cut the sf0.1 join+verify wall 3x.
+    tgt_blocks = max(1, -(-n_cand // 200_000))
+    if cand.num_blocks() > 4 * tgt_blocks:
+        cand = cand.repartition(tgt_blocks).materialize()
+    m_bits = _bloom_size_bits(2 * n_cand)
+    bloom_ref = _candidate_bloom(cand, m_bits)
+
+    pair_rows = cand.map_batches(_pair_rows_batch, batch_format="pyarrow")
+    needs = cand.map_batches(_needs_batch, batch_format="pyarrow")
+    corpus_keyed = ds.map_batches(
+        partial(_corpus_keyed_batch, bloom_ref=bloom_ref, m_bits=m_bits),
+        batch_format="pyarrow")
+    routed = needs.union(corpus_keyed).groupby("jkey").map_groups(
+        _route_join_group, batch_format="pyarrow")
+
+    union = pair_rows.union(routed)
+    verified = union.groupby("vbucket").map_groups(
+        partial(_verify_group, threshold=threshold, w=w),
+        batch_format="pyarrow")
+    chunks = list(verified.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow"))
     t = pa.concat_tables(chunks) if chunks else empty
     if t.num_rows == 0:
         return empty

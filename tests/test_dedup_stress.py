@@ -1,8 +1,9 @@
 """Pathological-duplicate stress: a boilerplate-grade cluster (thousands of
 identical docs landing in ONE band bucket) must not trigger a quadratic pair
 blowup. Above MAX_SEGMENT_DOCS the scans emit star pairs (every member paired
-with the cluster representative), keeping output linear while preserving
-dedup-cluster connectivity."""
+with the cluster representative) plus chain pairs (consecutive sorted
+members), keeping output linear while preserving pre-threshold dedup-cluster
+connectivity and giving crawl-adjacent docs a direct post-threshold edge."""
 
 from __future__ import annotations
 
@@ -11,8 +12,13 @@ import pyarrow as pa
 import pytest
 
 
-N_CLUSTER = 6000  # > dedup.MAX_SEGMENT_DOCS (4096) => star mode
+N_CLUSTER = 6000  # > dedup.MAX_SEGMENT_DOCS (4096) => star+chain mode
 N_NORMAL = 200
+
+
+def _star_chain(n: int) -> set[tuple[int, int]]:
+    return ({(0, i) for i in range(1, n)}
+            | {(i, i + 1) for i in range(1, n - 1)})
 
 
 @pytest.fixture(scope="module")
@@ -40,10 +46,10 @@ def test_minhash_star_cap_bounds_giant_cluster(stress_ds):
     a = pairs.column("doc_a").to_numpy()
     b = pairs.column("doc_b").to_numpy()
     # linear, not quadratic: the identical cluster contributes exactly the
-    # star (0, i) for i in 1..N_CLUSTER-1 from every band (deduped)
-    assert pairs.num_rows < 2 * N_CLUSTER, pairs.num_rows
+    # star (0, i) plus the chain (i, i+1) from every band (deduped)
+    assert pairs.num_rows < 2 * N_CLUSTER + N_NORMAL, pairs.num_rows
     cluster_pairs = {(x, y) for x, y in zip(a, b) if y < N_CLUSTER}
-    assert cluster_pairs == {(0, i) for i in range(1, N_CLUSTER)}
+    assert cluster_pairs == _star_chain(N_CLUSTER)
     # connectivity: union-find over emitted pairs puts the whole cluster in
     # one component
     parent = list(range(N_CLUSTER))
@@ -65,12 +71,13 @@ def test_simhash_star_cap_bounds_giant_cluster(stress_ds):
     from markdown_query_ray.pipelines import dedup
 
     pairs = dedup.simhash_pairs(stress_ds, max_hamming=3)
-    assert pairs.num_rows < 2 * (N_CLUSTER + N_NORMAL), pairs.num_rows
+    assert pairs.num_rows < 2 * (N_CLUSTER + N_NORMAL) + N_NORMAL, \
+        pairs.num_rows
     a = pairs.column("doc_a").to_numpy()
     b = pairs.column("doc_b").to_numpy()
     cluster_pairs = {(x, y) for x, y in zip(a, b)
                      if x < N_CLUSTER and y < N_CLUSTER}
-    assert cluster_pairs == {(0, i) for i in range(1, N_CLUSTER)}
+    assert cluster_pairs == _star_chain(N_CLUSTER)
 
 
 def test_span_dedup_semantics(ray_session):
