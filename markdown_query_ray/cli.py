@@ -60,22 +60,17 @@ def _index_cfg(args) -> "IndexConfig":
         positions=args.positions, store_payload=store)
 
 
-def _crawl_dataset(args, drop_ids: bool = False):
-    """Dataset from --warc / --jsonl inputs (None if neither given).
-    ``drop_ids`` strips the source-assigned doc_ids so update_index can
-    re-key new docs into the index's continuing id space."""
-    ds = None
+def _crawl_dataset(args):
+    """Dataset from --warc / --jsonl inputs (None if neither given)."""
     if getattr(args, "warc", None):
         from .sources.warc import read_warc
 
-        ds = read_warc(args.warc)
-    elif getattr(args, "jsonl", None):
+        return read_warc(args.warc)
+    if getattr(args, "jsonl", None):
         from .sources.jsonl import read_jsonl
 
-        ds = read_jsonl(args.jsonl)
-    if ds is not None and drop_ids:
-        ds = ds.drop_columns(["doc_id"])
-    return ds
+        return read_jsonl(args.jsonl)
+    return None
 
 
 def cmd_build(args) -> int:
@@ -101,9 +96,21 @@ def cmd_update(args) -> int:
     _ray_up(args.num_cpus)
     from .index.update import update_index
 
-    ds = _crawl_dataset(args, drop_ids=True)
-    if ds is not None:
-        g = update_index(args.index, dataset=ds)
+    # file-backed crawl input: hand update_index a factory so the sources'
+    # file-rank prefix-sum ids continue the index's id space directly — no
+    # assign_doc_ids sort (the update path's only all-to-all)
+    if getattr(args, "warc", None):
+        from .sources.warc import read_warc
+
+        g = update_index(
+            args.index,
+            dataset_fn=lambda base: read_warc(args.warc, id_base=base))
+    elif getattr(args, "jsonl", None):
+        from .sources.jsonl import read_jsonl
+
+        g = update_index(
+            args.index,
+            dataset_fn=lambda base: read_jsonl(args.jsonl, id_base=base))
     else:
         g = update_index(args.index, paths=args.pages)
     print(json.dumps({"n_docs": g["n_docs"],

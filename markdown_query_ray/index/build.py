@@ -187,8 +187,11 @@ def _manifest_row(skey: int, path: str, n_blocks: int, n_postings: int,
 
 URL_MAP_BUCKETS = 64
 # below this many rows the url map is written in one local pass (the Ray
-# shuffle's fixed cost exceeds the work); above it, a bucket groupby
-URL_MAP_DRIVER_ROWS = 1_000_000
+# shuffle's fixed cost exceeds the work); above it, a bucket groupby.
+# Measured crossover: 5k docs 0.1 s local vs 1.4 s Ray, but 784k docs
+# ~28 s local (single-threaded read + 64 filter passes) vs ~1 s inside
+# the distributed build — keep this threshold low.
+URL_MAP_DRIVER_ROWS = 100_000
 
 
 def _url_bucket_batch(batch: pa.Table) -> pa.Table:

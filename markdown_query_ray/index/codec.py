@@ -568,18 +568,26 @@ def decode_positions(blocks: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(counts, out=offsets[1:])
     if len(vals) == 0:
         return offsets, np.empty(0, np.uint64)
-    # segmented running sum: payload per posting is [first_pos, gap, ...]
+    return offsets, _seg_positions(vals, counts)
+
+
+def _seg_positions(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Absolute positions from decoded per-posting payloads: segment i holds
+    counts[i] values [first_pos, gap, gap, ...] — a segmented running sum
+    (C kernel when available)."""
+    if len(vals) == 0:
+        return np.empty(0, np.uint64)
     from ..functions.ctok import load as _load_ctok
 
     ct = _load_ctok()
     seg = getattr(ct, "seg_prefix_sum64", None) if ct else None
     if seg is not None:
-        positions = np.frombuffer(
+        return np.frombuffer(
             seg(np.ascontiguousarray(vals).data,
-                np.ascontiguousarray(counts).data), np.uint64)
-        return offsets, positions
+                np.ascontiguousarray(counts, np.int64).data), np.uint64)
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
     cs = np.cumsum(vals, dtype=np.uint64)
     starts = offsets[:-1][counts > 0]
     base = cs[starts] - vals[starts]
-    positions = cs - np.repeat(base, counts[counts > 0])
-    return offsets, positions
+    return cs - np.repeat(base, counts[counts > 0])

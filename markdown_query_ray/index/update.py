@@ -109,27 +109,59 @@ def _tombstone_ids(index_dir: str,
     return np.sort(np.concatenate(ids)) if ids else np.empty(0, np.uint64)
 
 
-def _stats_deltas_for(index_dir: str, segs: dict,
-                      doc_ids: np.ndarray) -> pa.Table:
-    """Exact NEGATIVE per-term (termfreq, collfreq) rows for the given
-    doc_ids, from their stored tokenized rows."""
-    tabs = []
-    idlist = [int(d) for d in doc_ids]
-    for seg in segs["segments"]:
-        tok = os.path.join(index_dir, seg, "tokenized")
-        if not os.path.isdir(tok):
+_EMPTY_DELTAS = {
+    "term": pa.string(), "termfreq": pa.int64(),
+    "collfreq": pa.int64(), "wdf_ub": pa.int64()}
+
+
+def _empty_deltas() -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in _EMPTY_DELTAS.items()})
+
+
+def _file_doc_id_range(path: str) -> tuple[int, int] | None:
+    """[min, max] doc_id of one tokenized parquet file from footer
+    statistics only (no data read). None when stats are absent."""
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    c = idx.get("doc_id")
+    if c is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(c).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (int(lo), int(hi)) if lo is not None else None
+
+
+def _file_delta_partial(path: str, ids_sorted: np.ndarray) -> pa.Table:
+    """POSITIVE per-term (count, sum) partial for one file's replaced rows:
+    row groups whose doc_id range misses the id set are skipped via footer
+    stats, hit groups read with column pruning and filtered vectorized."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    c = idx["doc_id"]
+    hit = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(c).statistics
+        if st is None or not st.has_min_max:
+            hit.append(rg)
             continue
-        t = pads.dataset(tok).to_table(
-            columns=["doc_id", "terms", "tfs"],
-            filter=pc.field("doc_id").isin(idlist))
-        if len(t):
-            tabs.append(t)
-    if not tabs:
+        j0 = np.searchsorted(ids_sorted, np.uint64(st.min))
+        j1 = np.searchsorted(ids_sorted, np.uint64(st.max), "right")
+        if j1 > j0:
+            hit.append(rg)
+    if not hit:
         return pa.table({"term": pa.array([], pa.string()),
-                         "termfreq": pa.array([], pa.int64()),
-                         "collfreq": pa.array([], pa.int64()),
-                         "wdf_ub": pa.array([], pa.int64())})
-    t = pa.concat_tables(tabs)
+                         "cnt": pa.array([], pa.int64()),
+                         "tot": pa.array([], pa.int64())})
+    t = pf.read_row_groups(hit, columns=["doc_id", "terms", "tfs"])
+    mask = np.isin(t.column("doc_id").to_numpy().astype(np.uint64),
+                   ids_sorted)
+    t = t.filter(pa.array(mask))
     flat_terms = pc.list_flatten(t.column("terms"))
     flat_tfs = pc.list_flatten(t.column("tfs")).cast(pa.int64())
     agg = pa.TableGroupBy(
@@ -137,8 +169,84 @@ def _stats_deltas_for(index_dir: str, segs: dict,
     ).aggregate([("tf", "count"), ("tf", "sum")])
     return pa.table({
         "term": agg.column("term"),
-        "termfreq": pc.multiply(agg.column("tf_count").cast(pa.int64()), -1),
-        "collfreq": pc.multiply(agg.column("tf_sum").cast(pa.int64()), -1),
+        "cnt": agg.column("tf_count").cast(pa.int64()),
+        "tot": agg.column("tf_sum").cast(pa.int64()),
+    })
+
+
+# below this many pruned files the per-file partials run in a local loop
+# (a Ray stage's fixed scheduling cost exceeds the work)
+_DELTA_DRIVER_FILES = 8
+
+
+def _stats_deltas_for(index_dir: str, segs: dict,
+                      doc_ids: np.ndarray) -> pa.Table:
+    """Exact NEGATIVE per-term (termfreq, collfreq) rows for the given
+    doc_ids, from their stored tokenized rows.
+
+    Scale shape: tokenized files carry prefix-sum doc_ids, so each file
+    covers one contiguous id range — footer statistics prune the scan to
+    files (and row groups) that intersect the replaced id set, and the
+    per-file partial aggregates run as a Ray task pool when the pruned set
+    is large. Cost is bounded by (files hit) x (row-group size), i.e. by
+    the UPDATE batch and its locality, not the corpus — a fully scattered
+    replaced set over a much larger corpus still degrades to a parallel
+    corpus pass (the documented limit; ``stats_mode="stale"`` is the
+    escape hatch there). The output delta table is bounded by the replaced
+    docs' distinct terms, never corpus-scale."""
+    if len(doc_ids) == 0:
+        return _empty_deltas()
+    ids_sorted = np.sort(np.asarray(doc_ids, np.uint64))
+    files: list[str] = []
+    for seg in segs["segments"]:
+        tok = os.path.join(index_dir, seg, "tokenized")
+        if not os.path.isdir(tok):
+            continue
+        for f in sorted(os.listdir(tok)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(tok, f)
+            rng = _file_doc_id_range(p)
+            if rng is not None:
+                j0 = np.searchsorted(ids_sorted, np.uint64(rng[0]))
+                j1 = np.searchsorted(ids_sorted, np.uint64(rng[1]), "right")
+                if j1 == j0:
+                    continue  # file's id range holds no replaced doc
+            files.append(p)
+    if not files:
+        return _empty_deltas()
+
+    if len(files) <= _DELTA_DRIVER_FILES:
+        partials = [_file_delta_partial(p, ids_sorted) for p in files]
+    else:
+        import ray
+        import ray.data
+
+        ids_ref = ray.put(ids_sorted)  # ship the id set once, not per task
+
+        def per_file(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+            ids = _ray.get(ids_ref)
+            return pa.concat_tables([
+                _file_delta_partial(p, ids)
+                for p in batch.column("path").to_pylist()])
+
+        partials = ray.data.from_items(
+            [{"path": p} for p in files]).map_batches(
+            per_file, batch_format="pyarrow").take_all()
+        partials = [pa.Table.from_pylist(
+            partials, schema=pa.schema([("term", pa.string()),
+                                        ("cnt", pa.int64()),
+                                        ("tot", pa.int64())]))]
+    t = pa.concat_tables([p for p in partials if len(p)])
+    if len(t) == 0:
+        return _empty_deltas()
+    agg = pa.TableGroupBy(t, "term").aggregate(
+        [("cnt", "sum"), ("tot", "sum")])
+    return pa.table({
+        "term": agg.column("term"),
+        "termfreq": pc.multiply(agg.column("cnt_sum").cast(pa.int64()), -1),
+        "collfreq": pc.multiply(agg.column("tot_sum").cast(pa.int64()), -1),
         "wdf_ub": pa.array([0] * len(agg), pa.int64()),  # ub never shrinks
     })
 
@@ -146,11 +254,37 @@ def _stats_deltas_for(index_dir: str, segs: dict,
 def update_index(index_dir: str,
                  paths: list[str] | None = None,
                  dataset=None,
-                 cfg: IndexConfig | None = None) -> dict:
+                 cfg: IndexConfig | None = None,
+                 dataset_fn=None,
+                 stats_mode: str = "exact") -> dict:
     """Upsert new/changed docs into an existing index. Input shape matches
     build_index (pages parquet paths, or a Dataset with url + text/html, or
     an already-tokenized Dataset). Docs whose url already exists replace the
-    old version (old doc_id tombstoned). Returns the updated global stats."""
+    old version (old doc_id tombstoned). Returns the updated global stats.
+
+    ``dataset_fn(id_base) -> Dataset`` is the NO-SHUFFLE input path for
+    file-backed batches: the callable receives the index's next free doc_id
+    and must return a dataset whose ``doc_id`` column continues the id
+    space deterministically (file-rank prefix-sum ids — what
+    ``read_warc(paths, id_base=...)`` / ``read_jsonl`` / ``read_pages``
+    produce). A plain ``dataset`` without ids instead pays
+    ``assign_doc_ids``'s (url, content-hash) sort — the only all-to-all in
+    the update path, now reserved for genuinely unordered in-memory input.
+
+    ``stats_mode``: ``"exact"`` (default) computes NEGATIVE per-term stat
+    deltas for the replaced docs by scanning their stored tokenized rows —
+    termfreq/collfreq stay exact but the scan is a (distributed,
+    file-pruned) pass over segments whose files intersect the replaced id
+    set. ``"stale"`` skips the scan: replaced docs' term contributions
+    remain counted until :func:`compact` (which rebuilds exact stats).
+    Stale termfreq/collfreq only ever OVER-count, so WAND bounds stay
+    valid, but BM25 idf on updated terms is slightly off until compaction
+    — the documented trillion-doc mode where any per-update corpus pass is
+    unaffordable. Tombstones are unaffected: match RESULTS are identical,
+    only scores on terms touching replaced docs drift."""
+    if stats_mode not in ("exact", "stale"):
+        raise ValueError(f"stats_mode must be 'exact' or 'stale', "
+                         f"got {stats_mode!r}")
     with open(os.path.join(index_dir, "global_stats.json")) as f:
         g = json.load(f)
     segs = load_segments(index_dir)
@@ -188,6 +322,10 @@ def update_index(index_dir: str,
     # ---- build the delta segment as a complete mini-index ------------------
     import ray.data
 
+    if dataset is None and dataset_fn is not None:
+        # file-rank ids continuing the index's id space: no assign_doc_ids
+        # sort (the update path's last all-to-all) for file-backed input
+        dataset = dataset_fn(segs["next_doc_id"])
     if dataset is None:
         from ..sources.pages import read_pages
         dataset = read_pages(sorted(paths), columns=["url", "html"],
@@ -204,7 +342,8 @@ def update_index(index_dir: str,
     _write_atomic(pa.table({"doc_id": pa.array(old_ids)}),
                   os.path.join(index_dir, "tombstones",
                                f"gen-{gen:04d}.parquet"))
-    deltas = _stats_deltas_for(index_dir, segs, old_ids)
+    deltas = (_empty_deltas() if stats_mode == "stale"
+              else _stats_deltas_for(index_dir, segs, old_ids))
     os.makedirs(os.path.join(index_dir, "term_stats_deltas"), exist_ok=True)
     _write_atomic(deltas, os.path.join(index_dir, "term_stats_deltas",
                                        f"gen-{gen:04d}.parquet"))

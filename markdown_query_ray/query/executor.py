@@ -56,13 +56,25 @@ class Postings:
     """Decoded postings of one term within one bucket: parallel arrays
     sorted by doc_id. ``pos_off``/``pos_vals`` (positional indexes only):
     posting i's in-document positions are
-    ``pos_vals[pos_off[i]:pos_off[i+1]]``."""
+    ``pos_vals[pos_off[i]:pos_off[i+1]]``.
+
+    Positions decode LAZILY (the skip structure of NOTES_r2 item 2):
+    loading a term stores only ``pos_sel`` (None = every posting alive,
+    else alive row indices into the term's block slice); the per-posting
+    byte ranges into the still-encoded payload are computed on FIRST
+    positional access (one varint-terminator scan, no value decode), and
+    actual position values decode only for the candidate postings a
+    phrase verification gathers. A pure-BM25 query over a positional
+    index therefore does zero positional work, and a selective phrase
+    decodes only its AND intersection's payloads — previously every
+    loaded term paid a full decode (0.73 s warm per 10M-position term)."""
 
     __slots__ = ("ids", "tfs", "dls", "block_of", "blocks",
-                 "pos_off", "pos_vals")
+                 "pos_off", "pos_vals",
+                 "pos_sel", "pos_bytes", "pos_starts", "pos_ends", "npos")
 
     def __init__(self, ids, tfs, dls, block_of=None, blocks=None,
-                 pos_off=None, pos_vals=None):
+                 pos_off=None, pos_vals=None, pos_sel=None):
         self.ids = ids
         self.tfs = tfs
         self.dls = dls
@@ -70,9 +82,77 @@ class Postings:
         self.blocks = blocks
         self.pos_off = pos_off
         self.pos_vals = pos_vals
+        self.pos_sel = pos_sel
+        self.pos_bytes = None
+        self.pos_starts = None
+        self.pos_ends = None
+        self.npos = None
+
+    def _ensure_pos_ranges(self) -> None:
+        """Build the positional skip structure (per-posting [start, end)
+        byte ranges + counts over the encoded payload) without decoding any
+        position values: decode the tiny ``npos`` varints, then one
+        vectorized terminator scan over the payload bytes. Applies the
+        tombstone selection so the ranges align with ``self.ids``."""
+        if self.pos_starts is not None or self.pos_off is not None:
+            return
+        blocks = self.blocks
+        if blocks is None or "npos_enc" not in blocks.column_names:
+            raise KeyError("index was built without positions")
+        from ..index.codec import _cat_binary, decode_varints
+
+        npos = decode_varints(np.frombuffer(
+            _cat_binary(blocks.column("npos_enc")), np.uint8)) \
+            .astype(np.int64)
+        pbytes = np.frombuffer(_cat_binary(blocks.column("pos_enc")),
+                               np.uint8)
+        val_ends = np.nonzero((pbytes & 0x80) == 0)[0] + 1
+        cum = np.cumsum(npos)
+        ends = np.zeros(len(npos) + 1, np.int64)
+        nz = cum > 0
+        ends[1:][nz] = val_ends[cum[nz] - 1]
+        np.maximum.accumulate(ends, out=ends)
+        starts, ends = ends[:-1], ends[1:]
+        if self.pos_sel is not None:
+            starts = starts[self.pos_sel]
+            ends = ends[self.pos_sel]
+            npos = npos[self.pos_sel]
+        self.pos_bytes, self.pos_starts, self.pos_ends, self.npos = \
+            pbytes, starts, ends, npos
+
+    def gather_positions(self, idx: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """(concatenated absolute positions, per-position candidate rank)
+        of the postings ``idx`` (rows into this object's arrays). Decodes
+        ONLY those postings' payload slices — one byte gather + one varint
+        decode + one segmented prefix sum, all vectorized."""
+        if self.pos_vals is not None:  # eager form (tests, empty())
+            starts = self.pos_off[idx]
+            counts = (self.pos_off[idx + 1] - starts).astype(np.int64)
+            total = int(counts.sum())
+            doc_of = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+            base = np.repeat(np.cumsum(counts) - counts, counts)
+            src = starts[doc_of] + (np.arange(total, dtype=np.int64) - base)
+            return self.pos_vals[src].astype(np.uint64), doc_of
+        self._ensure_pos_ranges()
+        from ..index.codec import _seg_positions, decode_varints
+
+        bstarts = self.pos_starts[idx]
+        blens = (self.pos_ends[idx] - bstarts).astype(np.int64)
+        totb = int(blens.sum())
+        brep = np.repeat(np.arange(len(idx), dtype=np.int64), blens)
+        bbase = np.repeat(np.cumsum(blens) - blens, blens)
+        src = bstarts[brep] + (np.arange(totb, dtype=np.int64) - bbase)
+        vals = decode_varints(self.pos_bytes[src])
+        counts = self.npos[idx]
+        positions = _seg_positions(vals, counts)
+        doc_of = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+        return positions, doc_of
 
     def positions(self, i: int) -> np.ndarray:
-        return self.pos_vals[self.pos_off[i]:self.pos_off[i + 1]]
+        if self.pos_vals is not None:
+            return self.pos_vals[self.pos_off[i]:self.pos_off[i + 1]]
+        return self.gather_positions(np.asarray([i], np.int64))[0]
 
     @staticmethod
     def empty() -> "Postings":
@@ -186,16 +266,10 @@ def _unordered_within(plists: list[np.ndarray], window: int) -> bool:
 def _gather_positions(p: "Postings", idx: np.ndarray,
                       doc_rank: np.ndarray | None = None):
     """Concatenated positions of the candidate docs ``idx`` (absolute rows
-    into ``p``), plus the candidate-doc rank of each position. Fully
-    vectorized gather out of the flat pos_vals buffer."""
-    starts = p.pos_off[idx]
-    ends = p.pos_off[idx + 1]
-    counts = (ends - starts).astype(np.int64)
-    total = int(counts.sum())
-    doc_of = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
-    base = np.repeat(np.cumsum(counts) - counts, counts)
-    src = starts[doc_of] + (np.arange(total, dtype=np.int64) - base)
-    return p.pos_vals[src].astype(np.uint64), doc_of
+    into ``p``), plus the candidate-doc rank of each position. Lazily
+    decodes only the candidates' payload slices (Postings.gather_positions);
+    pre-decoded pos_off/pos_vals objects gather out of the flat buffer."""
+    return p.gather_positions(idx)
 
 
 def _ordered_within_many(plists: list["Postings"],
@@ -331,11 +405,9 @@ class Evaluator:
             blocks, codec=self.reader.gstats.get("codec", "varint"))
         bterms = np.asarray(blocks.column("term").to_pylist(), dtype=object)
         nb = len(bterms)
-        pcounts = pvals = pos_off = None
-        if "npos_enc" in blocks.column_names:
-            from ..index.codec import decode_positions
-            pos_off, pvals = decode_positions(blocks)
-            pcounts = np.diff(pos_off)
+        # positions are NOT decoded here: each Postings keeps its block
+        # slice and decodes lazily per candidate (Postings.gather_positions)
+        has_pos = "npos_enc" in blocks.column_names
         # rows arrive (term, doc)-sorted, so each term occupies ONE
         # contiguous block range and ONE contiguous row range: find the
         # boundaries once (single O(nb) pass) and hand out zero-copy slices
@@ -364,27 +436,19 @@ class Evaluator:
             tblocks = blocks.slice(bs, be - bs)
             bof = block_of[rs:re_] - bs
             if alive is None or alive[rs:re_].all():
-                pos_kw = {}
-                if pcounts is not None:
-                    po = pos_off[rs:re_ + 1] - pos_off[rs]
-                    pos_kw = {"pos_off": po,
-                              "pos_vals": pvals[pos_off[rs]:pos_off[re_]]}
                 self._postings_cache[t] = Postings(
-                    ids[rs:re_], tfs[rs:re_], dls[rs:re_], bof, tblocks,
-                    **pos_kw)
+                    ids[rs:re_], tfs[rs:re_], dls[rs:re_], bof, tblocks)
                 continue
             sel = alive[rs:re_]
             if not sel.any():
                 self._postings_cache[t] = Postings.empty()
                 continue
             pos_kw = {}
-            if pcounts is not None:
-                cnt = pcounts[rs:re_]
-                keep = np.repeat(sel, cnt)
-                po = np.zeros(int(sel.sum()) + 1, np.int64)
-                np.cumsum(cnt[sel], out=po[1:])
-                pos_kw = {"pos_off": po,
-                          "pos_vals": pvals[pos_off[rs]:pos_off[re_]][keep]}
+            if has_pos:
+                # lazy skip structure: remember which rows of the term's
+                # block slice survive the tombstones; byte ranges resolve
+                # on first positional access
+                pos_kw = {"pos_sel": np.nonzero(sel)[0]}
             self._postings_cache[t] = Postings(
                 ids[rs:re_][sel], tfs[rs:re_][sel], dls[rs:re_][sel],
                 bof[sel], tblocks, **pos_kw)

@@ -428,3 +428,118 @@ def test_positional_update_and_compact_rank_identity(ray_session, tmp_path):
             assert np.allclose(got.column("score").to_numpy(),
                                want.column("score").to_numpy(),
                                rtol=1e-9), (which, node)
+
+
+def test_update_stale_stats_mode(base_index, tmp_path):
+    """stats_mode="stale" skips the replaced-docs stats scan: match SETS
+    stay exact (tombstones are independent of stats), replaced docs'
+    termfreq remains counted until compact() restores exactness."""
+    import json
+
+    import ray.data
+
+    idx, rows = base_index
+    p = str(tmp_path / "upd.parquet")
+    _pages([("u3", "alpha delta replaced"), ("u100", "delta newcomer")],
+           p, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(p), stats_mode="stale")
+
+    # match sets identical to exact mode (u3's old version is tombstoned)
+    assert _search_ids(idx, "delta") == {20, 21}
+    gamma_ids = _search_ids(idx, "gamma")
+    assert 3 not in gamma_ids
+    # stale: the deltas file exists but is empty, and 'gamma' termfreq
+    # still counts the dead doc 3 (overcount => WAND bounds stay valid)
+    d = pq.read_table(os.path.join(idx, "term_stats_deltas",
+                                   "gen-0001.parquet"))
+    assert d.num_rows == 0
+    r = IndexReader(idx)
+    n_gamma_docs = len([1 for i in range(20) if i % 2])
+    assert r.term_stats(["gamma"])["gamma"]["termfreq"] == n_gamma_docs
+
+    # compact folds back to exact stats
+    out = str(tmp_path / "cidx")
+    compact(idx, out)
+    rc = IndexReader(out)
+    assert rc.term_stats(["gamma"])["gamma"]["termfreq"] == n_gamma_docs - 1
+    assert _search_ids(out, "delta") == {20, 21}
+
+
+def test_update_invalid_stats_mode(base_index, tmp_path):
+    idx, _ = base_index
+    with pytest.raises(ValueError, match="stats_mode"):
+        update_index(idx, dataset=None, paths=[], stats_mode="bogus")
+
+
+def test_update_dataset_fn_file_rank_ids(base_index, tmp_path):
+    """File-backed updates via dataset_fn skip the assign_doc_ids sort:
+    ids continue the index's id space in (file order, record order), are
+    identical across repeated runs, and upsert semantics hold."""
+    from markdown_query_ray.fixtures import write_warc_corpus
+    from markdown_query_ray.sources.warc import read_warc
+
+    idx, rows = base_index
+    warcs = write_warc_corpus(str(tmp_path / "w"), n_docs=12, n_files=3)
+
+    calls = []
+
+    def fn(base):
+        calls.append(base)
+        return read_warc(warcs, id_base=base)
+
+    g = update_index(idx, dataset_fn=fn)
+    assert calls == [20]  # factory got the index's next free id
+    # ids are file-rank: page-000's urls get 20..23, page-001 24..27, ...
+    r = IndexReader(idx)
+    seg_tok = os.path.join(idx, "updates", "gen-0001", "tokenized")
+    import pyarrow.dataset as pads
+    t = pads.dataset(seg_tok).to_table(columns=["doc_id", "url"])
+    got = dict(zip(t.column("url").to_pylist(),
+                   t.column("doc_id").to_pylist()))
+    want_ids = {}
+    base = 20
+    for w in sorted(warcs):
+        from markdown_query_ray.sources.warc import response_rows
+        with open(w, "rb") as f:
+            urls, _, _ = response_rows(f.read())
+        for u in urls:
+            want_ids[u] = base
+            base += 1
+    assert got == want_ids
+    assert g["n_docs"] == 20 + 12  # disjoint url spaces: no replacement
+
+    # determinism: a second identical update onto a fresh copy of the same
+    # base assigns the same ids (no sort-order or partitioning dependence)
+    import shutil
+    idx2 = str(tmp_path / "idx2")
+    # rebuild the same base (base_index fixture's corpus) from scratch
+    import ray.data
+    p = str(tmp_path / "base2.parquet")
+    _pages(rows, p)
+    build_index(idx2, dataset=ray.data.read_parquet(p), cfg=CFG,
+                total_docs=len(rows))
+    update_index(idx2, dataset_fn=lambda b: read_warc(warcs, id_base=b))
+    t2 = pads.dataset(os.path.join(idx2, "updates", "gen-0001",
+                                   "tokenized")).to_table(
+        columns=["doc_id", "url"])
+    got2 = dict(zip(t2.column("url").to_pylist(),
+                    t2.column("doc_id").to_pylist()))
+    assert got2 == want_ids
+
+
+def test_stats_deltas_distributed_matches_local(base_index, tmp_path,
+                                                monkeypatch):
+    """The Ray task-pool per-file delta path must produce the identical
+    delta table as the local loop (same files, same replaced ids)."""
+    import markdown_query_ray.index.update as up
+
+    idx, rows = base_index
+    segs = up.load_segments(idx)
+    ids = np.array([1, 3, 7, 19], np.uint64)
+    local = up._stats_deltas_for(idx, segs, ids)
+    monkeypatch.setattr(up, "_DELTA_DRIVER_FILES", 0)
+    dist = up._stats_deltas_for(idx, segs, ids)
+    ls = local.sort_by("term").to_pylist()
+    ds_ = dist.sort_by("term").to_pylist()
+    assert ls == ds_
+    assert len(ls) > 0
