@@ -91,6 +91,13 @@ class IndexConfig:
                                      # reference, ~0.7x the bytes and a
                                      # branch-free decode; positions stay
                                      # varint in both modes)
+    partial_codec: str = "varint"    # MERGE-SHUFFLE payload codec for the
+                                     # map-side partial posting rows
+                                     # ("varint" | "bitpack"): bitpack
+                                     # shrinks the all-to-all bytes, the
+                                     # knob for keeping a 4M+ doc merge
+                                     # shuffle inside the object store;
+                                     # independent of the on-disk codec
     tokenize_batch_size: int = 256   # docs per tokenize batch (web pages are fat)
     # docs per map-side-combine batch in the merge shuffle: bigger batches
     # combine more postings per (skey, term) row, directly shrinking the

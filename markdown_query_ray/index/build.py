@@ -62,14 +62,20 @@ class PartialPostingsStage:
     The map-side combiner of the merge shuffle (SURVEY.md §2.6 "per-task
     partial-postings dict flushed as sorted Arrow batch"): instead of one
     shuffle row per posting, each batch emits one row per (skey, term) with
-    the postings varint-packed —
+    the postings packed —
 
-        (skey, term, n, ids_enc, tfs_enc, dls_enc[, npos_enc, pos_enc])
+        (skey, term, n, first_id, ids_enc, tfs_enc, dls_enc
+         [, npos_enc, pos_enc])
 
-    ``ids_enc`` is delta-coded (first absolute, then gap-1) exactly like the
-    final blocks. This cuts the all-to-all payload ~10x (term strings ship
-    once per batch, numerics ship as varints), which is what makes the wide
-    step scale — the sort-based shuffle moves bytes, not rows.
+    ``first_id`` carries the segment's first doc_id as a plain uint64
+    column; ``ids_enc`` holds the remaining n-1 gap-1 deltas, coded per
+    ``cfg.partial_codec`` — "varint" (LEB128) or "bitpack" (per-segment
+    frame-of-reference, ~0.7x the bytes: the knob that keeps a 4M+ doc
+    merge shuffle inside the object store). Keeping the first id out of
+    the payload matters for bitpack: one absolute u64 would force the
+    whole segment to full width. This packing cuts the all-to-all payload
+    ~10x vs one row per posting (term strings ship once per batch) — the
+    sort-based shuffle moves bytes, not rows.
 
     Partition hashes run once per UNIQUE term via dictionary encoding,
     batch-hashed straight out of the Arrow string buffers (C fast path in
@@ -123,20 +129,39 @@ class PartialPostingsStage:
         seg_start = np.nonzero(change)[0]
         seg_n = np.diff(np.append(seg_start, n))
 
+        is_first = np.zeros(n, bool)
+        is_first[seg_start] = True
         gaps = np.zeros(n, np.uint64)
         gaps[1:] = ids_s[1:] - ids_s[:-1] - 1  # within-segment deltas
-        gaps[seg_start] = ids_s[seg_start]     # first doc absolute
-        ids_payload, ids_ends = encode_varints(gaps)
-        tf_payload, tf_ends = encode_varints(tfs_s)
-        dl_payload, dl_ends = encode_varints(dls_s)
+        gaps_rest = gaps[~is_first]            # first id rides as a column
+        if cfg.partial_codec == "bitpack":
+            from .codec import _binary_from_seg_ends, pack_for_blocks
+
+            ids_payload, ids_bends = pack_for_blocks(gaps_rest, seg_n - 1)
+            ids_enc = _binary_from_seg_ends(ids_payload, ids_bends)
+            tf_payload, tf_bends = pack_for_blocks(tfs_s, seg_n)
+            tfs_enc = _binary_from_seg_ends(tf_payload, tf_bends)
+            dl_payload, dl_bends = pack_for_blocks(dls_s, seg_n)
+            dls_enc = _binary_from_seg_ends(dl_payload, dl_bends)
+        elif cfg.partial_codec == "varint":
+            ids_payload, ids_ends = encode_varints(gaps_rest)
+            ids_enc = _segment_binary(ids_payload, ids_ends, seg_n - 1)
+            tf_payload, tf_ends = encode_varints(tfs_s)
+            tfs_enc = _segment_binary(tf_payload, tf_ends, seg_n)
+            dl_payload, dl_ends = encode_varints(dls_s)
+            dls_enc = _segment_binary(dl_payload, dl_ends, seg_n)
+        else:
+            raise ValueError(
+                f"unknown partial codec {cfg.partial_codec!r}")
 
         cols = {
             "skey": pa.array(skey_s[seg_start], pa.uint32()),
             "term": denc.dictionary.take(pa.array(codes_s[seg_start])),
             "n": pa.array(seg_n.astype(np.uint32)),
-            "ids_enc": _segment_binary(ids_payload, ids_ends, seg_n),
-            "tfs_enc": _segment_binary(tf_payload, tf_ends, seg_n),
-            "dls_enc": _segment_binary(dl_payload, dl_ends, seg_n),
+            "first_id": pa.array(ids_s[seg_start], pa.uint64()),
+            "ids_enc": ids_enc,
+            "tfs_enc": tfs_enc,
+            "dls_enc": dls_enc,
         }
         if "npos" in batch.column_names:  # positional build
             from .codec import _binary_parts
@@ -162,6 +187,7 @@ class PartialPostingsStage:
             "skey": pa.array([], pa.uint32()),
             "term": pa.array([], pa.string()),
             "n": pa.array([], pa.uint32()),
+            "first_id": pa.array([], pa.uint64()),
             "ids_enc": pa.array([], pa.binary()),
             "tfs_enc": pa.array([], pa.binary()),
             "dls_enc": pa.array([], pa.binary()),
@@ -331,7 +357,7 @@ def encode_write_group(group: pa.Table, out_dir: str,
         meta = pq.ParquetFile(path).metadata
         return _manifest_row(skey, path, meta.num_rows, n_rows, 0,
                              resumed=True, seconds=0.0)
-    decoded = decode_partial_group(group)
+    decoded = decode_partial_group(group, codec=cfg.partial_codec)
     terms, doc_ids, tfs, dls = decoded[:4]
     pos_kw = {}
     if len(decoded) > 4:

@@ -425,23 +425,7 @@ def decode_blocks(blocks: pa.Table, codec: str = "varint"
         dls = cat(blocks.column("dls_enc"))
 
     m = _ctok()
-    if m is not None and hasattr(m, "seg_ids64"):
-        doc_ids = np.frombuffer(
-            m.seg_ids64(np.ascontiguousarray(gaps, np.uint64),
-                        np.ascontiguousarray(firsts, np.uint64),
-                        np.ascontiguousarray(ns, np.int64)), np.uint64)
-    else:
-        total = int(ns.sum())
-        starts = np.zeros(nb, np.int64)
-        starts[1:] = np.cumsum(ns)[:-1]
-        mask = np.ones(total, bool)
-        mask[starts] = False
-        # segmented cumsum: within-block running sum of gap+1, zero at starts
-        x = np.zeros(total, np.uint64)
-        x[mask] = gaps + np.uint64(1)
-        cs = np.cumsum(x, dtype=np.uint64)
-        within = cs - np.repeat(cs[starts], ns)
-        doc_ids = np.repeat(firsts, ns) + within
+    doc_ids = _ids_from_gaps(gaps, firsts, ns)
 
     if m is not None and hasattr(m, "repeat_arange64"):
         block_of = np.frombuffer(
@@ -470,35 +454,41 @@ def _cat_binary(col):
     return _binary_parts(col)[1]
 
 
-def _segmented_ids(vals: np.ndarray, seg_n: np.ndarray) -> np.ndarray:
-    """Reconstruct absolute doc_ids from per-segment delta coding
-    (vals[start] = first id, others = gap-1)."""
+def _ids_from_gaps(gaps: np.ndarray, firsts: np.ndarray,
+                   ns: np.ndarray) -> np.ndarray:
+    """Absolute doc_ids from per-segment (first id, n-1 gap-1 deltas):
+    segment i contributes firsts[i] then firsts[i] + cumsum(gap+1). C
+    kernel when available; shared by block decode and partial-row decode."""
     m = _ctok()
-    if m is not None and hasattr(m, "seg_ids_inline64"):
+    if m is not None and hasattr(m, "seg_ids64"):
         return np.frombuffer(
-            m.seg_ids_inline64(np.ascontiguousarray(vals, np.uint64),
-                               np.ascontiguousarray(seg_n, np.int64)),
-            np.uint64)
-    total = int(seg_n.sum())
-    starts = np.zeros(len(seg_n), np.int64)
-    starts[1:] = np.cumsum(seg_n)[:-1]
+            m.seg_ids64(np.ascontiguousarray(gaps, np.uint64),
+                        np.ascontiguousarray(firsts, np.uint64),
+                        np.ascontiguousarray(ns, np.int64)), np.uint64)
+    nb = len(ns)
+    total = int(ns.sum())
+    starts = np.zeros(nb, np.int64)
+    starts[1:] = np.cumsum(ns)[:-1]
     mask = np.ones(total, bool)
     mask[starts] = False
+    # segmented cumsum: within-block running sum of gap+1, zero at starts
     x = np.zeros(total, np.uint64)
-    x[mask] = vals[mask] + np.uint64(1)
+    x[mask] = gaps + np.uint64(1)
     cs = np.cumsum(x, dtype=np.uint64)
-    within = cs - np.repeat(cs[starts], seg_n)
-    return np.repeat(vals[starts], seg_n) + within
+    within = cs - np.repeat(cs[starts], ns)
+    return np.repeat(np.ascontiguousarray(firsts, np.uint64), ns) + within
 
 
-def decode_partial_group(group: pa.Table) -> tuple:
+def decode_partial_group(group: pa.Table, codec: str = "varint") -> tuple:
     """Decode one shuffle group of PACKED partial posting rows
-    (skey, term, n, ids_enc, tfs_enc, dls_enc[, npos_enc, pos_enc]) into
-    flat arrays sorted by (term, doc_id), ready for :func:`encode_partition`:
+    (skey, term, n, first_id, ids_enc, tfs_enc, dls_enc
+    [, npos_enc, pos_enc]) into flat arrays sorted by (term, doc_id),
+    ready for :func:`encode_partition`:
 
         (terms:pa.Array, doc_ids, tfs, dls[, npos, pos_payloads])
 
-    The merge is pure numpy: rows sort by term (Arrow), varints decode in
+    ``codec`` is the PARTIAL payload codec (IndexConfig.partial_codec).
+    The merge is pure numpy: rows sort by term (Arrow), payloads decode in
     one pass, the (term, doc_id) order comes from an integer lexsort over
     (dense term rank, doc_id) — no Python string comparisons."""
     order_rows = pc.sort_indices(group, sort_keys=[("term", "ascending")])
@@ -506,13 +496,26 @@ def decode_partial_group(group: pa.Table) -> tuple:
     seg_n = g.column("n").to_numpy().astype(np.int64)
     nrows = len(seg_n)
     total = int(seg_n.sum())
-    vals = decode_varints(np.frombuffer(_cat_binary(g.column("ids_enc")),
-                                        np.uint8))
-    ids = _segmented_ids(vals, seg_n)
-    tfs = decode_varints(np.frombuffer(_cat_binary(g.column("tfs_enc")),
-                                       np.uint8))
-    dls = decode_varints(np.frombuffer(_cat_binary(g.column("dls_enc")),
-                                       np.uint8))
+    firsts = g.column("first_id").to_numpy().astype(np.uint64)
+    if codec == "bitpack":
+        def _dec(col, counts):
+            return unpack_for_blocks(
+                np.frombuffer(_cat_binary(col), np.uint8), counts)
+
+        gaps = _dec(g.column("ids_enc"), seg_n - 1)
+        tfs = _dec(g.column("tfs_enc"), seg_n)
+        dls = _dec(g.column("dls_enc"), seg_n)
+    elif codec == "varint":
+        def _dec(col, _counts):
+            return decode_varints(
+                np.frombuffer(_cat_binary(col), np.uint8))
+
+        gaps = _dec(g.column("ids_enc"), None)
+        tfs = _dec(g.column("tfs_enc"), None)
+        dls = _dec(g.column("dls_enc"), None)
+    else:
+        raise ValueError(f"unknown partial codec {codec!r}")
+    ids = _ids_from_gaps(gaps, firsts, seg_n)
 
     terms_col = g.column("term").combine_chunks()
     tchange = np.ones(nrows, bool)

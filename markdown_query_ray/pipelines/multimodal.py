@@ -1,16 +1,22 @@
 """Multimodal columns: opaque binary media + typed metadata, processed by
 actor-pool map_batches stages.
 
-Real image/audio codecs are not in this container, so the decode surface is
-split (per the build brief):
+Decode surface (the container has no PIL/cv2/soundfile; everything below
+is stdlib + numpy):
 
 - ``RAW8`` (our deterministic fake format: 8-byte header ``R8xx`` + width +
-  height + grayscale bytes) decodes for real — the Ray-side plumbing
-  (schema, actor signature, batch sizing for fat binaries, output layout)
-  is fully exercised and tested.
-- real formats (jpeg/png/wav/...) raise ``NotImplementedError`` in
-  ``_decode_real`` — a clearly marked stub; plugging in PIL/ffmpeg changes
-  one function, not the pipeline.
+  height + grayscale bytes) — trivially real; exercises the Ray-side
+  plumbing (schema, actor signature, batch sizing for fat binaries).
+- ``image/png`` — REAL decoder: stdlib zlib + numpy scanline unfiltering
+  (all five PNG filter types, 8-bit gray/RGB/RGBA/gray+alpha), RGB folded
+  to BT.601 luma. Filter-0/2 rows unfilter vectorized; Sub/Average/Paeth
+  rows pay a per-pixel loop (documented perf caveat — plug PIL here for
+  throughput, the function signature doesn't change).
+- ``audio/wav`` — REAL decoder: stdlib ``wave`` (PCM16, channels averaged
+  to mono).
+- jpeg / real video containers still raise ``NotImplementedError`` in
+  ``_decode_real`` — clearly marked; plugging PIL/ffmpeg changes one
+  function, not the pipeline.
 
 Feature extraction (byte histograms, moments) is real numpy — the shape a
 CLIP/whisper embedding stage would have (load model per actor in __init__,
@@ -20,6 +26,7 @@ batch-infer in __call__).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -34,13 +41,19 @@ def encode_raw8(pixels: np.ndarray) -> bytes:
 
 
 def make_media_table(n: int, seed: int = 5) -> pa.Table:
-    """Deterministic fixture: n small RAW8 'images' with metadata."""
+    """Deterministic fixture: n small 'images' with metadata. Every third
+    row ships as a REAL PNG (same pixels, so the independently recomputed
+    goldens hold) — the driver entries exercise the real decoder, not just
+    the RAW8 fast path."""
     rows = []
     for i in range(n):
         rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
         w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
-        rows.append((i, encode_raw8(px), "image/raw8", w, h))
+        if i % 3 == 2:
+            rows.append((i, encode_png_gray(px), "image/png", w, h))
+        else:
+            rows.append((i, encode_raw8(px), "image/raw8", w, h))
     return pa.table({
         "media_id": pa.array([r[0] for r in rows], pa.int64()),
         "media": pa.array([r[1] for r in rows], pa.binary()),
@@ -57,12 +70,150 @@ def _decode_raw8(data: bytes) -> np.ndarray:
     return np.frombuffer(data[12:12 + w * h], np.uint8).reshape(h, w)
 
 
-def _decode_real(data: bytes, media_type: str) -> np.ndarray:
-    # STUB: real codecs (jpeg/png/wav) are not available in this container.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR color type -> channel count (3 = palette, unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png_gray(px: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder for 8-bit grayscale (filter 0 rows) —
+    deterministic fixture source; output opens in any PNG viewer."""
+    h, w = px.shape
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (_PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """REAL PNG decode (stdlib zlib + numpy) to an (h, w) uint8 grayscale
+    image: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced, all five
+    scanline filters. RGB folds to BT.601 luma; alpha is dropped. Raises
+    NotImplementedError on palette / 16-bit / interlaced images."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat: list[bytes] = []
+    w = h = channels = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bit, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+            channels = _PNG_CHANNELS.get(color)
+            if bit != 8 or interlace != 0 or channels is None:
+                raise NotImplementedError(
+                    f"PNG bit={bit} color={color} interlace={interlace} "
+                    "unsupported (8-bit non-interlaced gray/RGB[A] only)")
+        elif typ == b"IDAT":
+            idat.append(payload)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    rows = raw.reshape(h, stride + 1)
+    ftype = rows[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = rows[y, 1:].astype(np.int32)
+        f = int(ftype[y])
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up — vectorized
+            rec = cur + prev
+        elif f == 1:  # Sub — sequential in x (per-pixel dependency);
+            rec = cur  # mod-256 applies PER BYTE (PNG spec 9.2), so mask
+            for x in range(bpp, stride):  # as we go — Average/Paeth read
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF  # the masked left
+        elif f == 3:  # Average
+            rec = cur
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                rec[x] = (rec[x] + (a if (da <= db and da <= dc)
+                                    else (b if db <= dc else c))) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        rec &= 0xFF
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, channels)
+    if channels in (1, 2):  # gray / gray+alpha
+        return np.ascontiguousarray(px[:, :, 0])
+    luma = (0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """REAL mono PCM16 WAV bytes via stdlib ``wave``."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """REAL WAV decode via stdlib ``wave``: (rate, int16 mono samples);
+    multi-channel audio averages to mono. PCM16 only (the overwhelmingly
+    common crawl shape); other sample widths raise."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"WAV sample width {wf.getsampwidth() * 8}-bit unsupported "
+                "(PCM16 only)")
+        nch = wf.getnchannels()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(frames, "<i2")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1).round() \
+            .astype(np.int16)
+    return rate, samples
+
+
+def _decode_real(data: bytes, media_type: str):
+    if media_type == "image/png":
+        return decode_png_gray(data)
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return decode_wav(data)
+    # remaining stub: jpeg / real video need PIL/ffmpeg (absent here);
+    # plug them in below — the surrounding pipeline is format-agnostic
     raise NotImplementedError(
         f"decoder for {media_type!r} not available in this environment; "
-        "plug PIL/ffmpeg in here — the surrounding pipeline is format-"
-        "agnostic")
+        "plug PIL/ffmpeg in here")
 
 
 class MediaFeatureStage:
@@ -230,12 +381,17 @@ def _decode_rawa(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def make_audio_table(n: int, seed: int = 17) -> pa.Table:
+    """Every third row ships as a REAL PCM16 WAV (same samples — goldens
+    hold); the rest stay RAWA."""
     rows = []
     for i in range(n):
         rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
         n_s = int(rng.integers(1000, 8000))
         samples = (rng.standard_normal(n_s) * 3000).astype(np.int16)
-        rows.append((i, encode_rawa(samples), "audio/rawa"))
+        if i % 3 == 2:
+            rows.append((i, encode_wav(samples), "audio/wav"))
+        else:
+            rows.append((i, encode_rawa(samples), "audio/rawa"))
     return pa.table({
         "media_id": pa.array([r[0] for r in rows], pa.int64()),
         "media": pa.array([r[1] for r in rows], pa.binary()),

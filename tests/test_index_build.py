@@ -221,3 +221,37 @@ def test_staging_checkpoint_resume(ray_session, pages_corpus, tmp_path):
         os.path.join(out, "tokenized", "_SUCCESS")) == tok_mtime
     assert g["stage_metrics"]["extract_tokenize"] < 0.5  # skipped
     assert os.path.isdir(os.path.join(out, "postings"))
+
+
+def test_bitpack_partial_codec_identical_index(ray_session, pages_corpus,
+                                               tmp_path, built_index):
+    """partial_codec="bitpack" changes only the merge-shuffle payload
+    encoding; the resulting index must be POSTING-IDENTICAL to the varint
+    partials build (same final blocks, same stats, same searches)."""
+    out = str(tmp_path / "idx_bpp")
+    cfg = IndexConfig(num_term_parts=4, num_doc_buckets=2, block_size=32,
+                      partial_codec="bitpack")
+    gstats = build_index(out, paths=pages_corpus, cfg=cfg)
+    base_dir, base_cfg, base_g = built_index
+    assert gstats["n_docs"] == base_g["n_docs"]
+    assert gstats["total_doclen"] == base_g["total_doclen"]
+    rb = IndexReader(out)
+    rv = IndexReader(base_dir)
+    for term in ["the", "Zthe", "xqzraretri", "uncle"]:
+        a = decode_blocks(rv.load_blocks([term]))
+        b = decode_blocks(rb.load_blocks([term]))
+        for x, y in zip(a[:3], b[:3]):
+            assert x.tolist() == y.tolist(), term
+        assert rv.term_stats([term]) == rb.term_stats([term])
+    from markdown_query_ray.config import BM25Params, QueryConfig
+    from markdown_query_ray.query import executor as qx
+    from markdown_query_ray.query.compiler import parse_user_query
+
+    qc = QueryConfig(k=20, params=BM25Params.xapian(), use_wand=True)
+    for q in ["the quick merge", "merge AND sort", "xqzraretri"]:
+        hv = qx.search(base_dir, parse_user_query(q), qc)
+        hb = qx.search(out, parse_user_query(q), qc)
+        assert hv.column("doc_id").to_pylist() == \
+            hb.column("doc_id").to_pylist(), q
+        assert hv.column("score").to_pylist() == \
+            pytest.approx(hb.column("score").to_pylist(), rel=1e-12), q

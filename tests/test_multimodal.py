@@ -128,3 +128,170 @@ def test_distributed_video_pipeline(ray_session):
     # their provenance (golden-oracle comparisons key on it)
     assert set(out.columns) == {"media_id", "frame_idx", "features",
                                 "mean_intensity", "std_intensity"}
+
+
+# --- REAL codecs (stdlib zlib / wave) ----------------------------------------
+
+def _rng(seed=123):
+    return np.random.Generator(np.random.PCG64(seed))
+
+
+def test_png_roundtrip_gray():
+    from markdown_query_ray.pipelines.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    px = _rng().integers(0, 256, size=(23, 17), dtype=np.uint8)
+    assert np.array_equal(decode_png_gray(encode_png_gray(px)), px)
+
+
+def _png_manual(w, h, channels, color_type, rows_filtered: list[bytes]):
+    """Hand-build a PNG from pre-filtered scanlines (tests every filter)."""
+    import struct
+    import zlib
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    raw = b"".join(rows_filtered)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def test_png_all_filter_types_gray():
+    """Decode correctness for Sub/Up/Average/Paeth: filter each row of a
+    known image manually (per the PNG spec definitions), then require the
+    decoder to reconstruct the original."""
+    from markdown_query_ray.pipelines.multimodal import decode_png_gray
+
+    px = _rng(7).integers(0, 256, size=(5, 9), dtype=np.uint8).astype(int)
+    bpp = 1
+    rows = []
+    filters = [0, 1, 2, 3, 4]
+    prev = np.zeros(9, int)
+    for y, f in enumerate(filters):
+        cur = px[y]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = np.array([cur[x] - (cur[x - bpp] if x >= bpp else 0)
+                            for x in range(9)])
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = np.array([
+                cur[x] - (((cur[x - bpp] if x >= bpp else 0) + prev[x]) >> 1)
+                for x in range(9)])
+        else:
+            def paeth(a, b, c):
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                return a if (da <= db and da <= dc) else \
+                    (b if db <= dc else c)
+            enc = np.array([
+                cur[x] - paeth(cur[x - bpp] if x >= bpp else 0, prev[x],
+                               prev[x - bpp] if x >= bpp else 0)
+                for x in range(9)])
+        rows.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    data = _png_manual(9, 5, 1, 0, rows)
+    assert np.array_equal(decode_png_gray(data), px.astype(np.uint8))
+
+
+def test_png_rgb_luma_and_rgba():
+    from markdown_query_ray.pipelines.multimodal import decode_png_gray
+
+    rgb = _rng(11).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    rows = [b"\x00" + rgb[y].tobytes() for y in range(4)]
+    got = decode_png_gray(_png_manual(6, 4, 3, 2, rows))
+    want = np.clip(np.round(0.299 * rgb[:, :, 0].astype(float)
+                            + 0.587 * rgb[:, :, 1]
+                            + 0.114 * rgb[:, :, 2]), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+    rgba = np.dstack([rgb, np.full((4, 6), 128, np.uint8)])
+    rows = [b"\x00" + rgba[y].tobytes() for y in range(4)]
+    assert np.array_equal(decode_png_gray(_png_manual(6, 4, 4, 6, rows)),
+                          want)
+
+
+def test_png_unsupported_raises():
+    from markdown_query_ray.pipelines.multimodal import decode_png_gray
+
+    with pytest.raises(ValueError):
+        decode_png_gray(b"not a png")
+    # palette color type (3)
+    rows = [b"\x00" + bytes(4)]
+    with pytest.raises(NotImplementedError):
+        decode_png_gray(_png_manual(4, 1, 1, 3, rows))
+
+
+def test_wav_roundtrip_and_stereo_mono_fold():
+    import io
+    import wave
+
+    from markdown_query_ray.pipelines.multimodal import decode_wav, encode_wav
+
+    s = (_rng(3).standard_normal(4000) * 5000).astype(np.int16)
+    rate, got = decode_wav(encode_wav(s, rate=22050))
+    assert rate == 22050
+    assert np.array_equal(got, s)
+    # stereo: decoder averages channels
+    left = s[:100]
+    right = (s[:100] // 2).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        inter = np.empty(200, np.int16)
+        inter[0::2] = left
+        inter[1::2] = right
+        wf.writeframes(inter.tobytes())
+    rate, mono = decode_wav(buf.getvalue())
+    assert rate == 8000
+    want = np.round((left.astype(float) + right) / 2).astype(np.int16)
+    assert np.array_equal(mono, want)
+
+
+def test_png_and_wav_flow_through_stages():
+    """Mixed-format batches: a PNG row produces the same features as the
+    RAW8 row with identical pixels, and WAV audio chunks match RAWA."""
+    import pyarrow as pa
+
+    from markdown_query_ray.pipelines.multimodal import (
+        AudioChunkStage,
+        encode_png_gray,
+        encode_rawa,
+        encode_wav,
+    )
+
+    px = _rng(21).integers(0, 256, size=(12, 12), dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "media": pa.array([encode_raw8(px), encode_png_gray(px)],
+                          pa.binary()),
+        "media_type": pa.array(["image/raw8", "image/png"], pa.string()),
+    })
+    out = MediaFeatureStage()(t)
+    assert out.column("mean_intensity")[0].as_py() == \
+        out.column("mean_intensity")[1].as_py()
+    assert out.column("features")[0].as_py() == \
+        out.column("features")[1].as_py()
+
+    s = (_rng(22).standard_normal(3000) * 2000).astype(np.int16)
+    ta = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "media": pa.array([encode_rawa(s), encode_wav(s)], pa.binary()),
+        "media_type": pa.array(["audio/rawa", "audio/wav"], pa.string()),
+    })
+    oa = AudioChunkStage(chunk_samples=1024)(ta)
+    a = oa.filter(pa.compute.equal(oa.column("media_id"), 0))
+    b = oa.filter(pa.compute.equal(oa.column("media_id"), 1))
+    assert a.column("rms").to_pylist() == b.column("rms").to_pylist()
+    assert a.column("zero_crossing_rate").to_pylist() == \
+        b.column("zero_crossing_rate").to_pylist()
