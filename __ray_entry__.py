@@ -211,11 +211,14 @@ def _composite_sql(terms: list[str], k: int, min_tokens: int) -> str:
 # URL canonicalization: the oracle reconstructs both the messy url AND its
 # canonical form from doc_id by applying the documented rules in SQL — an
 # independent derivation, not a replay of the pipeline.
+_TLD_SQL = "CASE WHEN doc_id % 13 = 5 THEN '.co.uk' ELSE '.com' END"
+
 _MESSY_URL_SQL = (
     "CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END || '://' || "
     "CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site' || (doc_id % 97) || "
-    "'.Example' || (doc_id % 11) || '.com' ELSE 'site' || (doc_id % 97) || "
-    "'.example' || (doc_id % 11) || '.com' END || "
+    f"'.Example' || (doc_id % 11) || {_TLD_SQL} "
+    "ELSE 'site' || (doc_id % 97) || "
+    f"'.example' || (doc_id % 11) || {_TLD_SQL} END || "
     "CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END || "
     "'/Docs/' || doc_id || "
     "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
@@ -225,12 +228,15 @@ _MESSY_URL_SQL = (
 _URL_CANON_SQL = (
     f"SELECT doc_id, {_MESSY_URL_SQL} AS url, "
     "'https://site' || (doc_id % 97) || '.example' || (doc_id % 11) || "
-    "'.com/Docs/' || doc_id || "
+    f"{_TLD_SQL} || '/Docs/' || doc_id || "
     "CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS canon_url "
     "FROM documents ORDER BY doc_id")
 
+# registered domain: last two host labels, or last three when the 2-label
+# tail is a public suffix — for the synthetic corpus that means the
+# doc_id % 13 = 5 slice registers at example{b}.co.uk, not co.uk
 _DOMAIN_STATS_SQL = (
-    "SELECT 'example' || (doc_id % 11) || '.com' AS domain, "
+    f"SELECT 'example' || (doc_id % 11) || {_TLD_SQL} AS domain, "
     "CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
     "FROM documents GROUP BY 1 ORDER BY 1")

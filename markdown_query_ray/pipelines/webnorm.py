@@ -105,12 +105,69 @@ def canonical_url_batch(batch: pa.Table,
         out_col, pc.if_else(valid, canon, col))
 
 
+# Two-label public suffixes (a SUBSET of the public-suffix list at
+# publicsuffix.org — the high-traffic ccTLD second-level registries a web
+# crawl actually hits). A host ending in one of these registers at the
+# THIRD label from the right (bbc.co.uk), everything else at the second
+# (example.com). Deliberately excluded: wildcard (*.ck) and 3-label
+# entries — rare, and each exclusion only coarsens grouping, never
+# crashes. Swap in the full list file to widen coverage.
+_PSL2 = (
+    "co.uk org.uk ac.uk gov.uk net.uk me.uk ltd.uk plc.uk sch.uk "
+    "co.jp ne.jp or.jp ac.jp go.jp ad.jp ed.jp gr.jp lg.jp "
+    "com.au net.au org.au edu.au gov.au asn.au id.au "
+    "com.br net.br org.br gov.br edu.br art.br blog.br "
+    "co.in net.in org.in firm.in gen.in ind.in ac.in edu.in gov.in "
+    "co.nz net.nz org.nz govt.nz ac.nz school.nz geek.nz "
+    "com.mx org.mx gob.mx edu.mx net.mx "
+    "com.ar net.ar org.ar edu.ar gob.ar "
+    "com.cn net.cn org.cn gov.cn edu.cn ac.cn "
+    "com.tw org.tw edu.tw gov.tw idv.tw "
+    "com.hk org.hk edu.hk gov.hk net.hk "
+    "com.sg org.sg edu.sg gov.sg net.sg "
+    "com.my org.my edu.my gov.my net.my "
+    "com.tr org.tr edu.tr gov.tr net.tr gen.tr web.tr "
+    "com.sa org.sa edu.sa gov.sa net.sa med.sa "
+    "co.za org.za net.za gov.za edu.za web.za "
+    "co.kr or.kr ne.kr re.kr go.kr ac.kr pe.kr "
+    "com.eg org.eg edu.eg gov.eg net.eg "
+    "com.pk org.pk edu.pk gov.pk net.pk "
+    "com.vn org.vn edu.vn gov.vn net.vn "
+    "co.th or.th ac.th go.th in.th net.th "
+    "co.id or.id ac.id go.id web.id net.id my.id "
+    "com.ua org.ua edu.ua gov.ua net.ua in.ua "
+    "com.pl net.pl org.pl edu.pl gov.pl waw.pl "
+    "co.il org.il net.il gov.il ac.il muni.il "
+    "com.ng org.ng edu.ng gov.ng net.ng "
+    "co.ke or.ke ac.ke go.ke ne.ke info.ke "
+    "com.ph org.ph edu.ph gov.ph net.ph "
+    "com.bd org.bd edu.bd gov.bd net.bd ac.bd "
+    "com.co org.co edu.co gov.co net.co "
+    "com.pe org.pe edu.pe gob.pe net.pe "
+    "com.ve org.ve edu.ve gob.ve net.ve co.ve "
+    "com.ec org.ec edu.ec gob.ec net.ec "
+    "co.ao it.ao og.ao co.mz org.mz co.tz or.tz ac.tz go.tz "
+    "com.uy edu.uy gub.uy org.uy net.uy "
+    "com.py org.py edu.py gov.py net.py "
+    "com.bo org.bo edu.bo gob.bo net.bo "
+    "co.cr or.cr ac.cr go.cr "
+    "com.do org.do edu.do gob.do net.do "
+    "com.gt org.gt edu.gt gob.gt net.gt "
+    "com.sv org.sv edu.sv gob.sv "
+    "com.ni org.ni edu.ni gob.ni "
+    "com.hn org.hn edu.hn gob.hn "
+    "com.pa org.pa edu.pa gob.pa "
+).split()
+
+
 def registered_domain_batch(batch: pa.Table,
                             url_col: str = "canon_url") -> pa.Table:
-    """Append ``domain`` = last two host labels of the canonical url (a
-    public-suffix list would slot in here; two labels is the deterministic,
-    SQL-expressible stand-in). Fully vectorized: one host extract, one
-    anchored last-two-labels extract, if_else fallbacks."""
+    """Append ``domain`` = the REGISTERED domain of the canonical url's
+    host: the last two labels, or the last THREE when the two-label tail
+    is a public suffix (the embedded ``_PSL2`` subset of the public-suffix
+    list — ``bbc.co.uk``, not ``co.uk``). Fully vectorized: one host
+    extract, anchored last-2/last-3 extracts, one ``is_in`` against the
+    suffix set, if_else fallbacks."""
     col = batch.column(url_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -118,7 +175,12 @@ def registered_domain_batch(batch: pa.Table,
     h = pc.struct_field(hosts, "h")
     two = pc.struct_field(
         pc.extract_regex(h, r"(?P<d>[^.]*\.[^.]+)$"), "d")
-    dom = pc.if_else(pc.is_valid(two), two,
+    three = pc.struct_field(
+        pc.extract_regex(h, r"(?P<d>[^.]*\.[^.]*\.[^.]+)$"), "d")
+    is_psl = pc.fill_null(
+        pc.is_in(two, value_set=pa.array(_PSL2, pa.string())), False)
+    reg = pc.if_else(pc.and_(is_psl, pc.is_valid(three)), three, two)
+    dom = pc.if_else(pc.is_valid(reg), reg,
                      pc.if_else(pc.is_valid(h), h, pa.scalar("")))
     return batch.append_column("domain", dom.cast(pa.string()))
 
@@ -139,12 +201,14 @@ def synth_messy_urls_batch(batch: pa.Table) -> pa.Table:
     even = pa.array(ids % 2 == 0)
     scheme = pc.if_else(pa.array(ids % 5 == 0),
                         pa.scalar("HTTPS"), pa.scalar("https"))
+    # a slice of PSL hosts so the public-suffix rule is oracle-visible:
+    # registered domain must come out example{b}.co.uk, not co.uk
+    tld = pc.if_else(pa.array(ids % 13 == 5),
+                     pa.scalar(".co.uk"), pa.scalar(".com"))
     host = pc.if_else(
         even,
-        _j(pa.scalar("WWW.Site"), a_s, pa.scalar(".Example"), b_s,
-           pa.scalar(".com")),
-        _j(pa.scalar("site"), a_s, pa.scalar(".example"), b_s,
-           pa.scalar(".com")))
+        _j(pa.scalar("WWW.Site"), a_s, pa.scalar(".Example"), b_s, tld),
+        _j(pa.scalar("site"), a_s, pa.scalar(".example"), b_s, tld))
     port = pc.if_else(pa.array(ids % 7 == 0),
                       pa.scalar(":443"), pa.scalar(""))
     path = pc.if_else(pa.array(ids % 3 == 0),

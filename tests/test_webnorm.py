@@ -56,3 +56,25 @@ def test_registered_domain():
          "not a url"], pa.string())})
     assert registered_domain_batch(t).column("domain").to_pylist() == \
         ["example.com", "example.org", ""]
+
+
+def test_registered_domain_public_suffix():
+    """Hosts ending in a public suffix register at the third label; plain
+    gTLD hosts at the second; a bare public suffix or single label falls
+    back gracefully."""
+    import pyarrow as pa
+
+    from markdown_query_ray.pipelines.webnorm import registered_domain_batch
+
+    urls = [
+        "https://news.bbc.co.uk/story",       # PSL: 3 labels
+        "https://example.com/x",               # gTLD: 2 labels
+        "https://a.b.example.com/x",           # deep host, gTLD
+        "https://shop.foo.com.au/x",           # PSL: 3 labels
+        "https://co.uk/",                      # bare suffix: fallback 2
+        "https://localhost/x",                 # single label: host itself
+    ]
+    t = pa.table({"canon_url": pa.array(urls, pa.string())})
+    got = registered_domain_batch(t).column("domain").to_pylist()
+    assert got == ["bbc.co.uk", "example.com", "example.com",
+                   "foo.com.au", "co.uk", "localhost"]
