@@ -98,7 +98,7 @@ def _fnv_u64le_sql(col: str) -> str:
 # shingles joined by an impossible-in-token separator (chr(31)) are the same
 # sets. Short docs (< 3 tokens) contribute one whole-doc shingle, mirroring
 # dedup.shingle_hashes.
-_MINHASH_SQL = """
+_JACCARD_SQL_T = """
 WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
 sh3 AS (SELECT doc_id, CASE WHEN len(l) <= 3 THEN [array_to_string(l, chr(31))]
     ELSE list_transform(range(0, len(l)-2), i -> l[i+1] || chr(31) || l[i+2] || chr(31) || l[i+3]) END AS sh FROM tl),
@@ -108,9 +108,11 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
 FROM inter JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
-WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= {thr}
 ORDER BY doc_a, doc_b
 """
+
+_MINHASH_SQL = _JACCARD_SQL_T.format(thr=0.5)
 
 # SimHash from first principles: token hash = FNV(FNV(token) LE bytes) —
 # exactly dedup.shingle_hashes(text, w=1) — majority bit over all token
@@ -489,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- golden-table / recall-complete-parameter oracles (round 2) ------
         "flagship_xapian_search": lambda sf: d.flagship_search(sf),
         "minhash_dedup_pairs": d.minhash_pairs,
+        "ngram_jaccard_pairs": d.ngram_jaccard,
         "embedding_neardup_lsh": d.embedding_neardup_lsh,
         "simhash_pairs": d.simhash_near_pairs,
         "lsh_ann_top10": d.lsh_ann_topk,
@@ -600,6 +603,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2 ORDER BY 1, 2"),
         # -- round-2 oracles for the formerly rows-only entries --------------
         "minhash_dedup_pairs": _MINHASH_SQL,
+        # the prefix-filter join is EXACT (no banding), so the exhaustive
+        # all-pairs SQL is a true oracle at any threshold
+        "ngram_jaccard_pairs": _JACCARD_SQL_T.format(thr=0.35),
         "simhash_pairs": _SIMHASH_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "langid": _langid_sql(),

@@ -126,6 +126,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.dedup_exact_ids(sf_dir)
     with timed("dedup_minhash"):
         d.minhash_pairs(sf_dir)
+    with timed("dedup_ngram_exact"):  # exact prefix-filter Jaccard join
+        d.ngram_jaccard(sf_dir)
     with timed("knn_cosine"):
         d.knn_cosine(sf_dir, 0, 10)
     with timed("quality_features"):

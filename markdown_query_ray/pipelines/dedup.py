@@ -760,6 +760,16 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
         batch_format="pyarrow")
     cand = bands_ds.groupby("bucket").map_groups(
         _bucket_pair_scan, batch_format="pyarrow")
+    return _verify_candidate_pairs(ds, cand, threshold, w)
+
+
+def _verify_candidate_pairs(ds, cand, threshold: float, w: int):
+    """Shared tail of the text near-dup pipelines: candidate (doc_a,
+    doc_b) id pairs -> exact-w-shingle-Jaccard-verified pairs, fully
+    distributed (steps 2-3 of the ``minhash_dedup_pairs`` docstring:
+    Bloom-gated shuffle semi-join for the texts, pair-hash vbucket
+    shuffle for the verify). Used by both ``minhash_dedup_pairs`` and
+    ``ngram_jaccard_pairs``."""
     # three consumers (pair rows + need rows + bloom): materialize the id
     # pairs — 16 bytes/pair in the distributed object store, never the
     # driver
@@ -801,6 +811,196 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
     if t.num_rows == 0:
         return empty
     return t.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity self-join (prefix filter)
+# ---------------------------------------------------------------------------
+#
+# AllPairs / PPJoin prefix filtering (Bayardo, Ma & Srikant, WWW 2007;
+# Xiao, Wang, Lin & Yu, WWW 2008 — public literature): fix ANY global
+# total order over shingles; for a doc with s distinct shingles the
+# PREFIX is its first  p = s - ceil(t*s) + 1  shingles in that order.
+# If J(A,B) >= t then |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), and a prefix
+# that avoided every element of A∩B would leave all intersection
+# elements in A's last ceil(t*s)-1 positions — fewer than t*s of them —
+# a contradiction; symmetrically for B, and because the order is GLOBAL
+# the smallest element of A∩B lies in both prefixes. So every
+# qualifying pair collides on at least one prefix shingle: grouping on
+# prefix shingles is a candidate generator with NO false negatives, and
+# the exact-Jaccard verify keeps precision exact. Correctness needs
+# only a total order; ordering by ASCENDING document frequency is the
+# standard heuristic that keeps prefix-shingle groups small (a shingle
+# common to f docs would otherwise create an O(f^2) group).
+
+_HOT_HEAD_K = 1 << 16   # hot-shingle head table rows (fixed broadcast, ~1 MB)
+
+
+def _shingle_df_partial(batch: pa.Table, w: int) -> pa.Table:
+    """Per-batch partial document frequency: (shingle, cnt) over the
+    batch's docs (distinct shingles per doc, counted across docs) —
+    the map-side combine for the DF groupby."""
+    per_doc = [np.unique(shingle_hashes(t or "", w))
+               for t in batch.column("text").to_pylist()]
+    allh = _cat(per_doc, np.uint64)
+    if not len(allh):
+        return pa.table({"shingle": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    u, c = np.unique(allh, return_counts=True)
+    # int64 REINTERPRET of the uint64 hash: Ray's aggregate-row rebuild
+    # can't represent uint64 > 2^63-1 (it falls back to a pickled object
+    # column); the view is bijective, so grouping is unchanged
+    return pa.table({"shingle": pa.array(u.view(np.int64), pa.int64()),
+                     "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+
+def _hot_shingle_head(ds, w: int, head_k: int):
+    """The head_k most-frequent shingles as (sorted-hash array, df array),
+    broadcast once via ray.put. Bounded: the DF table is vocab-sized (it
+    shuffles only 16-byte rows), the driver collects only the fixed-size
+    head. The head only ORDERS shingles — any head yields the same
+    verified pairs (the prefix filter is exact under any total order), a
+    worse head just admits more candidates."""
+    import ray
+
+    df = (ds.map_batches(partial(_shingle_df_partial, w=w),
+                         batch_format="pyarrow")
+          .groupby("shingle").sum("cnt"))
+    head = df.sort(["sum(cnt)", "shingle"],
+                   descending=[True, True]).limit(head_k)
+    chunks = list(head.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if chunks:
+        t = pa.concat_tables(chunks)
+        h = t.column("shingle").to_numpy().astype(np.int64)
+        c = t.column("sum(cnt)").to_numpy().astype(np.int64)
+        order = np.argsort(h)
+        h, c = h[order], c[order]
+    else:
+        h = np.empty(0, np.int64)
+        c = np.empty(0, np.int64)
+    return ray.put((h, c))
+
+
+class PrefixEmitStage:
+    """Prefix-shingle emit: one (bucket, shingle, doc_id, size) row per
+    PREFIX shingle of each doc under the (df-of-head-else-1, hash) total
+    order. Head arrays are fetched from the object store once per actor."""
+
+    def __init__(self, threshold: float, w: int, head_ref):
+        self._t = threshold
+        self._w = w
+        self._head_ref = head_ref
+        self._hot = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._hot is None:
+            import ray
+
+            # fetched from the object store once per worker (zero-copy
+            # numpy view), not shipped per batch
+            self._hot = ray.get(self._head_ref)
+        self._hot_hash, self._hot_cnt = self._hot
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        per_doc = [np.unique(shingle_hashes(t or "", self._w))
+                   for t in batch.column("text").to_pylist()]
+        lens = np.array([len(h) for h in per_doc], np.int64)
+        empty = pa.table({
+            "bucket": pa.array([], pa.int32()),
+            "shingle": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "size": pa.array([], pa.int32()),
+        })
+        if not lens.sum():
+            return empty
+        allh = _cat(per_doc, np.uint64)
+        docidx = np.repeat(np.arange(len(ids)), lens)
+        # df key: head shingles carry their global df, tail shingles 1 —
+        # still a TOTAL order with the hash tiebreak, so exactness holds
+        # (head hashes are stored as the int64 reinterpret; see
+        # _shingle_df_partial)
+        allh_i64 = allh.view(np.int64)
+        pos = np.searchsorted(self._hot_hash, allh_i64)
+        pos_ok = pos < len(self._hot_hash)
+        key = np.ones(len(allh), np.int64)
+        hit = np.zeros(len(allh), bool)
+        hit[pos_ok] = self._hot_hash[pos[pos_ok]] == allh_i64[pos_ok]
+        key[hit] = self._hot_cnt[pos[hit]]
+        # one lexsort: per-doc runs, rare-then-hash order inside each run
+        order = np.lexsort((allh, key, docidx))
+        # prefix length p = s - ceil(t*s) + 1 per doc (>= 1 for s >= 1)
+        p = lens - np.ceil(self._t * lens).astype(np.int64) + 1
+        starts = np.zeros(len(ids), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        rank_in_doc = np.arange(len(allh)) - starts[docidx[order]]
+        keep = rank_in_doc < p[docidx[order]]
+        sel = order[keep]
+        sh = allh[sel]
+        bucket = (_fnv1a_u64_rows(sh[:, None])
+                  % np.uint64(_LSH_BUCKETS)).astype(np.int32)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "shingle": pa.array(sh, pa.uint64()),
+            "doc_id": pa.array(ids[docidx[sel]], pa.int64()),
+            "size": pa.array(lens[docidx[sel]].astype(np.int32), pa.int32()),
+        })
+
+
+def _prefix_pair_scan(group: pa.Table, threshold: float) -> pa.Table:
+    """One coarse bucket of prefix-shingle rows -> candidate id pairs:
+    lexsort, segment per exact shingle, vectorized all-pairs per segment
+    (star-capped for pathological giant segments — see MAX_SEGMENT_DOCS),
+    then the PPJoin length filter min_size >= t * max_size, which a
+    qualifying pair must satisfy (|A∩B| <= min, |A∪B| >= max)."""
+    sh = group.column("shingle").to_numpy().astype(np.uint64)
+    ids = group.column("doc_id").to_numpy().astype(np.int64)
+    sz = group.column("size").to_numpy().astype(np.int64)
+    order = np.lexsort((ids, sh))
+    sh_s, ids_s, sz_s = sh[order], ids[order], sz[order]
+    n = len(ids_s)
+    change = np.ones(n, bool)
+    change[1:] = sh_s[1:] != sh_s[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for a, b in _segment_pairs(ids_s, starts, ends, "ngram_jaccard_prefix"):
+        sa = sz_s[a].astype(np.float64)
+        sb = sz_s[b].astype(np.float64)
+        lmask = (np.minimum(sa, sb)
+                 >= threshold * np.maximum(sa, sb) - 1e-9)
+        out_a.append(ids_s[a][lmask])
+        out_b.append(ids_s[b][lmask])
+    return pa.table({
+        "doc_a": pa.array(_cat(out_a, np.int64), pa.int64()),
+        "doc_b": pa.array(_cat(out_b, np.int64), pa.int64()),
+    })
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.5, w: int = 3,
+                        head_k: int = _HOT_HEAD_K):
+    """EXACT n-gram Jaccard similarity self-join: every pair with
+    w-token-shingle Jaccard >= threshold, no probabilistic recall gap
+    (unlike MinHash banding, which is recall-complete only at tuned
+    parameters). Returns (doc_a, doc_b, jaccard), doc_a < doc_b, sorted.
+
+    Shape (fully distributed, nothing corpus-scale on the driver):
+    1. shingle-DF groupby (16-byte rows) -> fixed-size hot-head broadcast;
+    2. prefix emit: ~(1-t)*s + 1 rows per doc shuffle to shingle groups
+       (prefix filter => no false negatives; df order keeps groups small);
+    3. per-group pair scan + PPJoin length filter = candidates;
+    4. the shared Bloom-gated semi-join + vbucket exact-Jaccard verify
+       (``_verify_candidate_pairs``).
+
+    The star cap on pathological giant prefix groups (MAX_SEGMENT_DOCS,
+    logged, never silent) is the one bounded exception to exactness —
+    identical to the MinHash path's caveat."""
+    head_ref = _hot_shingle_head(ds, w, head_k)
+    prefix = ds.map_batches(PrefixEmitStage(threshold, w, head_ref),
+                            batch_format="pyarrow", concurrency=None)
+    cand = prefix.groupby("bucket").map_groups(
+        partial(_prefix_pair_scan, threshold=threshold),
+        batch_format="pyarrow")
+    return _verify_candidate_pairs(ds, cand, threshold, w)
 
 
 # ---------------------------------------------------------------------------

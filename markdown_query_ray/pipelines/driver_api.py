@@ -432,6 +432,23 @@ def minhash_pairs(sf_dir: str) -> pa.Table:
     return _round_col(t, "jaccard")
 
 
+def ngram_jaccard(sf_dir: str, threshold: float = 0.35) -> pa.Table:
+    """EXACT 3-token-shingle Jaccard self-join >= threshold via the
+    AllPairs/PPJoin prefix filter (no banding, no recall parameter):
+    prefix shingles shuffle to df-ordered groups, candidates length-filter,
+    and the shared distributed exact-Jaccard verify scores them. 0.35 is
+    deliberately BELOW the recall-complete regime of the MinHash entry —
+    the regime where only an exact join gives the right answer."""
+    import ray.data
+
+    from .dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = ngram_jaccard_pairs(ds, threshold=threshold, w=3)
+    return _round_col(t, "jaccard")
+
+
 def simhash_near_pairs(sf_dir: str) -> pa.Table:
     import ray.data
 
