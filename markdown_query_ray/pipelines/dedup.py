@@ -836,45 +836,70 @@ def _verify_candidate_pairs(ds, cand, threshold: float, w: int):
 _HOT_HEAD_K = 1 << 16   # hot-shingle head table rows (fixed broadcast, ~1 MB)
 
 
-def _shingle_df_partial(batch: pa.Table, w: int) -> pa.Table:
-    """Per-batch partial document frequency: (shingle, cnt) over the
-    batch's docs (distinct shingles per doc, counted across docs) —
-    the map-side combine for the DF groupby."""
-    per_doc = [np.unique(shingle_hashes(t or "", w))
-               for t in batch.column("text").to_pylist()]
+_HEAD_SAMPLE_DOCS = 4096    # df-head sample size (bounds driver state)
+
+
+def _shingle_df_partial(batch: pa.Table, w: int,
+                        sample_mod: int = 1) -> pa.Table:
+    """Per-batch partial document frequency over a DETERMINISTIC doc
+    sample (hash(doc_id) % sample_mod == 0): (shingle, cnt) with distinct
+    shingles per doc, counted across the batch's sampled docs."""
+    texts = batch.column("text").to_pylist()
+    if sample_mod > 1:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        keep = (_fnv1a_u64_rows(ids.astype(np.uint64)[:, None])
+                % np.uint64(sample_mod)) == 0
+        texts = [t for t, k in zip(texts, keep.tolist()) if k]
+    per_doc = [np.unique(shingle_hashes(t or "", w)) for t in texts]
     allh = _cat(per_doc, np.uint64)
     if not len(allh):
         return pa.table({"shingle": pa.array([], pa.int64()),
                          "cnt": pa.array([], pa.int64())})
     u, c = np.unique(allh, return_counts=True)
-    # int64 REINTERPRET of the uint64 hash: Ray's aggregate-row rebuild
-    # can't represent uint64 > 2^63-1 (it falls back to a pickled object
-    # column); the view is bijective, so grouping is unchanged
+    # int64 REINTERPRET of the uint64 hash: Ray's row rebuild can't
+    # represent uint64 > 2^63-1; the view is bijective, so counting and
+    # ordering are unchanged
     return pa.table({"shingle": pa.array(u.view(np.int64), pa.int64()),
                      "cnt": pa.array(c.astype(np.int64), pa.int64())})
 
 
-def _hot_shingle_head(ds, w: int, head_k: int):
-    """The head_k most-frequent shingles as (sorted-hash array, df array),
-    broadcast once via ray.put. Bounded: the DF table is vocab-sized (it
-    shuffles only 16-byte rows), the driver collects only the fixed-size
-    head. The head only ORDERS shingles — any head yields the same
-    verified pairs (the prefix filter is exact under any total order), a
-    worse head just admits more candidates."""
+def _hot_shingle_head(ds, w: int, head_k: int, total_docs: int | None = None):
+    """The ~head_k most-document-frequent shingles as (sorted-hash array,
+    df array), broadcast once via ray.put.
+
+    Estimated from a BOUNDED deterministic sample (~_HEAD_SAMPLE_DOCS docs
+    by doc_id hash — the same shape as the IVF quantizer's deliberate
+    sample): per-batch partial (shingle, cnt) tables merge on the driver
+    with one np.unique, so the driver holds sample-vocab-sized state, never
+    corpus-vocab, and no all-to-all runs at all. The head only ORDERS
+    shingles — ANY head yields the identical verified pair set (the prefix
+    filter is exact under any total order); a worse estimate just admits
+    more candidates into the verify."""
     import ray
 
-    df = (ds.map_batches(partial(_shingle_df_partial, w=w),
-                         batch_format="pyarrow")
-          .groupby("shingle").sum("cnt"))
-    head = df.sort(["sum(cnt)", "shingle"],
-                   descending=[True, True]).limit(head_k)
-    chunks = list(head.iter_batches(batch_size=None, batch_format="pyarrow"))
-    if chunks:
-        t = pa.concat_tables(chunks)
-        h = t.column("shingle").to_numpy().astype(np.int64)
-        c = t.column("sum(cnt)").to_numpy().astype(np.int64)
-        order = np.argsort(h)
-        h, c = h[order], c[order]
+    if total_docs is None:
+        total_docs = ds.count()
+    sample_mod = max(1, total_docs // _HEAD_SAMPLE_DOCS)
+    parts = ds.map_batches(
+        partial(_shingle_df_partial, w=w, sample_mod=sample_mod),
+        batch_format="pyarrow")
+    hs: list[np.ndarray] = []
+    cs: list[np.ndarray] = []
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        hs.append(b.column("shingle").to_numpy().astype(np.int64))
+        cs.append(b.column("cnt").to_numpy().astype(np.int64))
+    h = _cat(hs, np.int64)
+    if len(h):
+        c = _cat(cs, np.int64)
+        u, inv = np.unique(h, return_inverse=True)
+        cnt = np.zeros(len(u), np.int64)
+        np.add.at(cnt, inv, c)
+        if len(u) > head_k:
+            top = np.argpartition(cnt, -head_k)[-head_k:]
+            u, cnt = u[top], cnt[top]
+            order = np.argsort(u)
+            u, cnt = u[order], cnt[order]
+        h, c = u, cnt
     else:
         h = np.empty(0, np.int64)
         c = np.empty(0, np.int64)
@@ -942,6 +967,7 @@ class PrefixEmitStage:
             "shingle": pa.array(sh, pa.uint64()),
             "doc_id": pa.array(ids[docidx[sel]], pa.int64()),
             "size": pa.array(lens[docidx[sel]].astype(np.int32), pa.int32()),
+            "pos": pa.array(rank_in_doc[keep].astype(np.int32), pa.int32()),
         })
 
 
@@ -949,13 +975,21 @@ def _prefix_pair_scan(group: pa.Table, threshold: float) -> pa.Table:
     """One coarse bucket of prefix-shingle rows -> candidate id pairs:
     lexsort, segment per exact shingle, vectorized all-pairs per segment
     (star-capped for pathological giant segments — see MAX_SEGMENT_DOCS),
-    then the PPJoin length filter min_size >= t * max_size, which a
-    qualifying pair must satisfy (|A∩B| <= min, |A∪B| >= max)."""
+    then two exact prune rules a qualifying pair must satisfy:
+
+    - length filter: min_size >= t * max_size (|A∩B| <= min, |A∪B| >= max);
+    - PPJoin positional filter: at the pair's FIRST common prefix shingle
+      (position i in A's df-order, j in B's) every other intersection
+      element sorts after it, so |A∩B| <= 1 + min(sA-i-1, sB-j-1); keep the
+      pair if ANY collision's bound reaches the required overlap
+      alpha = t*(sA+sB)/(1+t) — the first-collision bound always does for a
+      true pair, so recall is untouched."""
     sh = group.column("shingle").to_numpy().astype(np.uint64)
     ids = group.column("doc_id").to_numpy().astype(np.int64)
     sz = group.column("size").to_numpy().astype(np.int64)
+    pos = group.column("pos").to_numpy().astype(np.int64)
     order = np.lexsort((ids, sh))
-    sh_s, ids_s, sz_s = sh[order], ids[order], sz[order]
+    sh_s, ids_s, sz_s, pos_s = sh[order], ids[order], sz[order], pos[order]
     n = len(ids_s)
     change = np.ones(n, bool)
     change[1:] = sh_s[1:] != sh_s[:-1]
@@ -966,13 +1000,20 @@ def _prefix_pair_scan(group: pa.Table, threshold: float) -> pa.Table:
     for a, b in _segment_pairs(ids_s, starts, ends, "ngram_jaccard_prefix"):
         sa = sz_s[a].astype(np.float64)
         sb = sz_s[b].astype(np.float64)
-        lmask = (np.minimum(sa, sb)
-                 >= threshold * np.maximum(sa, sb) - 1e-9)
-        out_a.append(ids_s[a][lmask])
-        out_b.append(ids_s[b][lmask])
+        keep = (np.minimum(sa, sb)
+                >= threshold * np.maximum(sa, sb) - 1e-9)
+        ubound = 1.0 + np.minimum(sa - pos_s[a] - 1, sb - pos_s[b] - 1)
+        alpha = threshold * (sa + sb) / (1.0 + threshold)
+        keep &= ubound >= alpha - 1e-9
+        out_a.append(ids_s[a][keep])
+        out_b.append(ids_s[b][keep])
+    pair = np.stack([_cat(out_a, np.int64), _cat(out_b, np.int64)], axis=1)
+    if len(pair):
+        # same pair via several shingles in this bucket: emit once
+        pair = np.unique(pair, axis=0)
     return pa.table({
-        "doc_a": pa.array(_cat(out_a, np.int64), pa.int64()),
-        "doc_b": pa.array(_cat(out_b, np.int64), pa.int64()),
+        "doc_a": pa.array(pair[:, 0], pa.int64()),
+        "doc_b": pa.array(pair[:, 1], pa.int64()),
     })
 
 
