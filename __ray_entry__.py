@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_xapian_search": lambda sf: d.flagship_search(sf),
         "minhash_dedup_pairs": d.minhash_pairs,
         "ngram_jaccard_pairs": d.ngram_jaccard,
+        "neardup_clusters": d.neardup_clusters,
         "embedding_neardup_lsh": d.embedding_neardup_lsh,
         "simhash_pairs": d.simhash_near_pairs,
         "lsh_ann_top10": d.lsh_ann_topk,
@@ -606,6 +607,18 @@ def oracle_sql() -> dict[str, str]:
         # the prefix-filter join is EXACT (no banding), so the exhaustive
         # all-pairs SQL is a true oracle at any threshold
         "ngram_jaccard_pairs": _JACCARD_SQL_T.format(thr=0.35),
+        # connected components from first principles: transitive closure
+        # of the (recall-complete) J >= 0.5 pair graph via a recursive
+        # CTE, component label = min reachable id
+        "neardup_clusters": f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL_T.format(thr=0.5)})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
+""",
         "simhash_pairs": _SIMHASH_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "langid": _langid_sql(),

@@ -727,7 +727,7 @@ def _route_join_group(group: pa.Table) -> pa.Table:
 
 def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
                         bands: int = 16, w: int = 3,
-                        sig_mode: str = "classic"):
+                        sig_mode: str = "classic", collect: bool = True):
     """Near-duplicate pairs via MinHash-LSH with exact n-gram-Jaccard verify.
 
     Returns a pyarrow Table (doc_a, doc_b, jaccard) with doc_a < doc_b,
@@ -760,10 +760,11 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
         batch_format="pyarrow")
     cand = bands_ds.groupby("bucket").map_groups(
         _bucket_pair_scan, batch_format="pyarrow")
-    return _verify_candidate_pairs(ds, cand, threshold, w)
+    return _verify_candidate_pairs(ds, cand, threshold, w, collect=collect)
 
 
-def _verify_candidate_pairs(ds, cand, threshold: float, w: int):
+def _verify_candidate_pairs(ds, cand, threshold: float, w: int,
+                            collect: bool = True):
     """Shared tail of the text near-dup pipelines: candidate (doc_a,
     doc_b) id pairs -> exact-w-shingle-Jaccard-verified pairs, fully
     distributed (steps 2-3 of the ``minhash_dedup_pairs`` docstring:
@@ -781,6 +782,10 @@ def _verify_candidate_pairs(ds, cand, threshold: float, w: int):
     })
     n_cand = cand.count()
     if n_cand == 0:
+        if not collect:
+            import ray.data
+
+            return ray.data.from_arrow(empty)
         return empty
     # The bucket groupby leaves one near-empty block per collision bucket;
     # every downstream stage (bloom pass, two groupby shuffles) pays
@@ -805,6 +810,8 @@ def _verify_candidate_pairs(ds, cand, threshold: float, w: int):
     verified = union.groupby("vbucket").map_groups(
         partial(_verify_group, threshold=threshold, w=w),
         batch_format="pyarrow")
+    if not collect:
+        return verified          # (doc_a, doc_b, jaccard) Dataset, unsorted
     chunks = list(verified.iter_batches(batch_size=65536,
                                         batch_format="pyarrow"))
     t = pa.concat_tables(chunks) if chunks else empty
@@ -1018,7 +1025,7 @@ def _prefix_pair_scan(group: pa.Table, threshold: float) -> pa.Table:
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.5, w: int = 3,
-                        head_k: int = _HOT_HEAD_K):
+                        head_k: int = _HOT_HEAD_K, collect: bool = True):
     """EXACT n-gram Jaccard similarity self-join: every pair with
     w-token-shingle Jaccard >= threshold, no probabilistic recall gap
     (unlike MinHash banding, which is recall-complete only at tuned
@@ -1041,7 +1048,7 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, w: int = 3,
     cand = prefix.groupby("bucket").map_groups(
         partial(_prefix_pair_scan, threshold=threshold),
         batch_format="pyarrow")
-    return _verify_candidate_pairs(ds, cand, threshold, w)
+    return _verify_candidate_pairs(ds, cand, threshold, w, collect=collect)
 
 
 # ---------------------------------------------------------------------------

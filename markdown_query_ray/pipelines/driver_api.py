@@ -449,6 +449,25 @@ def ngram_jaccard(sf_dir: str, threshold: float = 0.35) -> pa.Table:
     return _round_col(t, "jaccard")
 
 
+def neardup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTERS: the minhash pair graph (recall-complete 64x2
+    banding at J >= 0.5, exact verify) contracted to connected components
+    by alternating large-star/small-star rounds (pipelines/graph.py).
+    Output (doc_id, cluster_rep) for every doc in a near-dup pair — end
+    to end a Dataset pipeline: the verified pairs flow into the star
+    rounds without ever collecting on the driver."""
+    import ray.data
+
+    from .dedup import minhash_dedup_pairs
+    from .graph import connected_components
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, num_hashes=128, bands=64,
+                                collect=False)
+    return connected_components(pairs)
+
+
 def simhash_near_pairs(sf_dir: str) -> pa.Table:
     import ray.data
 
