@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top50": lambda sf: d.term_df_top(sf, 50),
         "lang_doc_stats": d.lang_doc_stats,
         "quality_features": d.quality_features,
+        "repetition_signals": d.repetition_signals,
         # -- dedup -----------------------------------------------------------
         "dedup_exact": d.dedup_exact_ids,
         "embedding_neardup": d.embedding_neardup,
@@ -561,6 +562,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT doc_id FROM (SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY text) ORDER BY doc_id"),
+        # Gopher-style repetition coverage from first principles: word
+        # n-grams joined by ' ', covered chars = count * length of the
+        # joined n-gram (ties toward the longest). INTEGER covs (ratios
+        # round-half differently in Python vs SQL on exact fractions)
+        "repetition_signals": """
+WITH tl AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+g2 AS (SELECT doc_id, unnest(list_transform(range(0, len(l)-1), i -> l[i+1] || ' ' || l[i+2])) AS g FROM tl),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+m2 AS (SELECT doc_id, max(c) AS mc FROM c2 GROUP BY 1),
+t2 AS (SELECT c2.doc_id, max(c2.c * length(c2.g)) AS cov FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id AND c2.c = m2.mc GROUP BY 1),
+g3 AS (SELECT doc_id, unnest(list_transform(range(0, len(l)-2), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS g FROM tl),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+m3 AS (SELECT doc_id, max(c) AS mc FROM c3 GROUP BY 1),
+t3 AS (SELECT c3.doc_id, max(c3.c * length(c3.g)) AS cov FROM c3 JOIN m3 ON c3.doc_id = m3.doc_id AND c3.c = m3.mc GROUP BY 1),
+g5 AS (SELECT doc_id, unnest(list_transform(range(0, len(l)-4), i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] || ' ' || l[i+5])) AS g FROM tl),
+c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+d5 AS (SELECT doc_id, sum(c * length(g)) AS cov FROM c5 WHERE c > 1 GROUP BY 1)
+SELECT tl.doc_id,
+  CAST(coalesce(t2.cov, 0) AS BIGINT) AS top2gram_cov,
+  CAST(coalesce(t3.cov, 0) AS BIGINT) AS top3gram_cov,
+  CAST(coalesce(d5.cov, 0) AS BIGINT) AS dup5gram_cov,
+  CAST(length(tl.text) AS BIGINT) AS n_chars
+FROM tl LEFT JOIN t2 ON tl.doc_id = t2.doc_id
+        LEFT JOIN t3 ON tl.doc_id = t3.doc_id
+        LEFT JOIN d5 ON tl.doc_id = d5.doc_id
+ORDER BY tl.doc_id
+""",
         "embedding_neardup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
             "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

@@ -211,6 +211,19 @@ def quality_features(sf_dir: str) -> pa.Table:
         ds.map_batches(quality_batch, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def repetition_signals(sf_dir: str) -> pa.Table:
+    """Gopher-style word-n-gram repetition fractions per doc."""
+    import ray.data
+
+    from .textstats import repetition_batch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(repetition_batch,
+                       batch_format="pyarrow")).sort_by("doc_id")
+
+
 def dedup_exact_ids(sf_dir: str) -> pa.Table:
     import ray.data
 

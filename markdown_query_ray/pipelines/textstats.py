@@ -212,3 +212,62 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array(fps, pa.uint64()),
     })
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public
+    literature), word-n-gram variants (the corpus has no newlines, so the
+    line-based rules are degenerate here):
+
+    - ``top2gram_cov`` / ``top3gram_cov``: characters covered by the
+      most frequent word n-gram (count * chars of the joined n-gram,
+      ties broken toward the longest);
+    - ``dup5gram_cov``: characters covered by all 5-grams occurring
+      more than once (sum of count * chars; overlapping occurrences all
+      count);
+    - ``n_chars``: the denominator.
+
+    INTEGER covered-chars + denominator, not ratios — same rationale as
+    ``quality_batch``: exact binary fractions like 13/128 round-half
+    differently in Python (half-even) and SQL (half-away), so the columns
+    stay integers and exactly SQL-comparable; consumers divide.
+
+    n-gram identity via the C shingle hash (64-bit FNV window hashes;
+    collision odds ~1e-14 per doc); window char lengths from one
+    cumulative-sum pass — no per-token Python in the loop body."""
+    from .dedup import shingle_hashes
+
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    out = {"top2gram_cov": [], "top3gram_cov": [], "dup5gram_cov": []}
+    n_chars = []
+    for t in texts:
+        t = t or ""
+        n_chars.append(len(t))
+        toks = _tokens(t)
+        tok_lens = np.array([len(x) for x in toks], np.int64)
+        cs = np.concatenate([[0], np.cumsum(tok_lens)])
+        for key, n in (("top2gram_cov", 2), ("top3gram_cov", 3),
+                       ("dup5gram_cov", 5)):
+            if len(toks) < n:
+                out[key].append(0)
+                continue
+            h = shingle_hashes(t, n)
+            wchars = cs[n:] - cs[:-n] + (n - 1)
+            u, first, counts = np.unique(h, return_index=True,
+                                         return_counts=True)
+            chars_u = wchars[first]
+            if key == "dup5gram_cov":
+                dup = counts > 1
+                cov = int((counts[dup] * chars_u[dup]).sum())
+            else:
+                mc = counts.max()
+                cov = int(mc * chars_u[counts == mc].max())
+            out[key].append(cov)
+    return pa.table({
+        "doc_id": ids,
+        "top2gram_cov": pa.array(out["top2gram_cov"], pa.int64()),
+        "top3gram_cov": pa.array(out["top3gram_cov"], pa.int64()),
+        "dup5gram_cov": pa.array(out["dup5gram_cov"], pa.int64()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+    })

@@ -109,3 +109,29 @@ def test_short_doc_whole_shingle(ray_session):
     got = ngram_jaccard_pairs(_ds(texts), threshold=0.9, w=3)
     assert (got.column("doc_a").to_pylist(),
             got.column("doc_b").to_pylist()) == ([0], [1])
+
+
+def test_repetition_signals_handcrafted(ray_session):
+    from markdown_query_ray.pipelines.textstats import repetition_batch
+
+    texts = [
+        "a b a b a b",          # "a b" x3 overlapping windows
+        "x",                    # too short for any n-gram
+        "",                     # empty
+        "one two three four five one two three four five",
+    ]
+    t = repetition_batch(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    d = t.to_pydict()
+    # doc 0: 2-gram windows: "a b","b a","a b","b a","a b" -> top "a b" x3,
+    # chars 3 -> cov 9; 3-gram top x2 ("a b a"), chars 5 -> 10;
+    # 5-gram "a b a b a"/"b a b a b" both once -> dup cov 0
+    assert d["top2gram_cov"][0] == 9
+    assert d["top3gram_cov"][0] == 10
+    assert d["dup5gram_cov"][0] == 0
+    assert d["top2gram_cov"][1] == 0 and d["n_chars"][1] == 1
+    assert d["n_chars"][2] == 0
+    # doc 3: "one two three four five" x2 as 5-gram (23 chars) -> 46
+    assert d["dup5gram_cov"][3] == 46
