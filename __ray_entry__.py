@@ -485,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top10": lambda sf: d.knn_cosine(sf, 0, 10),
         # -- stream-shaped ---------------------------------------------------
         "events_tumbling_1h": d.events_tumbling,
+        "asof_purchase_click": d.asof_purchase_click,
+        "range_purchase_clicks": d.range_purchase_clicks,
         "events_hopping_1h_30m": d.events_hopping,
         "events_sessions_30m": d.events_sessions,
         # -- relational smoke ------------------------------------------------
@@ -609,6 +611,22 @@ ORDER BY tl.doc_id
             "CAST(count(*) AS BIGINT) AS n_events, "
             "round(sum(value), 6) AS sum_value FROM events "
             "GROUP BY 1, 2 ORDER BY 1, 2"),
+        # DuckDB's native ASOF JOIN is the oracle for the co-partitioned
+        # searchsorted as-of; ties on the instant match (l.ts >= r.ts)
+        "asof_purchase_click": (
+            "SELECT l.event_id, l.user_id, l.ts, round(l.value, 6) AS "
+            "value, r.event_id AS click_id, r.ts AS click_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = "
+            "'click') r ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "ORDER BY l.event_id"),
+        "range_purchase_clicks": (
+            "SELECT l.event_id, l.user_id, l.ts, r.event_id AS click_id, "
+            "r.ts AS click_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
+            "JOIN (SELECT * FROM events WHERE event_type = 'click') r "
+            "ON l.user_id = r.user_id AND r.ts >= l.ts - INTERVAL 24 HOURS "
+            "AND r.ts < l.ts ORDER BY l.event_id, click_id"),
         "events_hopping_1h_30m": (
             "SELECT event_type, make_timestamp(((CAST(floor(epoch(ts) / "
             "1800) AS BIGINT) - g.j) * 1800) * 1000000) AS window_start, "

@@ -211,6 +211,59 @@ def quality_features(sf_dir: str) -> pa.Table:
         ds.map_batches(quality_batch, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def _events_side(sf_dir: str, event_type: str):
+    """One event-type stream, column-pruned at the read with a parquet
+    row filter."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value", "event_type"],
+        filter=pads.field("event_type") == event_type,
+    ).map_batches(lambda b: b.drop_columns(["event_type"]),
+                  batch_format="pyarrow")
+
+
+def asof_purchase_click(sf_dir: str) -> pa.Table:
+    """Every purchase matched to the user's latest click at-or-before the
+    purchase instant (AS-OF LEFT join; purchases without a prior click
+    keep nulls)."""
+    from .joins import asof_join
+
+    res = asof_join(_events_side(sf_dir, "purchase"),
+                    _events_side(sf_dir, "click"),
+                    key="user_id", ts="ts",
+                    left_payload=["event_id", "value"],
+                    right_payload=["event_id"])
+    t = _collect(res)
+    t = t.rename_columns(["user_id", "ts", "event_id", "value",
+                          "click_id", "click_ts"])
+    t = t.sort_by([("event_id", "ascending")])
+    t = t.select(["event_id", "user_id", "ts", "value", "click_id",
+                  "click_ts"])
+    return _round_col(t, "value")
+
+
+def range_purchase_clicks(sf_dir: str) -> pa.Table:
+    """All (purchase, click) pairs of the same user with the click inside
+    the 24 hours BEFORE the purchase (exclusive of the purchase instant) —
+    the bounded range join."""
+    from .joins import range_join
+
+    res = range_join(_events_side(sf_dir, "purchase"),
+                     _events_side(sf_dir, "click"),
+                     key="user_id", ts="ts",
+                     lo_us=-86_400_000_000, hi_us=0,
+                     left_payload=["event_id"],
+                     right_payload=["event_id"])
+    t = _collect(res)
+    t = t.rename_columns(["user_id", "ts", "event_id", "click_id",
+                          "click_ts"])
+    t = t.sort_by([("event_id", "ascending"), ("click_id", "ascending")])
+    return t.select(["event_id", "user_id", "ts", "click_id", "click_ts"])
+
+
 def repetition_signals(sf_dir: str) -> pa.Table:
     """Gopher-style word-n-gram repetition fractions per doc."""
     import ray.data
