@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": d.fingerprints,
         "url_canonicalize": d.url_canon,
         "domain_doc_stats": d.domain_doc_stats,
+        "domain_topk_docs": d.domain_topk_docs,
         "warc_extract": d.warc_extract,
         "span_dedup": d.span_dedup_survivors,
         "composite_quality_dedup_bm25": lambda sf: d.composite_pipeline(sf),
@@ -682,6 +683,17 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         "ivf_ann_top10": _ANN_BRUTE_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "domain_doc_stats": _DOMAIN_STATS_SQL,
+        # the window-function form of the same domain derivation — the
+        # oracle for the two-phase group-wise top-k
+        "domain_topk_docs": (
+            f"WITH dd AS (SELECT 'example' || (doc_id % 11) || {_TLD_SQL} "
+            "AS domain, doc_id, n_chars FROM documents), "
+            "r AS (SELECT domain, doc_id, n_chars, row_number() OVER "
+            "(PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rank "
+            "FROM dd) "
+            "SELECT domain, CAST(rank AS BIGINT) AS rank, doc_id, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM r WHERE rank <= 3 "
+            "ORDER BY domain, rank"),
         # WARC round-trip: html -> gzip-member WARC -> parse -> extract is
         # byte-identical per url, so the oracle is the documents table
         "warc_extract": (

@@ -264,6 +264,41 @@ def range_purchase_clicks(sf_dir: str) -> pa.Table:
     return t.select(["event_id", "user_id", "ts", "click_id", "click_ts"])
 
 
+def domain_topk_docs(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-registered-domain document cap: the top-k docs of each domain
+    by (n_chars DESC, doc_id ASC) with a 1-based rank — the domain
+    balancing step of a crawl pipeline, composed as a map-side top-k
+    combine + per-key exact pass (``pipelines/topk.py``)."""
+    import ray.data
+
+    from .topk import groupwise_topk
+    from .webnorm import (
+        canonical_url_batch,
+        registered_domain_batch,
+        synth_messy_urls_batch,
+    )
+
+    def to_domain_rows(batch: pa.Table) -> pa.Table:
+        b = synth_messy_urls_batch(batch)
+        b = canonical_url_batch(b)
+        b = registered_domain_batch(b)
+        return pa.table({
+            "domain": b.column("domain"),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    res = groupwise_topk(
+        ds.map_batches(to_domain_rows, batch_format="pyarrow"),
+        key="domain",
+        order=[("n_chars", "descending"), ("doc_id", "ascending")], k=k)
+    t = _collect(res).sort_by([("domain", "ascending"),
+                               ("rank", "ascending")])
+    return t.select(["domain", "rank", "doc_id", "n_chars"])
+
+
 def repetition_signals(sf_dir: str) -> pa.Table:
     """Gopher-style word-n-gram repetition fractions per doc."""
     import ray.data

@@ -138,3 +138,36 @@ def test_asof_no_rights_for_user(ray_session):
                                                batch_format="pyarrow")))
     got = dict(zip(t.column("lp0").to_pylist(), t.column("rp0").to_pylist()))
     assert got == {1: 9, 2: None}
+
+
+def test_groupwise_topk_matches_window(ray_session):
+    """Two-phase top-k == row_number() window semantics, regardless of
+    batch boundaries (small override blocks force multi-batch combine)."""
+    import ray.data
+
+    from markdown_query_ray.pipelines.topk import groupwise_topk
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n = 2000
+    key = rng.integers(0, 37, n)
+    score = rng.integers(0, 50, n)
+    t = pa.table({
+        "k": pa.array(key, pa.int64()),
+        "score": pa.array(score, pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(16)
+    res = groupwise_topk(ds, key="k",
+                         order=[("score", "descending"),
+                                ("rid", "ascending")], k=5)
+    out = pa.concat_tables(list(res.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow")))
+    got = sorted(zip(out.column("k").to_pylist(),
+                     out.column("rank").to_pylist(),
+                     out.column("rid").to_pylist()))
+    exp = []
+    for kk in np.unique(key):
+        rows = sorted(((-score[i], i) for i in range(n) if key[i] == kk))
+        exp.extend((int(kk), r + 1, int(rows[r][1]))
+                   for r in range(min(5, len(rows))))
+    assert got == sorted(exp)
