@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": d.url_canon,
         "domain_doc_stats": d.domain_doc_stats,
         "domain_topk_docs": d.domain_topk_docs,
+        "hash_split_counts": d.hash_split_counts,
         "warc_extract": d.warc_extract,
         "span_dedup": d.span_dedup_survivors,
         "composite_quality_dedup_bm25": lambda sf: d.composite_pipeline(sf),
@@ -683,6 +684,16 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         "ivf_ann_top10": _ANN_BRUTE_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "domain_doc_stats": _DOMAIN_STATS_SQL,
+        # the id-hash split re-derived in SQL (same FNV-1a64 LE fold)
+        "hash_split_counts": (
+            "WITH h AS (SELECT lang, n_chars, "
+            f"({_fnv_u64le_sql('CAST(doc_id AS UBIGINT)')}) % 1000000 AS b "
+            "FROM documents) "
+            "SELECT CASE WHEN b < 900000 THEN 'train' WHEN b < 950000 "
+            "THEN 'val' ELSE 'test' END AS split, lang, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM h "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
         # the window-function form of the same domain derivation — the
         # oracle for the two-phase group-wise top-k
         "domain_topk_docs": (

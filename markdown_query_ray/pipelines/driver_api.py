@@ -299,6 +299,39 @@ def domain_topk_docs(sf_dir: str, k: int = 3) -> pa.Table:
     return t.select(["domain", "rank", "doc_id", "n_chars"])
 
 
+def hash_split_counts(sf_dir: str) -> pa.Table:
+    """(split, lang, n_docs, sum_chars) under the deterministic 90/5/5
+    id-hash split — shuffle-free assignment, tiny aggregate output."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .split import hash_split
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"])
+
+    def partial_agg(batch: pa.Table) -> pa.Table:
+        t = pa.table({"split": batch.column("split"),
+                      "lang": batch.column("lang"),
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "chars": batch.column("n_chars").cast(pa.int64())})
+        agg = pa.TableGroupBy(t, ["split", "lang"]).aggregate(
+            [("n", "sum"), ("chars", "sum")])
+        return pa.table({"split": agg.column("split"),
+                         "lang": agg.column("lang"),
+                         "n_part": agg.column("n_sum"),
+                         "chars_part": agg.column("chars_sum")})
+
+    parts = hash_split(ds).map_batches(partial_agg, batch_format="pyarrow")
+    res = parts.groupby(["split", "lang"]).aggregate(
+        Sum("n_part", alias_name="n_docs"),
+        Sum("chars_part", alias_name="sum_chars"))
+    t = _collect(res).sort_by([("split", "ascending"),
+                               ("lang", "ascending")])
+    return t.select(["split", "lang", "n_docs", "sum_chars"])
+
+
 def repetition_signals(sf_dir: str) -> pa.Table:
     """Gopher-style word-n-gram repetition fractions per doc."""
     import ray.data
