@@ -74,6 +74,10 @@ SQL_CHECKED = [
     "audio_chunk_features",
     "url_canonicalize", "domain_doc_stats", "warc_extract", "span_dedup",
     "composite_quality_dedup_bm25",
+    # round 3: new operators, oracle-checked from the start
+    "ngram_jaccard_pairs", "neardup_clusters", "repetition_signals",
+    "asof_purchase_click", "range_purchase_clicks",
+    "domain_topk_docs", "hash_split_counts",
 ]
 
 
