@@ -114,6 +114,134 @@ ORDER BY doc_a, doc_b
 
 _MINHASH_SQL = _JACCARD_SQL_T.format(thr=0.5)
 
+# Benchmark decontamination: same shingle CTEs as the Jaccard oracle (set
+# identity invariant under the Ray side's FNV hashing); benchmark = the
+# deterministic doc_id % 23 slice; contaminated iff >= 10% of a doc's
+# distinct shingles appear in the benchmark set (exact integer test
+# o * 10 >= c, mirroring decontam.ContaminationStage).
+_DECONTAM_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+sh3 AS (SELECT doc_id, CASE WHEN len(l) <= 3 THEN [array_to_string(l, chr(31))]
+    ELSE list_transform(range(0, len(l)-2), i -> l[i+1] || chr(31) || l[i+2] || chr(31) || l[i+3]) END AS sh FROM tl),
+s AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(sh) AS g FROM sh3)),
+bench AS (SELECT DISTINCT g FROM s WHERE doc_id % 23 = 0),
+sz AS (SELECT doc_id, count(*) AS c FROM s GROUP BY doc_id),
+ov AS (SELECT s.doc_id, count(*) AS o FROM s JOIN bench USING (g) GROUP BY s.doc_id)
+SELECT CAST(sz.doc_id AS BIGINT) AS doc_id, CAST(sz.c AS BIGINT) AS n_shingles,
+       CAST(COALESCE(ov.o, 0) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN COALESCE(ov.o, 0) * 10 >= sz.c THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM sz LEFT JOIN ov ON ov.doc_id = sz.doc_id
+ORDER BY doc_id
+"""
+
+# Sequence packing from first principles: the same whitespace token count
+# as doc_token_counts, then the window-function exclusive prefix sum in
+# doc_id order (the SQL form of packing.py's two-level distributed scan);
+# empty docs pin first/last_seq to -1 by the documented convention.
+_PACKING_SQL = """
+WITH c AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+        x -> x <> '')) AS BIGINT) AS n_tokens FROM documents),
+s AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM c)
+SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(CASE WHEN n_tokens = 0 THEN -1 ELSE start_tok // 512 END AS BIGINT) AS first_seq,
+  CAST(CASE WHEN n_tokens = 0 THEN -1 ELSE (start_tok + n_tokens - 1) // 512 END AS BIGINT) AS last_seq,
+  CAST(CASE WHEN n_tokens = 0 THEN 0
+       ELSE (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1 END AS BIGINT) AS n_seqs
+FROM s ORDER BY doc_id
+"""
+
+# PII scrub: the synthetic augmentation is re-derived verbatim (pure
+# function of doc_id, pii.synth_pii_batch), then the SAME three pattern
+# literals run sequentially in DuckDB's RE2 (count on the progressively
+# redacted text, exactly like pii.redact_batch — an email's digits must
+# not also count as a phone).
+from markdown_query_ray.pipelines.pii import (  # noqa: E402
+    EMAIL_RE as _PII_EMAIL,
+    IPV4_RE as _PII_IP,
+    PHONE_RE as _PII_PHONE,
+)
+
+
+def _sql_quote(pat: str) -> str:
+    return "'" + pat.replace("'", "''") + "'"
+
+
+_PII_SQL = f"""
+WITH aug AS (SELECT doc_id, COALESCE(text, '')
+  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail-example.org' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || (doc_id % 256 // 16) || '.' || (doc_id % 16) ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-01' || (doc_id % 10) || '-' || (1000 + doc_id % 9000) ELSE '' END AS t
+  FROM documents),
+r1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, {_sql_quote(_PII_EMAIL)})) AS BIGINT) AS n_email,
+       regexp_replace(t, {_sql_quote(_PII_EMAIL)}, '<EMAIL>', 'g') AS t FROM aug),
+r2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t, {_sql_quote(_PII_IP)})) AS BIGINT) AS n_ipv4,
+       regexp_replace(t, {_sql_quote(_PII_IP)}, '<IP>', 'g') AS t FROM r1),
+r3 AS (SELECT doc_id, n_email, n_ipv4, CAST(len(regexp_extract_all(t, {_sql_quote(_PII_PHONE)})) AS BIGINT) AS n_phone,
+       regexp_replace(t, {_sql_quote(_PII_PHONE)}, '<PHONE>', 'g') AS t FROM r2)
+SELECT doc_id, n_email, n_ipv4, n_phone, n_email + n_ipv4 + n_phone AS n_pii,
+       CAST(length(t) AS BIGINT) AS redacted_len, t AS redacted
+FROM r3 ORDER BY doc_id
+"""
+
+
+def _mix_hash_sql() -> str:
+    """The sampling draw: FNV-1a64 over LE bytes of (doc_id + MIX_SALT)
+    mod 2^64, reduced mod 1e6 — sampling._draw_u in SQL."""
+    from markdown_query_ray.pipelines.sampling import MIX_SALT
+
+    keyed = (f"CAST((CAST(doc_id AS HUGEINT) + {MIX_SALT}) % "
+             "18446744073709551616 AS UBIGINT)")
+    return f"({_fnv_u64le_sql(keyed)}) % 1000000"
+
+
+def _mixture_sql() -> str:
+    """Realized mix after deterministic weighted repetition: n_copies is
+    re-derived per doc with exact integer thresholds (floor(w) and
+    round(frac(w)*1e6) are baked in as literals, so no float appears in
+    the SQL), then aggregated per lang."""
+    import math
+
+    from markdown_query_ray.pipelines.driver_api import MIX_WEIGHTS
+
+    arms = " ".join(
+        f"WHEN '{g}' THEN {math.floor(w)} + "
+        f"(CASE WHEN u < {round((w - math.floor(w)) * 1_000_000)} "
+        "THEN 1 ELSE 0 END)"
+        for g, w in sorted(MIX_WEIGHTS.items()))
+    return f"""
+WITH u AS (SELECT doc_id, lang, {_mix_hash_sql()} AS u FROM documents),
+c AS (SELECT doc_id, lang, CASE lang {arms} ELSE 1 END AS n_copies FROM u)
+SELECT lang, CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN n_copies > 0 THEN 1 END) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id * n_copies) AS BIGINT) AS id_checksum
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+def _quantiles_sql() -> str:
+    """quantile_disc per lang at the entry's q grid (aggregate args must
+    be constants in DuckDB, so one SELECT per q, UNION ALL)."""
+    from markdown_query_ray.pipelines.quantiles import DEFAULT_QS
+
+    legs = " UNION ALL ".join(
+        f"SELECT lang, CAST({float(q)} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(n_chars, {float(q)}) AS BIGINT) AS quantile "
+        "FROM documents GROUP BY lang"
+        for q in DEFAULT_QS)
+    return f"SELECT * FROM ({legs}) ORDER BY lang, q"
+
+
+_STRATIFIED_SQL = f"""
+WITH h AS (SELECT doc_id, lang, {_mix_hash_sql()} AS sk FROM documents),
+r AS (SELECT lang, doc_id, sk, row_number() OVER
+      (PARTITION BY lang ORDER BY sk, doc_id) AS rank FROM h)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(sk AS BIGINT) AS sample_key
+FROM r WHERE rank <= 20 ORDER BY lang, rank
+"""
+
 # SimHash from first principles: token hash = FNV(FNV(token) LE bytes) —
 # exactly dedup.shingle_hashes(text, w=1) — majority bit over all token
 # occurrences, then the SAME 4x16-bit band blocking + Hamming <= 6 the Ray
@@ -480,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": d.repetition_signals,
         # -- dedup -----------------------------------------------------------
         "dedup_exact": d.dedup_exact_ids,
+        "decontam_flags": d.decontam_flags,
         "embedding_neardup": d.embedding_neardup,
         # -- similarity ------------------------------------------------------
         "knn_cosine_top10": lambda sf: d.knn_cosine(sf, 0, 10),
@@ -506,6 +635,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_doc_stats": d.domain_doc_stats,
         "domain_topk_docs": d.domain_topk_docs,
         "hash_split_counts": d.hash_split_counts,
+        # -- round 3: curation operators -------------------------------------
+        "seq_packing": d.seq_packing,
+        "pii_redact": d.pii_redact,
+        "mixture_weighted_repeat": d.mixture_weighted_repeat,
+        "lang_length_quantiles": d.lang_length_quantiles,
+        "stratified_sample_docs": d.stratified_sample_docs,
         "warc_extract": d.warc_extract,
         "span_dedup": d.span_dedup_survivors,
         "composite_quality_dedup_bm25": lambda sf: d.composite_pipeline(sf),
@@ -655,6 +790,12 @@ ORDER BY tl.doc_id
         # the prefix-filter join is EXACT (no banding), so the exhaustive
         # all-pairs SQL is a true oracle at any threshold
         "ngram_jaccard_pairs": _JACCARD_SQL_T.format(thr=0.35),
+        "decontam_flags": _DECONTAM_SQL,
+        "seq_packing": _PACKING_SQL,
+        "pii_redact": _PII_SQL,
+        "mixture_weighted_repeat": _mixture_sql(),
+        "lang_length_quantiles": _quantiles_sql(),
+        "stratified_sample_docs": _STRATIFIED_SQL,
         # connected components from first principles: transitive closure
         # of the (recall-complete) J >= 0.5 pair graph via a recursive
         # CTE, component label = min reachable id

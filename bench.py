@@ -139,6 +139,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     with timed("webnorm"):  # url canonicalization + per-domain aggregate
         d.url_canon(sf_dir)
         d.domain_doc_stats(sf_dir)
+    with timed("decontam"):  # benchmark-overlap flags, broadcast small side
+        d.decontam_flags(sf_dir)
+    with timed("seq_packing"):  # two-level distributed scan
+        d.seq_packing(sf_dir)
+    with timed("pii_redact"):  # three RE2 kernel passes, zero shuffle
+        d.pii_redact(sf_dir)
     with timed("composite_pipeline"):  # quality -> dedup -> index -> BM25
         d.composite_pipeline(sf_dir, fresh=True)  # cold: cache cleared inside
 

@@ -345,6 +345,136 @@ def repetition_signals(sf_dir: str) -> pa.Table:
                        batch_format="pyarrow")).sort_by("doc_id")
 
 
+def decontam_flags(sf_dir: str, every: int = 23) -> pa.Table:
+    """Benchmark-decontamination flags over the documents table.
+
+    The "benchmark suite" is the deterministic ``doc_id % every == 0``
+    slice of the same table (no external data, reproducible at any sf);
+    overlap on 3-token shingles; contaminated at >= 10% distinct-shingle
+    overlap. The benchmark shingle set broadcasts via ``ray.put``; the
+    corpus pass is one zero-shuffle map_batches (decontam.py)."""
+    import ray.data
+
+    from .decontam import contamination_flags
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.filter(pa.array(ids % every == 0))
+
+    bench = ray.data.read_parquet(path, columns=["doc_id", "text"]) \
+        .map_batches(bench_filter, batch_format="pyarrow")
+    return _collect(contamination_flags(ds, bench)).sort_by("doc_id")
+
+
+def seq_packing(sf_dir: str, seq_len: int = 512) -> pa.Table:
+    """Concat-and-chunk sequence-packing assignment per doc (two-level
+    distributed scan, packing.py; only (doc_id, n_tokens) shuffles)."""
+    import ray.data
+
+    from .packing import pack_sequences
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = _collect(pack_sequences(ds, seq_len=seq_len)).sort_by("doc_id")
+    return t.select(["doc_id", "n_tokens", "start_tok", "first_seq",
+                     "last_seq", "n_seqs"])
+
+
+def pii_redact(sf_dir: str) -> pa.Table:
+    """PII counts + redacted text over deterministically-planted
+    emails/IPs/phones — one zero-shuffle Arrow-RE2 pass (pii.py)."""
+    import ray.data
+
+    from .pii import redact_pii
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return _collect(redact_pii(ds, synth=True)).sort_by("doc_id")
+
+
+# language mixture used by the weighted-repeat entry (fractions chosen to
+# exercise pure-int, pure-frac, >1-with-frac and sub-1 weights)
+MIX_WEIGHTS = {"en": 1.0, "de": 2.0, "es": 1.7, "fr": 0.4, "zh": 0.25}
+
+
+def mixture_weighted_repeat(sf_dir: str) -> pa.Table:
+    """Realized per-lang mix after deterministic weighted repetition:
+    (lang, n_rows, n_docs, id_checksum) computed FROM the repeated
+    dataset via map-side partial aggregates (each source row lands in
+    exactly one batch, so per-batch distinct-doc counts sum exactly)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .sampling import weighted_repeat
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"])
+    rep = weighted_repeat(ds, MIX_WEIGHTS, group_col="lang")
+
+    def partial_agg(batch: pa.Table) -> pa.Table:
+        la = np.asarray(batch.column("lang").to_pylist(), object)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        first = batch.column("copy_idx").to_numpy() == 0
+        uniq = sorted(set(la.tolist()))
+        return pa.table({
+            "lang": pa.array(uniq, pa.string()),
+            "rows_part": pa.array([int((la == g).sum()) for g in uniq],
+                                  pa.int64()),
+            # distinct docs = first-copy rows; robust to re-batching
+            "docs_part": pa.array(
+                [int((first & (la == g)).sum()) for g in uniq],
+                pa.int64()),
+            "ck_part": pa.array([int(ids[la == g].sum()) for g in uniq],
+                                pa.int64()),
+        })
+
+    agg = rep.map_batches(partial_agg, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("rows_part", alias_name="n_rows"),
+            Sum("docs_part", alias_name="n_docs"),
+            Sum("ck_part", alias_name="id_checksum"))
+    t = _collect(agg).sort_by("lang")
+    return t.select(["lang", "n_rows", "n_docs", "id_checksum"])
+
+
+def lang_length_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-lang discrete quantiles of n_chars via the bounded
+    value-histogram scan (quantiles.py) — quantile_disc semantics."""
+    import ray.data
+
+    from .quantiles import group_quantiles
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "n_chars"])
+    t = group_quantiles(ds, "lang", "n_chars")
+    t = t.rename_columns(["lang", "q", "quantile"])
+    idx = pa.compute.sort_indices(
+        t, sort_keys=[("lang", "ascending"), ("q", "ascending")])
+    return t.take(idx)
+
+
+def stratified_sample_docs(sf_dir: str, k: int = 20) -> pa.Table:
+    """Deterministic k-per-lang uniform sample (hash-ranked, exact
+    row_number semantics) via the group-wise top-k composition."""
+    import ray.data
+
+    from .sampling import stratified_sample
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"])
+    t = _collect(stratified_sample(ds, "lang", k=k)).sort_by(
+        [("lang", "ascending"), ("rank", "ascending")])
+    return pa.table({
+        "lang": t.column("lang"),
+        "rank": t.column("rank").cast(pa.int64()),
+        "doc_id": t.column("doc_id").cast(pa.int64()),
+        "sample_key": t.column("sample_key").cast(pa.int64()),
+    })
+
+
 def dedup_exact_ids(sf_dir: str) -> pa.Table:
     import ray.data
 

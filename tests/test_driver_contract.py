@@ -77,7 +77,9 @@ SQL_CHECKED = [
     # round 3: new operators, oracle-checked from the start
     "ngram_jaccard_pairs", "neardup_clusters", "repetition_signals",
     "asof_purchase_click", "range_purchase_clicks",
-    "domain_topk_docs", "hash_split_counts",
+    "domain_topk_docs", "hash_split_counts", "decontam_flags",
+    "seq_packing", "pii_redact", "mixture_weighted_repeat",
+    "lang_length_quantiles", "stratified_sample_docs",
 ]
 
 

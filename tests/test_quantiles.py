@@ -1,0 +1,68 @@
+"""Histogram quantiles vs DuckDB quantile_disc (the semantics oracle)."""
+
+from fractions import Fraction
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from markdown_query_ray.pipelines.quantiles import group_quantiles
+
+
+def _run(groups, values, qs):
+    import ray.data
+
+    t = pa.table({"g": pa.array(groups, pa.string()),
+                  "v": pa.array(values, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = group_quantiles(ds, "g", "v", qs=qs)
+    return {(r["g"], round(r["q"], 6)): r["quantile"]
+            for r in out.to_pylist()}
+
+
+def _duck(groups, values, qs):
+    con = duckdb.connect()
+    con.register("t", pa.table({"g": groups, "v": values}))
+    exp = {}
+    for q in qs:
+        for g, val in con.execute(
+                "SELECT g, quantile_disc(v, ?) FROM t GROUP BY g",
+                [float(q)]).fetchall():
+            exp[(g, round(float(q), 6))] = val
+    return exp
+
+
+QS = (Fraction(0), Fraction(1, 4), Fraction(1, 2), Fraction(3, 4),
+      Fraction(9, 10), Fraction(99, 100), Fraction(1))
+
+
+def test_matches_duckdb_quantile_disc(ray_session):
+    rng = np.random.default_rng(11)
+    groups = [f"g{i % 3}" for i in range(1000)]
+    values = rng.integers(0, 500, 1000).astype(np.int64).tolist()
+    assert _run(groups, values, QS) == _duck(groups, values, QS)
+
+
+def test_skewed_and_tiny_groups(ray_session):
+    groups = ["a"] * 997 + ["b", "b", "c"]
+    values = list(range(997)) + [5, 9, 42]
+    got = _run(groups, values, QS)
+    assert got == _duck(groups, values, QS)
+    assert got[("c", 0.5)] == 42
+    assert got[("b", 0.5)] == 5  # ceil(0.5*2)=1 -> first element
+
+
+def test_duplicate_heavy_values(ray_session):
+    groups = ["x"] * 100
+    values = [7] * 90 + list(range(10))
+    assert _run(groups, values, QS) == _duck(groups, values, QS)
+
+
+def test_value_domain_guard():
+    from markdown_query_ray.pipelines.quantiles import _hist_partials
+
+    t = pa.table({"g": pa.array(["a"], pa.string()),
+                  "v": pa.array([-1], pa.int64())})
+    with pytest.raises(ValueError):
+        _hist_partials(t, "g", "v")
