@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_30m": d.events_sessions,
         # -- relational smoke ------------------------------------------------
         "tpch_q1ish": d.tpch_q1ish,
+        "tpch_q3ish": d.tpch_q3ish,
         # -- golden-table / recall-complete-parameter oracles (round 2) ------
         "flagship_xapian_search": lambda sf: d.flagship_search(sf),
         "minhash_dedup_pairs": d.minhash_pairs,
@@ -785,6 +786,17 @@ ORDER BY tl.doc_id
             "round(sum(l_extendedprice), 2) AS sum_price, "
             "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
             "GROUP BY 1, 2 ORDER BY 1, 2"),
+        # Q3 shape: customer broadcast semi-join + orderkey shuffle hash
+        # join (equijoin.py); revenue rounded like every float entry
+        "tpch_q3ish": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY 1, 2, 3 ORDER BY 1"),
         # -- round-2 oracles for the formerly rows-only entries --------------
         "minhash_dedup_pairs": _MINHASH_SQL,
         # the prefix-filter join is EXACT (no banding), so the exhaustive

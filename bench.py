@@ -136,6 +136,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.events_sessions(sf_dir)
     with timed("tpch_q1ish"):
         d.tpch_q1ish(sf_dir)
+    with timed("tpch_q3ish"):  # broadcast + shuffle hash equi-joins
+        d.tpch_q3ish(sf_dir)
     with timed("webnorm"):  # url canonicalization + per-domain aggregate
         d.url_canon(sf_dir)
         d.domain_doc_stats(sf_dir)

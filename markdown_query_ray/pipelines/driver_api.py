@@ -369,6 +369,101 @@ def decontam_flags(sf_dir: str, every: int = 23) -> pa.Table:
     return _collect(contamination_flags(ds, bench)).sort_by("doc_id")
 
 
+def tpch_q3ish(sf_dir: str, segment: str = "BUILDING",
+               cutoff: str = "1998-06-01") -> pa.Table:
+    """TPC-H Q3 shape over both join regimes: customer (dimension,
+    filtered to one segment) broadcast-semi-joins orders with zero
+    shuffle; the surviving orders shuffle-hash-join lineitem on
+    orderkey (only (key, rev) and (key, date, priority) projections
+    ride the exchange); revenue aggregates with a map-side combine.
+
+    Column pruning at every read; the broadcast side is the one input
+    that is small by schema design (dimensions are GBs at 100 TB fact
+    scale) — were it not, ``shuffle_hash_join`` is the drop-in path."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .equijoin import (
+        broadcast_inner_join,
+        collect_arrow,
+        join_output_schema,
+        shuffle_hash_join,
+    )
+
+    cut = np.datetime64(cutoff, "us")
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    cust_small = _collect(cust.filter(
+        expr=f"c_mktsegment == '{segment}'")).select(["c_custkey"])
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def orders_filter(b: pa.Table) -> pa.Table:
+        keep = pc.less(b.column("o_orderdate"),
+                       pa.scalar(cut, pa.timestamp("us")))
+        b = b.filter(keep)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "date_us": b.column("o_orderdate").cast(
+                pa.timestamp("us")).cast(pa.int64()),
+            "o_orderpriority": b.column("o_orderpriority"),
+        })
+
+    orders_f = broadcast_inner_join(
+        orders.map_batches(orders_filter, batch_format="pyarrow"),
+        cust_small, "o_custkey", "c_custkey")
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def lineitem_filter(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("l_shipdate"),
+                          pa.scalar(cut, pa.timestamp("us")))
+        b = b.filter(keep)
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table({"l_orderkey": b.column("l_orderkey")
+                      .cast(pa.int64()),
+                      "rev": rev.cast(pa.float64())})
+        # map-side combine before the groupby shuffle
+        agg = pa.TableGroupBy(t, ["l_orderkey"]).aggregate([("rev",
+                                                             "sum")])
+        return agg.rename_columns(["l_orderkey", "rev_part"])
+
+    # revenue aggregation FUSED into the join's exchange: the join
+    # bucket already co-locates equal orderkeys, so the per-key sum
+    # happens inside _join_group — one shuffle total instead of a
+    # groupby exchange followed by a join exchange
+    lc = {"rev_part": pa.float64()}
+    rc = {"date_us": pa.int64(), "o_orderpriority": pa.string()}
+    comb = [("rev_part", "sum", "revenue")]
+    joined = shuffle_hash_join(
+        lineitem.map_batches(lineitem_filter, batch_format="pyarrow"),
+        orders_f,
+        "l_orderkey", "o_orderkey", lc, rc,
+        key_out="l_orderkey", left_combine=comb)
+    t = collect_arrow(
+        joined,
+        join_output_schema("l_orderkey", lc, rc, comb)) \
+        .sort_by("l_orderkey")
+    t = pa.table({
+        "l_orderkey": t.column("l_orderkey"),
+        "o_orderdate": t.column("date_us").cast(pa.timestamp("us")),
+        "o_orderpriority": t.column("o_orderpriority"),
+        "revenue": t.column("revenue").cast(pa.float64()),
+    })
+    return _round_col(t, "revenue")
+
+
 def seq_packing(sf_dir: str, seq_len: int = 512) -> pa.Table:
     """Concat-and-chunk sequence-packing assignment per doc (two-level
     distributed scan, packing.py; only (doc_id, n_tokens) shuffles)."""

@@ -79,7 +79,7 @@ SQL_CHECKED = [
     "asof_purchase_click", "range_purchase_clicks",
     "domain_topk_docs", "hash_split_counts", "decontam_flags",
     "seq_packing", "pii_redact", "mixture_weighted_repeat",
-    "lang_length_quantiles", "stratified_sample_docs",
+    "lang_length_quantiles", "stratified_sample_docs", "tpch_q3ish",
 ]
 
 
