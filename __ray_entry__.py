@@ -233,6 +233,26 @@ def _quantiles_sql() -> str:
     return f"SELECT * FROM ({legs}) ORDER BY lang, q"
 
 
+# Bigram novelty from first principles: the same bigram SETS as the Ray
+# side (string pairs joined by chr(31) == the shingle_hashes(w=2) window
+# identity), occurrences kept, global counts joined back, integer
+# aggregates only; bigram-less docs pinned (0, 0, -1).
+_BIGRAM_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+occ AS (SELECT doc_id, unnest(list_transform(range(0, len(l) - 1),
+        i -> l[i+1] || chr(31) || l[i+2])) AS g FROM tl WHERE len(l) >= 2),
+c AS (SELECT g, count(*) AS cnt FROM occ GROUP BY g),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(cnt) AS BIGINT) AS sum_count,
+       CAST(min(cnt) AS BIGINT) AS min_count
+       FROM occ JOIN c USING (g) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(sum_count, 0) AS sum_count,
+       COALESCE(min_count, -1) AS min_count
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
 _STRATIFIED_SQL = f"""
 WITH h AS (SELECT doc_id, lang, {_mix_hash_sql()} AS sk FROM documents),
 r AS (SELECT lang, doc_id, sk, row_number() OVER
@@ -639,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round 3: curation operators -------------------------------------
         "seq_packing": d.seq_packing,
         "pii_redact": d.pii_redact,
+        "bigram_novelty": d.bigram_novelty,
         "mixture_weighted_repeat": d.mixture_weighted_repeat,
         "lang_length_quantiles": d.lang_length_quantiles,
         "stratified_sample_docs": d.stratified_sample_docs,
@@ -805,6 +826,7 @@ ORDER BY tl.doc_id
         "decontam_flags": _DECONTAM_SQL,
         "seq_packing": _PACKING_SQL,
         "pii_redact": _PII_SQL,
+        "bigram_novelty": _BIGRAM_SQL,
         "mixture_weighted_repeat": _mixture_sql(),
         "lang_length_quantiles": _quantiles_sql(),
         "stratified_sample_docs": _STRATIFIED_SQL,

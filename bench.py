@@ -147,6 +147,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.seq_packing(sf_dir)
     with timed("pii_redact"):  # three RE2 kernel passes, zero shuffle
         d.pii_redact(sf_dir)
+    with timed("bigram_novelty"):  # corpus-stats score-by-join
+        d.bigram_novelty(sf_dir)
     with timed("composite_pipeline"):  # quality -> dedup -> index -> BM25
         d.composite_pipeline(sf_dir, fresh=True)  # cold: cache cleared inside
 

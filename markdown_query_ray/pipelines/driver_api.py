@@ -570,6 +570,44 @@ def stratified_sample_docs(sf_dir: str, k: int = 20) -> pa.Table:
     })
 
 
+def bigram_novelty(sf_dir: str) -> pa.Table:
+    """Corpus-bigram-statistics score per doc (ngramstats.py: counts
+    groupby -> score-by-join -> per-doc aggregate; integers only).
+    Docs without bigrams are pinned (0, 0, -1) by a zero-shuffle side
+    pass unioned in — no driver-side doc list."""
+    import ray.data
+
+    from .ngramstats import bigram_scores
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def empties(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(b.column("text"), ""), "[^ ]+").to_numpy()
+        ids = b.column("doc_id").to_numpy().astype(np.int64)[n_tok < 2]
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_bigrams": pa.array(z),
+                         "sum_count": pa.array(z),
+                         "min_count": pa.array(z - 1)})
+
+    scores = bigram_scores(ds)
+    pinned = ds.map_batches(empties, batch_format="pyarrow")
+    from .equijoin import collect_arrow
+
+    t = collect_arrow(
+        scores.union(pinned),
+        pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                   ("sum_count", pa.int64()), ("min_count", pa.int64())]))
+    t = pa.table({c: t.column(c).cast(pa.int64())
+                  for c in ["doc_id", "n_bigrams", "sum_count",
+                            "min_count"]})
+    return t.sort_by("doc_id")
+
+
 def dedup_exact_ids(sf_dir: str) -> pa.Table:
     import ray.data
 

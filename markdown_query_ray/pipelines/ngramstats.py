@@ -1,0 +1,112 @@
+"""Corpus-statistics n-gram scoring: the KenLM-shape score-by-join.
+
+Crawl pipelines score fluency/novelty against corpus-level n-gram
+statistics (perplexity filters in CCNet/Gopher/FineWeb). The statistics
+table at web scale is far too large to broadcast, so scoring must be a
+JOIN, not a lookup: this module builds global bigram counts and scores
+every document against them in three bounded exchanges —
+
+1. counts: map-side partial bigram counts (vectorized shingle-hash
+   identities, np.unique per batch) -> one ``groupby(bigram).sum``; the
+   count table is a Dataset, never driver state;
+2. score-by-join: per-doc bigram OCCURRENCES (duplicates kept — each
+   occurrence contributes) join the count table with
+   ``shuffle_hash_join`` on the bigram key (equijoin.py: one exchange,
+   hash-bucketed);
+3. per-doc aggregate: map-side combine + ``groupby(doc_id)`` for
+   (n_bigrams, sum_count, min_count).
+
+Outputs are EXACT INTEGERS (occurrence totals against global counts),
+not log-probabilities: float log sums round nondeterministically across
+addition orders, while integer evidence lets the DuckDB oracle match
+bit-for-bit (same rationale as quality_batch / repetition_batch). A
+perplexity-style consumer computes its logs downstream from these
+counts plus the corpus total.
+
+Bigram identity = ``dedup.shingle_hashes(text, w=2)`` (FNV over the
+token-hash window), equal-iff-equal-strings up to 64-bit collisions; the
+SQL oracle joins on the string pair itself, so the check also guards the
+hash's collision-freeness on the test corpora. Docs with < 2 tokens have
+no bigrams: n_bigrams = 0, min_count pinned to -1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+# uint64 -> int64 bijection before anything Ray aggregates or sorts (Ray
+# 2.49 falls back to pickled extension arrays above 2^63 — NOTES_r3)
+def _as_i64(u: np.ndarray) -> np.ndarray:
+    return u.view(np.int64) if u.dtype == np.uint64 else \
+        u.astype(np.uint64).view(np.int64)
+
+
+def _doc_bigrams(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, bigram_key i64) pairs for every bigram OCCURRENCE in
+    every text with >= 2 tokens."""
+    from .dedup import shingle_hashes
+
+    rows, keys = [], []
+    for i, t in enumerate(texts):
+        toks = (t or "").split(" ")
+        if sum(1 for x in toks if x) < 2:
+            continue
+        h = shingle_hashes(t, 2)
+        rows.append(np.full(len(h), i, np.int64))
+        keys.append(_as_i64(h))
+    if not rows:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(rows), np.concatenate(keys)
+
+
+def bigram_count_partials(batch: pa.Table) -> pa.Table:
+    """Map-side combine: (bkey, cnt_part) distinct within the batch."""
+    texts = batch.column("text").to_pylist()
+    _, keys = _doc_bigrams(texts)
+    uk, cnt = np.unique(keys, return_counts=True)
+    return pa.table({"bkey": pa.array(uk),
+                     "cnt_part": pa.array(cnt.astype(np.int64))})
+
+
+def bigram_occurrences_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, bkey) per bigram occurrence (duplicates kept)."""
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    rows, keys = _doc_bigrams(texts)
+    return pa.table({"doc_id": pa.array(ids[rows]),
+                     "bkey": pa.array(keys)})
+
+
+def bigram_scores(ds, num_buckets: int = 64):
+    """Dataset of (doc_id, n_bigrams, sum_count, min_count) for every
+    doc that HAS bigrams (callers left-join / pin empties; the driver
+    entry does). ``sum_count`` totals the global count of each bigram
+    occurrence; ``min_count`` is the doc's rarest bigram's count."""
+    from ray.data.aggregate import Min, Sum
+
+    from .equijoin import shuffle_hash_join
+
+    counts = ds.map_batches(bigram_count_partials,
+                            batch_format="pyarrow") \
+        .groupby("bkey").aggregate(Sum("cnt_part", alias_name="cnt"))
+    occ = ds.map_batches(bigram_occurrences_batch, batch_format="pyarrow")
+    joined = shuffle_hash_join(
+        occ, counts, "bkey", "bkey",
+        {"doc_id": pa.int64()}, {"cnt": pa.int64()},
+        key_out="bkey", num_buckets=num_buckets)
+
+    def per_doc_partial(b: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(b.select(["doc_id", "cnt"]),
+                              ["doc_id"]).aggregate(
+            [("cnt", "count"), ("cnt", "sum"), ("cnt", "min")])
+        return agg.rename_columns(["doc_id", "n_part", "sum_part",
+                                   "min_part"])
+
+    return joined.map_batches(per_doc_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(
+            Sum("n_part", alias_name="n_bigrams"),
+            Sum("sum_part", alias_name="sum_count"),
+            Min("min_part", alias_name="min_count"))

@@ -1,0 +1,90 @@
+"""Bigram score-by-join vs a string-level brute force."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from markdown_query_ray.pipelines.ngramstats import (
+    bigram_count_partials,
+    bigram_scores,
+)
+
+
+def _brute(texts):
+    def bigrams(t):
+        toks = [x for x in (t or "").split(" ") if x]
+        return [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+
+    counts = Counter()
+    for t in texts:
+        counts.update(bigrams(t))
+    rows = {}
+    for i, t in enumerate(texts):
+        bg = bigrams(t)
+        if bg:
+            cs = [counts[b] for b in bg]
+            rows[i] = (len(bg), sum(cs), min(cs))
+    return rows
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cat ran",
+    "the cat sat on a hat",
+    "single",
+    "",
+    "the cat sat on the mat",   # exact dup: doubles its bigram counts
+    "on the",                   # one bigram, shared with doc 0/5
+]
+
+
+def test_scores_match_brute(ray_session):
+    import ray.data
+
+    t = pa.table({"doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+                  "text": pa.array(TEXTS, pa.string())})
+    out = bigram_scores(ray.data.from_arrow(t).repartition(3),
+                        num_buckets=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    exp = _brute(TEXTS)
+    assert set(out.index) == set(exp)
+    for i, (n, s, mn) in exp.items():
+        row = out.loc[i]
+        assert (row["n_bigrams"], row["sum_count"],
+                row["min_count"]) == (n, s, mn), i
+
+
+def test_count_partials_count_occurrences():
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b a b", "a b"], pa.string())})
+    out = bigram_count_partials(t)
+    # "a b" occurs 2x in doc0 + 1x in doc1; "b a" 1x
+    assert sorted(out.column("cnt_part").to_pylist()) == [1, 3]
+
+
+def test_short_docs_have_no_bigrams():
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["", "one", "  "], pa.string())})
+    assert bigram_count_partials(t).num_rows == 0
+
+
+def test_driver_entry_pins_empties(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from markdown_query_ray.pipelines.driver_api import bigram_novelty
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+                  "text": pa.array(TEXTS, pa.string())}),
+        str(sf / "documents.parquet"))
+    out = bigram_novelty(str(sf))
+    assert out.num_rows == len(TEXTS)
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_count"], r["min_count"])
+           for r in out.to_pylist()}
+    exp = _brute(TEXTS)
+    for i in range(len(TEXTS)):
+        assert got[i] == exp.get(i, (0, 0, -1)), i
