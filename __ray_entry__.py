@@ -660,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": d.seq_packing,
         "pii_redact": d.pii_redact,
         "bigram_novelty": d.bigram_novelty,
+        "lang_distinct_tokens": d.lang_distinct_tokens,
         "mixture_weighted_repeat": d.mixture_weighted_repeat,
         "lang_length_quantiles": d.lang_length_quantiles,
         "stratified_sample_docs": d.stratified_sample_docs,
@@ -827,6 +828,14 @@ ORDER BY tl.doc_id
         "seq_packing": _PACKING_SQL,
         "pii_redact": _PII_SQL,
         "bigram_novelty": _BIGRAM_SQL,
+        # distinct-token cardinality per lang: set identity invariant
+        # under the injective token-hash chain the Ray side shuffles
+        "lang_distinct_tokens": (
+            "WITH toks AS (SELECT lang, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS tok "
+            "FROM documents) "
+            "SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) "
+            "AS n_distinct FROM toks GROUP BY lang ORDER BY lang"),
         "mixture_weighted_repeat": _mixture_sql(),
         "lang_length_quantiles": _quantiles_sql(),
         "stratified_sample_docs": _STRATIFIED_SQL,

@@ -570,6 +570,21 @@ def stratified_sample_docs(sf_dir: str, k: int = 20) -> pa.Table:
     })
 
 
+def lang_distinct_tokens(sf_dir: str) -> pa.Table:
+    """Exact per-lang COUNT(DISTINCT token) — the sharded-vocabulary
+    distinct count (textstats.distinct_token_counts)."""
+    import ray.data
+
+    from .textstats import distinct_token_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "text"])
+    t = _collect(distinct_token_counts(ds)).sort_by("lang")
+    return pa.table({"lang": t.column("lang"),
+                     "n_distinct": t.column("n_distinct")
+                     .cast(pa.int64())})
+
+
 def bigram_novelty(sf_dir: str) -> pa.Table:
     """Corpus-bigram-statistics score per doc (ngramstats.py: counts
     groupby -> score-by-join -> per-doc aggregate; integers only).

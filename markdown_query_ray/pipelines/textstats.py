@@ -96,6 +96,59 @@ def term_df(ds, top_n: int | None = None):
     return agg
 
 
+def distinct_partials_batch(batch: pa.Table, group_col: str = "lang"
+                            ) -> pa.Table:
+    """Map-side combine for exact distributed COUNT(DISTINCT token)
+    per group: the batch's distinct (group, token-hash) pairs. Hashing
+    (FNV-1a64, the shared identity) keeps the shuffle narrow — 16
+    bytes/pair instead of the token strings."""
+    groups = batch.column(group_col).to_pylist()
+    texts = batch.column("text").to_pylist()
+    from .dedup import shingle_hashes
+
+    gs, hs = [], []
+    for g, t in zip(groups, texts):
+        h = np.unique(shingle_hashes(t or "", 1))
+        gs.append(np.full(len(h), g, object))
+        hs.append(h.view(np.int64))
+    if not gs:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "tkey": pa.array([], pa.int64())})
+    ga = np.concatenate(gs)
+    ha = np.concatenate(hs)
+    _, ginv = np.unique(ga, return_inverse=True)
+    _, first = np.unique(np.stack([ginv, ha], axis=1), axis=0,
+                         return_index=True)
+    return pa.table({group_col: pa.array(ga[first].tolist(), pa.string()),
+                     "tkey": pa.array(ha[first])})
+
+
+def distinct_token_counts(ds, group_col: str = "lang"):
+    """Exact COUNT(DISTINCT whitespace token) per group, no corpus-scale
+    state anywhere: batch-distinct (group, token-hash) pairs -> one
+    groupby([group, tkey]) global dedup -> per-batch (group, n) partials
+    -> tiny groupby(group) sum. Token vocabularies at web scale exceed
+    any single worker, which rules out ``map_groups`` per group — the
+    pair groupby shards the vocabulary across the cluster instead."""
+    from functools import partial as _partial
+
+    from ray.data.aggregate import Sum
+
+    pairs = ds.map_batches(
+        _partial(distinct_partials_batch, group_col=group_col),
+        batch_format="pyarrow")
+    uniq = pairs.groupby([group_col, "tkey"]).count()
+
+    def count_partials(b: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(b.select([group_col]),
+                              [group_col]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "n_part"])
+
+    return uniq.map_batches(count_partials, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(Sum("n_part",
+                                          alias_name="n_distinct"))
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Integer quality features (stopword hits, token count, char count) —
     ratio computation left to the consumer so the columns stay exactly
