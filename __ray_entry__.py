@@ -253,6 +253,28 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 
+# Cross-doc duplicated-window coverage from first principles: the same
+# 4-gram window identity as shingle_hashes(w=4) (string windows joined by
+# chr(31)), doc frequency over DISTINCT (doc, window) pairs, a window
+# position counts as duplicated iff its 4-gram appears in >= 2 distinct
+# docs; docs with < 4 tokens pinned (0, 0). Joining on the string window
+# also guards the 64-bit shingle hash's collision-freeness on this corpus.
+_CROSS_DUP_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+occ AS (SELECT doc_id, unnest(list_transform(range(0, len(l) - 3),
+        i -> l[i+1] || chr(31) || l[i+2] || chr(31) || l[i+3] || chr(31) || l[i+4])) AS g
+        FROM tl WHERE len(l) >= 4),
+dg AS (SELECT doc_id, g, count(*) AS occ FROM occ GROUP BY 1, 2),
+df AS (SELECT g, count(*) AS df FROM dg GROUP BY g),
+sc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS BIGINT) AS dup_windows
+       FROM dg JOIN df USING (g) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(n_windows, 0) AS n_windows,
+       COALESCE(dup_windows, 0) AS dup_windows
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
 _STRATIFIED_SQL = f"""
 WITH h AS (SELECT doc_id, lang, {_mix_hash_sql()} AS sk FROM documents),
 r AS (SELECT lang, doc_id, sk, row_number() OVER
@@ -660,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": d.seq_packing,
         "pii_redact": d.pii_redact,
         "bigram_novelty": d.bigram_novelty,
+        "cross_dup_coverage": d.cross_dup_coverage,
         "lang_distinct_tokens": d.lang_distinct_tokens,
         "mixture_weighted_repeat": d.mixture_weighted_repeat,
         "lang_length_quantiles": d.lang_length_quantiles,
@@ -828,6 +851,7 @@ ORDER BY tl.doc_id
         "seq_packing": _PACKING_SQL,
         "pii_redact": _PII_SQL,
         "bigram_novelty": _BIGRAM_SQL,
+        "cross_dup_coverage": _CROSS_DUP_SQL,
         # distinct-token cardinality per lang: set identity invariant
         # under the injective token-hash chain the Ray side shuffles
         "lang_distinct_tokens": (

@@ -623,6 +623,42 @@ def bigram_novelty(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def cross_dup_coverage(sf_dir: str, w: int = 4) -> pa.Table:
+    """Cross-document duplicated-window coverage per doc
+    (ngramstats.cross_dup_scores: df groupby -> score-by-join ->
+    per-doc aggregate; exact integers). Docs with < w tokens are
+    pinned (0, 0) by a zero-shuffle side pass unioned in."""
+    import ray.data
+
+    from .ngramstats import cross_dup_scores
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def empties(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(b.column("text"), ""), "[^ ]+").to_numpy()
+        ids = b.column("doc_id").to_numpy().astype(np.int64)[n_tok < w]
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_windows": pa.array(z),
+                         "dup_windows": pa.array(z)})
+
+    scores = cross_dup_scores(ds, w=w)
+    pinned = ds.map_batches(empties, batch_format="pyarrow")
+    from .equijoin import collect_arrow
+
+    t = collect_arrow(
+        scores.union(pinned),
+        pa.schema([("doc_id", pa.int64()), ("n_windows", pa.int64()),
+                   ("dup_windows", pa.int64())]))
+    t = pa.table({c: t.column(c).cast(pa.int64())
+                  for c in ["doc_id", "n_windows", "dup_windows"]})
+    return t.sort_by("doc_id")
+
+
 def dedup_exact_ids(sf_dir: str) -> pa.Table:
     import ray.data
 

@@ -80,6 +80,100 @@ def bigram_occurrences_batch(batch: pa.Table) -> pa.Table:
                      "bkey": pa.array(keys)})
 
 
+def dup_window_partials(batch: pa.Table, w: int) -> pa.Table:
+    """Map-side document-frequency partials: (skey, df_part) where
+    df_part = number of DISTINCT docs in this batch containing the
+    w-gram. Each doc lives in exactly one batch row, so summing the
+    partials over batches gives the exact global document frequency."""
+    from .dedup import shingle_hashes
+
+    texts = batch.column("text").to_pylist()
+    keys = [np.unique(_as_i64(shingle_hashes(t, w)))
+            for t in texts
+            if t and sum(1 for x in t.split(" ") if x) >= w]
+    if not keys:
+        return pa.table({"skey": pa.array([], pa.int64()),
+                         "df_part": pa.array([], pa.int64())})
+    uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+    return pa.table({"skey": pa.array(uk),
+                     "df_part": pa.array(cnt.astype(np.int64))})
+
+
+def window_occ_batch(batch: pa.Table, w: int) -> pa.Table:
+    """(doc_id, skey, occ) DISTINCT per doc with within-doc occurrence
+    counts — only distinct (doc, w-gram) pairs ride the join shuffle,
+    never one row per window position."""
+    from .dedup import shingle_hashes
+
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    out_d, out_k, out_c = [], [], []
+    for i, t in enumerate(texts):
+        if not t or sum(1 for x in t.split(" ") if x) < w:
+            continue
+        uk, cnt = np.unique(_as_i64(shingle_hashes(t, w)),
+                            return_counts=True)
+        out_d.append(np.full(len(uk), ids[i], np.int64))
+        out_k.append(uk)
+        out_c.append(cnt.astype(np.int64))
+    if not out_d:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "skey": pa.array([], pa.int64()),
+                         "occ": pa.array([], pa.int64())})
+    return pa.table({"doc_id": pa.array(np.concatenate(out_d)),
+                     "skey": pa.array(np.concatenate(out_k)),
+                     "occ": pa.array(np.concatenate(out_c))})
+
+
+def cross_dup_scores(ds, w: int = 4, num_buckets: int = 64):
+    """Per-doc cross-document duplicated-window coverage (the
+    Dolma/RefinedWeb dedup *signal*, as opposed to span_dedup which
+    rewrites text): for every doc with >= w tokens,
+
+        n_windows   = number of w-gram window positions,
+        dup_windows = positions whose w-gram also appears in >= 1
+                      OTHER document (global doc-frequency >= 2;
+                      within-doc repeats alone do not count).
+
+    Shape = the same three bounded exchanges as ``bigram_scores``:
+    map-side df partials -> one ``groupby(skey).sum``; distinct
+    (doc, skey, occ) pairs join the df table via ``shuffle_hash_join``
+    (one exchange — occurrence positions never shuffle, only distinct
+    pairs); map-side combine -> ``groupby(doc_id)``. Outputs are exact
+    integers so the DuckDB oracle matches bit-for-bit. Callers pin
+    docs with < w tokens to (0, 0) via a zero-shuffle side pass."""
+    from ray.data.aggregate import Sum
+
+    from .equijoin import shuffle_hash_join
+
+    df = ds.map_batches(partial(dup_window_partials, w=w),
+                        batch_format="pyarrow") \
+        .groupby("skey").aggregate(Sum("df_part", alias_name="df"))
+    occ = ds.map_batches(partial(window_occ_batch, w=w),
+                         batch_format="pyarrow")
+    joined = shuffle_hash_join(
+        occ, df, "skey", "skey",
+        {"doc_id": pa.int64(), "occ": pa.int64()}, {"df": pa.int64()},
+        key_out="skey", num_buckets=num_buckets)
+
+    def per_doc_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        occ_n = b.column("occ").to_numpy().astype(np.int64)
+        dfs = b.column("df").to_numpy().astype(np.int64)
+        dup = np.where(dfs >= 2, occ_n, 0)
+        uid, inv = np.unique(ids, return_inverse=True)
+        n_part = np.bincount(inv, weights=occ_n).astype(np.int64)
+        d_part = np.bincount(inv, weights=dup).astype(np.int64)
+        return pa.table({"doc_id": pa.array(uid),
+                         "n_part": pa.array(n_part),
+                         "dup_part": pa.array(d_part)})
+
+    return joined.map_batches(per_doc_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(
+            Sum("n_part", alias_name="n_windows"),
+            Sum("dup_part", alias_name="dup_windows"))
+
+
 def bigram_scores(ds, num_buckets: int = 64):
     """Dataset of (doc_id, n_bigrams, sum_count, min_count) for every
     doc that HAS bigrams (callers left-join / pin empties; the driver

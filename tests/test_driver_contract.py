@@ -80,7 +80,7 @@ SQL_CHECKED = [
     "domain_topk_docs", "hash_split_counts", "decontam_flags",
     "seq_packing", "pii_redact", "mixture_weighted_repeat",
     "lang_length_quantiles", "stratified_sample_docs", "tpch_q3ish",
-    "bigram_novelty", "lang_distinct_tokens",
+    "bigram_novelty", "lang_distinct_tokens", "cross_dup_coverage",
 ]
 
 

@@ -88,3 +88,72 @@ def test_driver_entry_pins_empties(ray_session, tmp_path):
     exp = _brute(TEXTS)
     for i in range(len(TEXTS)):
         assert got[i] == exp.get(i, (0, 0, -1)), i
+
+
+# ---------------------------------------------------------------------------
+# cross-doc duplicated-window coverage
+# ---------------------------------------------------------------------------
+
+def _brute_dup(texts, w):
+    def grams(t):
+        toks = [x for x in (t or "").split(" ") if x]
+        return [tuple(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+
+    docsets = [set(grams(t)) for t in texts]
+    df = Counter()
+    for s in docsets:
+        df.update(s)
+    rows = {}
+    for i, t in enumerate(texts):
+        gs = grams(t)
+        rows[i] = (len(gs), sum(1 for g in gs if df[g] >= 2))
+    return rows
+
+
+DUP_TEXTS = [
+    "a b c d e f",        # shares "a b c d" with doc 1
+    "a b c d x y",
+    "p q r s p q r s",    # within-doc repeat only: NOT cross-duplicated
+    "unrelated words here entirely",
+    "a b c",              # < 4 tokens: pinned (0, 0)
+    "",
+    "a b c d e f",        # exact dup of doc 0
+]
+
+
+def test_cross_dup_scores_match_brute(ray_session):
+    import ray.data
+
+    from markdown_query_ray.pipelines.ngramstats import cross_dup_scores
+
+    t = pa.table({"doc_id": pa.array(range(len(DUP_TEXTS)), pa.int64()),
+                  "text": pa.array(DUP_TEXTS, pa.string())})
+    out = cross_dup_scores(ray.data.from_arrow(t).repartition(3),
+                           w=4, num_buckets=4).to_pandas() \
+        .set_index("doc_id").sort_index()
+    exp = _brute_dup(DUP_TEXTS, 4)
+    # cross_dup_scores only emits docs with >= w tokens
+    assert set(out.index) == {i for i, (n, _) in exp.items() if n > 0}
+    for i in out.index:
+        row = out.loc[i]
+        assert (row["n_windows"], row["dup_windows"]) == exp[i], i
+
+
+def test_cross_dup_driver_entry_pins_short_docs(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from markdown_query_ray.pipelines.driver_api import cross_dup_coverage
+
+    sf = tmp_path / "sfdup"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(DUP_TEXTS)), pa.int64()),
+                  "text": pa.array(DUP_TEXTS, pa.string())}),
+        str(sf / "documents.parquet"))
+    out = cross_dup_coverage(str(sf))
+    assert out.num_rows == len(DUP_TEXTS)
+    got = {r["doc_id"]: (r["n_windows"], r["dup_windows"])
+           for r in out.to_pylist()}
+    exp = _brute_dup(DUP_TEXTS, 4)
+    for i in range(len(DUP_TEXTS)):
+        assert got[i] == exp[i], i
