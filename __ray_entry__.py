@@ -114,6 +114,25 @@ ORDER BY doc_a, doc_b
 
 _MINHASH_SQL = _JACCARD_SQL_T.format(thr=0.5)
 
+# Incremental (cross-corpus) near-dup from first principles: the same
+# shingle CTEs, but pairs are base-side (doc_id % 5 != 0) x new-side
+# (doc_id % 5 == 0) only — the crawl-snapshot "dedup the new dump against
+# the accumulated corpus" semantics.
+_INCR_DEDUP_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+sh3 AS (SELECT doc_id, CASE WHEN len(l) <= 3 THEN [array_to_string(l, chr(31))]
+    ELSE list_transform(range(0, len(l)-2), i -> l[i+1] || chr(31) || l[i+2] || chr(31) || l[i+3]) END AS sh FROM tl),
+s AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(sh) AS g FROM sh3)),
+sz AS (SELECT doc_id, count(*) AS c FROM s GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM s a JOIN s b ON a.g = b.g
+          WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+FROM inter JOIN sz ca ON ca.doc_id = doc_a JOIN sz cb ON cb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
 # Benchmark decontamination: same shingle CTEs as the Jaccard oracle (set
 # identity invariant under the Ray side's FNV hashing); benchmark = the
 # deterministic doc_id % 23 slice; contaminated iff >= 10% of a doc's
@@ -666,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- golden-table / recall-complete-parameter oracles (round 2) ------
         "flagship_xapian_search": lambda sf: d.flagship_search(sf),
         "minhash_dedup_pairs": d.minhash_pairs,
+        "incremental_dedup_pairs": d.incremental_dedup_pairs,
         "ngram_jaccard_pairs": d.ngram_jaccard,
         "neardup_clusters": d.neardup_clusters,
         "embedding_neardup_lsh": d.embedding_neardup_lsh,
@@ -844,6 +864,7 @@ ORDER BY tl.doc_id
             "GROUP BY 1, 2, 3 ORDER BY 1"),
         # -- round-2 oracles for the formerly rows-only entries --------------
         "minhash_dedup_pairs": _MINHASH_SQL,
+        "incremental_dedup_pairs": _INCR_DEDUP_SQL,
         # the prefix-filter join is EXACT (no banding), so the exhaustive
         # all-pairs SQL is a true oracle at any threshold
         "ngram_jaccard_pairs": _JACCARD_SQL_T.format(thr=0.35),

@@ -354,11 +354,14 @@ class MinHashStage:
         flat = sigs.ravel()
         offs = np.arange(0, (n + 1) * self.num_hashes, self.num_hashes,
                          dtype=np.int32)
-        return pa.table({
+        cols = {
             "doc_id": batch.column("doc_id"),
             "minhash": pa.ListArray.from_arrays(
                 pa.array(offs), pa.array(flat, pa.uint64())),
-        })
+        }
+        if "side" in batch.column_names:  # cross-corpus (incremental) mode
+            cols["side"] = batch.column("side")
+        return pa.table(cols)
 
 
 _LSH_BUCKETS = 64  # shuffle-coarsening groups for the band groupby
@@ -374,24 +377,31 @@ def band_explode_batch(batch: pa.Table, bands: int = 16,
     per near-singleton band bucket."""
     n = batch.num_rows
     if n == 0:
-        return pa.table({
+        cols = {
             "bucket": pa.array([], pa.int32()),
             "band_id": pa.array([], pa.int32()),
             "band_hash": pa.array([], pa.uint64()),
             "doc_id": pa.array([], pa.int64()),
-        })
+        }
+        if "side" in batch.column_names:
+            cols["side"] = pa.array([], pa.int8())
+        return pa.table(cols)
     import pyarrow.compute as pc
 
     sig = pc.list_flatten(batch.column("minhash")).to_numpy() \
         .astype(np.uint64).reshape(n, bands * rows)
     bh = _fnv1a_u64_rows(sig.reshape(n * bands, rows))
-    return pa.table({
+    cols = {
         "bucket": pa.array((bh % np.uint64(_LSH_BUCKETS)).astype(np.int32)),
         "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
         "band_hash": pa.array(bh),
         "doc_id": pa.array(np.repeat(
             batch.column("doc_id").to_numpy().astype(np.int64), bands)),
-    })
+    }
+    if "side" in batch.column_names:  # cross-corpus (incremental) mode
+        cols["side"] = pa.array(np.repeat(
+            batch.column("side").to_numpy().astype(np.int8), bands))
+    return pa.table(cols)
 
 
 # Collision segments larger than this emit STAR + CHAIN pairs (every member
@@ -761,6 +771,104 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, num_hashes: int = 128,
     cand = bands_ds.groupby("bucket").map_groups(
         _bucket_pair_scan, batch_format="pyarrow")
     return _verify_candidate_pairs(ds, cand, threshold, w, collect=collect)
+
+
+def _bucket_cross_pair_scan(group: pa.Table) -> pa.Table:
+    """Cross-side candidate pairs within one coarse LSH bucket: for every
+    (band_id, band_hash) collision segment, emit (base_id, new_id) for
+    base rows (side=0) x new rows (side=1). Same lexsort+segment structure
+    as ``_bucket_pair_scan``; same-side collisions emit nothing (the
+    incremental contract only asks 'is this NEW doc a dup of the BASE
+    corpus'). Segments whose cross product exceeds ``MAX_SEGMENT_DOCS``
+    pairs are capped: each new doc pairs with the segment's minimum base
+    id plus its nearest base id in sorted order (<= 2 edges per new doc,
+    drops logged). RECALL CAVEAT as in ``_segment_pairs``: a capped true
+    pair is lost when both emitted edges fail the exact-Jaccard threshold
+    — only the uncapped path is exhaustive."""
+    bid = group.column("band_id").to_numpy()
+    bh = group.column("band_hash").to_numpy()
+    ids = group.column("doc_id").to_numpy().astype(np.int64)
+    side = group.column("side").to_numpy().astype(np.int8)
+    order = np.lexsort((ids, side, bh, bid))
+    bid_s, bh_s = bid[order], bh[order]
+    ids_s, side_s = ids[order], side[order]
+    n = len(ids_s)
+    change = np.ones(n, bool)
+    change[1:] = (bid_s[1:] != bid_s[:-1]) | (bh_s[1:] != bh_s[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        sd = side_s[s:e]
+        nb = int(np.searchsorted(sd, 1))  # side-sorted: base rows first
+        nn = (e - s) - nb
+        if nb == 0 or nn == 0:
+            continue
+        base = ids_s[s:s + nb]
+        new = ids_s[s + nb:e]
+        if nb * nn > MAX_SEGMENT_DOCS:
+            _log_segment_cap("minhash_incremental", e - s,
+                             nb * nn - 2 * nn)
+            near = np.clip(np.searchsorted(base, new) - 1, 0, nb - 1)
+            a = np.concatenate([np.full(nn, base[0], np.int64),
+                                base[near]])
+            b = np.concatenate([new, new])
+            uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+            out_a.append(uniq[:, 0])
+            out_b.append(uniq[:, 1])
+        else:
+            ii = np.repeat(np.arange(nb), nn)
+            jj = np.tile(np.arange(nn), nb)
+            out_a.append(base[ii])
+            out_b.append(new[jj])
+    return pa.table({
+        "doc_a": pa.array(_cat(out_a, np.int64), pa.int64()),
+        "doc_b": pa.array(_cat(out_b, np.int64), pa.int64()),
+    })
+
+
+def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
+                              num_hashes: int = 128, bands: int = 16,
+                              w: int = 3, sig_mode: str = "classic",
+                              collect: bool = True):
+    """Incremental near-dup: which NEW docs duplicate the EXISTING corpus.
+
+    The standard crawl-snapshot operation (dedup each new Common-Crawl
+    dump against everything already ingested): returns (doc_a, doc_b,
+    jaccard) with doc_a from ``base_ds``, doc_b from ``new_ds``, exact
+    w-shingle Jaccard >= threshold. Contract: doc_ids are globally
+    disjoint across the two inputs (crawl snapshots carry global ids).
+
+    Shape: both sides are tagged map-side (side=0 base, side=1 new) and
+    UNION into ONE signature -> band-explode -> bucket-groupby pass — the
+    base corpus is a Dataset throughout, never broadcast or collected, so
+    the base side scales to the full accumulated corpus. The per-bucket
+    scan emits only cross-side pairs (no base x base work — the base
+    corpus was already deduped when it was ingested), and the shared
+    Bloom-gated semi-join + vbucket verify scores candidates exactly.
+    New-vs-new duplicates are ``minhash_dedup_pairs`` on ``new_ds`` alone;
+    composing both gives full-corpus dedup without re-pairing the base."""
+    def _tag(side_val):
+        def tag(b: pa.Table) -> pa.Table:
+            return b.select(["doc_id", "text"]).append_column(
+                "side", pa.array(np.full(b.num_rows, side_val, np.int8)))
+        return tag
+
+    tagged = base_ds.map_batches(_tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(_tag(1), batch_format="pyarrow"))
+    rows = num_hashes // bands
+    sigs = tagged.map_batches(MinHashStage(num_hashes, w, mode=sig_mode),
+                              batch_format="pyarrow", concurrency=None)
+    bands_ds = sigs.map_batches(
+        partial(band_explode_batch, bands=bands, rows=rows),
+        batch_format="pyarrow")
+    cand = bands_ds.groupby("bucket").map_groups(
+        _bucket_cross_pair_scan, batch_format="pyarrow")
+    texts = base_ds.select_columns(["doc_id", "text"]).union(
+        new_ds.select_columns(["doc_id", "text"]))
+    return _verify_candidate_pairs(texts, cand, threshold, w,
+                                   collect=collect)
 
 
 def _verify_candidate_pairs(ds, cand, threshold: float, w: int,

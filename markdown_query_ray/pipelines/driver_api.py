@@ -880,6 +880,34 @@ def minhash_pairs(sf_dir: str) -> pa.Table:
     return _round_col(t, "jaccard")
 
 
+def incremental_dedup_pairs(sf_dir: str) -> pa.Table:
+    """Incremental crawl dedup: new-batch docs (doc_id % 5 == 0) that
+    near-duplicate the existing corpus (doc_id % 5 != 0), exact
+    3-shingle Jaccard >= 0.5 via the recall-complete 64x2 banding (same
+    regime as minhash_dedup_pairs, so the output equals the cross-side
+    all-pairs Jaccard the DuckDB oracle computes). The base corpus stays
+    a Dataset end to end — one union-tagged signature pass, cross-side
+    pair scan, shared Bloom-gated semi-join verify."""
+    import ray.data
+
+    from .dedup import incremental_minhash_pairs
+
+    def _half(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            mask = (ids % 5 == 0) if keep_new else (ids % 5 != 0)
+            return b.filter(pa.array(mask))
+        return f
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    base = ds.map_batches(_half(False), batch_format="pyarrow")
+    new = ds.map_batches(_half(True), batch_format="pyarrow")
+    t = incremental_minhash_pairs(base, new, threshold=0.5,
+                                  num_hashes=128, bands=64)
+    return _round_col(t, "jaccard")
+
+
 def ngram_jaccard(sf_dir: str, threshold: float = 0.35) -> pa.Table:
     """EXACT 3-token-shingle Jaccard self-join >= threshold via the
     AllPairs/PPJoin prefix filter (no banding, no recall parameter):

@@ -1,0 +1,95 @@
+"""Incremental (cross-corpus) MinHash near-dup vs a brute-force oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from markdown_query_ray.pipelines.dedup import (
+    _bucket_cross_pair_scan,
+    incremental_minhash_pairs,
+    jaccard,
+)
+
+BASE = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (2, "completely different text about ray data pipelines here"),
+    (4, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    (6, ""),
+]
+NEW = [
+    (1, "the quick brown fox jumps over the lazy dog today"),   # dup of 0
+    (3, "the quick brown fox jumps over the lazy cat today"),   # near 0
+    (5, "totally novel content never seen in the base corpus"),
+    (7, ""),                                                    # dup of 6
+    (9, "alpha beta gamma delta epsilon zeta eta theta iota"),  # dup of 4
+]
+
+
+def _brute_cross(base, new, thr):
+    out = []
+    for a, ta in base:
+        for b, tb in new:
+            j = jaccard(ta, tb, 3)
+            if j >= thr:
+                out.append((a, b, round(j, 6)))
+    return sorted(out)
+
+
+def test_incremental_pairs_match_brute(ray_session):
+    import ray.data
+
+    def t(rows):
+        return pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                            pa.int64()),
+                         "text": pa.array([r[1] for r in rows],
+                                          pa.string())})
+
+    base = ray.data.from_arrow(t(BASE)).repartition(2)
+    new = ray.data.from_arrow(t(NEW)).repartition(2)
+    # 64x2 banding: recall-complete at the 0.5 boundary
+    got = incremental_minhash_pairs(base, new, threshold=0.5,
+                                    num_hashes=128, bands=64)
+    got_rows = sorted((a, b, round(j, 6)) for a, b, j in
+                      zip(got.column("doc_a").to_pylist(),
+                          got.column("doc_b").to_pylist(),
+                          got.column("jaccard").to_pylist()))
+    assert got_rows == _brute_cross(BASE, NEW, 0.5)
+    # orientation contract: doc_a from base, doc_b from new
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b, _ in got_rows)
+
+
+def test_cross_pair_scan_emits_cross_side_only():
+    # one collision segment with 2 base + 3 new docs
+    g = pa.table({
+        "band_id": pa.array([0] * 5, pa.int32()),
+        "band_hash": pa.array([7] * 5, pa.uint64()),
+        "doc_id": pa.array([10, 20, 11, 21, 31], pa.int64()),
+        "side": pa.array([0, 0, 1, 1, 1], pa.int8()),
+    })
+    out = _bucket_cross_pair_scan(g)
+    pairs = set(zip(out.column("doc_a").to_pylist(),
+                    out.column("doc_b").to_pylist()))
+    assert pairs == {(a, b) for a in (10, 20) for b in (11, 21, 31)}
+
+
+def test_cross_pair_scan_cap_keeps_min_and_nearest(monkeypatch):
+    import markdown_query_ray.pipelines.dedup as dd
+
+    monkeypatch.setattr(dd, "MAX_SEGMENT_DOCS", 8)
+    nb, nn = 5, 4
+    base_ids = list(range(0, 100, 20))          # 0 20 40 60 80
+    new_ids = [15, 55, 95, 99]
+    g = pa.table({
+        "band_id": pa.array([0] * (nb + nn), pa.int32()),
+        "band_hash": pa.array([7] * (nb + nn), pa.uint64()),
+        "doc_id": pa.array(base_ids + new_ids, pa.int64()),
+        "side": pa.array([0] * nb + [1] * nn, pa.int8()),
+    })
+    out = dd._bucket_cross_pair_scan(g)
+    pairs = set(zip(out.column("doc_a").to_pylist(),
+                    out.column("doc_b").to_pylist()))
+    exp = set()
+    for x in new_ids:
+        exp.add((0, x))                               # segment-min base
+        exp.add((max(b for b in base_ids if b <= x), x))  # nearest base
+    assert pairs == exp
