@@ -272,6 +272,30 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 
+# Duplicated-substring spans from first principles: same 4-gram identity
+# and cross-doc df >= 2 rule as _CROSS_DUP_SQL, then the gaps-and-islands
+# merge (a new island starts when the gap to the previous dup window
+# exceeds w=4) — the SQL-window form of dedup._dup_span_group's local
+# vectorized merge.
+_DUP_SPANS_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+occ AS (SELECT doc_id, unnest(range(0, len(l) - 3)) AS pos,
+        unnest(list_transform(range(0, len(l) - 3),
+        i -> l[i+1] || chr(31) || l[i+2] || chr(31) || l[i+3] || chr(31) || l[i+4])) AS g
+        FROM tl WHERE len(l) >= 4),
+dg AS (SELECT DISTINCT doc_id, g FROM occ),
+df AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+dp AS (SELECT occ.doc_id, occ.pos FROM occ JOIN df USING (g)),
+o AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+      (PARTITION BY doc_id ORDER BY pos) <= 4 THEN 0 ELSE 1 END AS brk FROM dp),
+i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS UNBOUNDED PRECEDING) AS isl FROM o)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 4 AS BIGINT) AS span_end
+FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start
+"""
+
 # Cross-doc duplicated-window coverage from first principles: the same
 # 4-gram window identity as shingle_hashes(w=4) (string windows joined by
 # chr(31)), doc frequency over DISTINCT (doc, window) pairs, a window
@@ -703,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": d.pii_redact,
         "bigram_novelty": d.bigram_novelty,
         "cross_dup_coverage": d.cross_dup_coverage,
+        "dup_token_spans": d.dup_token_spans_entry,
         "lang_distinct_tokens": d.lang_distinct_tokens,
         "mixture_weighted_repeat": d.mixture_weighted_repeat,
         "lang_length_quantiles": d.lang_length_quantiles,
@@ -873,6 +898,7 @@ ORDER BY tl.doc_id
         "pii_redact": _PII_SQL,
         "bigram_novelty": _BIGRAM_SQL,
         "cross_dup_coverage": _CROSS_DUP_SQL,
+        "dup_token_spans": _DUP_SPANS_SQL,
         # distinct-token cardinality per lang: set identity invariant
         # under the injective token-hash chain the Ray side shuffles
         "lang_distinct_tokens": (

@@ -871,6 +871,172 @@ def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
                                    collect=collect)
 
 
+# ---------------------------------------------------------------------------
+# Duplicated-substring span extraction (cross-doc, token-window based)
+# ---------------------------------------------------------------------------
+
+def _ids_bloom(ds, col: str, m_bits: int):
+    """Fixed-size Bloom filter over one int64 id column of a Dataset
+    (same streaming OR-of-per-block-bitmaps shape as
+    ``_candidate_bloom``; O(m_bits) driver state)."""
+    import ray
+
+    def block(batch: pa.Table) -> pa.Table:
+        words = np.zeros(m_bits // 64, np.uint64)
+        _bloom_add(words, batch.column(col).to_numpy().astype(np.int64),
+                   m_bits)
+        return pa.table({"bits": pa.array([words.tobytes()],
+                                          pa.large_binary())})
+
+    words = np.zeros(m_bits // 64, np.uint64)
+    for b in ds.map_batches(block, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in b.column("bits").to_pylist():
+            words |= np.frombuffer(buf, np.uint64)
+    return ray.put(words)
+
+
+def _dup_span_group(group: pa.Table, w: int) -> pa.Table:
+    """One doc-hash bucket: (doc_id, skey) dup-window rows (kind=0) meet
+    the docs' texts (kind=1). Per doc: recompute the position-ordered
+    window hashes, mark positions whose w-gram is cross-doc duplicated
+    (sorted-array membership), and merge overlapping-or-adjacent windows
+    (gap <= w) into maximal [span_start, span_end) token spans."""
+    kind = group.column("kind").to_numpy()
+    pmask = kind == 0
+    out_d, out_s, out_e = [], [], []
+    if pmask.any() and (~pmask).any():
+        p = group.filter(pa.array(pmask))
+        pid = p.column("doc_id").to_numpy().astype(np.int64)
+        pkey = p.column("skey").to_numpy().astype(np.int64)
+        order = np.lexsort((pkey, pid))
+        pid, pkey = pid[order], pkey[order]
+        t = group.filter(pa.array(~pmask))
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            lo = int(np.searchsorted(pid, did, "left"))
+            hi = int(np.searchsorted(pid, did, "right"))
+            if lo == hi:
+                continue  # Bloom false positive: no dup windows here
+            keys = pkey[lo:hi]  # sorted (lexsort above)
+            h = shingle_hashes(txt or "", w)
+            h_i64 = h.view(np.int64)
+            pos = np.searchsorted(keys, h_i64)
+            pos_ok = pos < len(keys)
+            dup = np.zeros(len(h_i64), bool)
+            dup[pos_ok] = keys[pos[pos_ok]] == h_i64[pos_ok]
+            dpos = np.nonzero(dup)[0]
+            if not len(dpos):
+                continue
+            brk = np.nonzero(np.diff(dpos) > w)[0]
+            starts = dpos[np.r_[0, brk + 1]]
+            ends = dpos[np.r_[brk, len(dpos) - 1]] + w
+            out_d.append(np.full(len(starts), did, np.int64))
+            out_s.append(starts.astype(np.int64))
+            out_e.append(ends.astype(np.int64))
+    return pa.table({
+        "doc_id": pa.array(_cat(out_d, np.int64), pa.int64()),
+        "span_start": pa.array(_cat(out_s, np.int64), pa.int64()),
+        "span_end": pa.array(_cat(out_e, np.int64), pa.int64()),
+    })
+
+
+def dup_token_spans(ds, w: int = 4, num_buckets: int = _JOIN_BUCKETS,
+                    collect: bool = True):
+    """Maximal per-doc token spans covered by CROSS-DOCUMENT duplicated
+    w-gram windows — the substring-dedup shape of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ACL
+    2022, public paper): any duplicated substring of >= w tokens
+    contains a duplicated w-gram window, so merging overlapping dup
+    windows recovers the removable spans without a suffix array.
+
+    Returns (doc_id, span_start, span_end) token-index spans, merged
+    when consecutive dup windows start <= w tokens apart
+    (overlapping-or-adjacent). A window is duplicated iff its w-gram
+    appears in >= 2 DISTINCT docs (within-doc repeats alone don't
+    count, matching ``ngramstats.cross_dup_scores``).
+
+    Fully distributed, four bounded exchanges, window POSITIONS never
+    shuffle: (1) map-side df partials -> ``groupby(skey).sum`` -> dup
+    keys (df >= 2); (2) distinct (doc, skey) pairs join the dup keys
+    via ``shuffle_hash_join``; (3) the (doc_id, dup skey) rows and the
+    corpus co-shuffle on ``hash(doc_id)`` — a doc-id Bloom built from
+    the pair rows drops clean docs map-side, so their texts never ride
+    the join — and each doc recomputes its window positions locally
+    inside ``map_groups``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .equijoin import shuffle_hash_join
+    from .ngramstats import dup_window_partials, window_occ_batch
+
+    df = ds.map_batches(partial(dup_window_partials, w=w),
+                        batch_format="pyarrow") \
+        .groupby("skey").aggregate(Sum("df_part", alias_name="df"))
+    dup_keys = df.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("df"), 2)),
+        batch_format="pyarrow")
+    occ = ds.map_batches(partial(window_occ_batch, w=w),
+                         batch_format="pyarrow")
+    pairs = shuffle_hash_join(
+        occ, dup_keys, "skey", "skey",
+        {"doc_id": pa.int64()}, {"df": pa.int64()},
+        key_out="skey", num_buckets=num_buckets).materialize()
+
+    n_pairs = pairs.count()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "span_start": pa.array([], pa.int64()),
+                      "span_end": pa.array([], pa.int64())})
+    if n_pairs == 0:
+        if not collect:
+            import ray.data
+
+            return ray.data.from_arrow(empty)
+        return empty
+    m_bits = _bloom_size_bits(n_pairs)
+    bloom_ref = _ids_bloom(pairs, "doc_id", m_bits)
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "jkey": pa.array(_doc_jkey(ids, num_buckets)),
+            "kind": pa.array(np.zeros(len(ids), np.int8)),
+            "doc_id": pa.array(ids),
+            "skey": b.column("skey").cast(pa.int64()),
+            "text": pa.array([""] * len(ids), pa.string()),
+        })
+
+    def text_rows(b: pa.Table) -> pa.Table:
+        import ray
+
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        keep = _bloom_test(ray.get(bloom_ref), ids, m_bits)
+        if not keep.all():
+            b = b.filter(pa.array(keep))
+            ids = ids[keep]
+        return pa.table({
+            "jkey": pa.array(_doc_jkey(ids, num_buckets)),
+            "kind": pa.array(np.ones(len(ids), np.int8)),
+            "doc_id": pa.array(ids, pa.int64()),
+            "skey": pa.array(np.zeros(len(ids), np.int64)),
+            "text": b.column("text").cast(pa.string()),
+        })
+
+    routed = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+        ds.map_batches(text_rows, batch_format="pyarrow"))
+    spans = routed.groupby("jkey").map_groups(
+        partial(_dup_span_group, w=w), batch_format="pyarrow")
+    if not collect:
+        return spans
+    chunks = list(spans.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"))
+    t = pa.concat_tables(chunks) if chunks else empty
+    if t.num_rows == 0:
+        return empty
+    return t.sort_by([("doc_id", "ascending"),
+                      ("span_start", "ascending")])
+
+
 def _verify_candidate_pairs(ds, cand, threshold: float, w: int,
                             collect: bool = True):
     """Shared tail of the text near-dup pipelines: candidate (doc_a,

@@ -623,6 +623,21 @@ def bigram_novelty(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def dup_token_spans_entry(sf_dir: str, w: int = 4) -> pa.Table:
+    """Maximal per-doc token spans covered by cross-doc duplicated
+    w-gram windows (dedup.dup_token_spans: df groupby -> dup-key join ->
+    Bloom-gated doc-hash routing -> local span merge). Exact integer
+    token indices; the oracle re-derives the gaps-and-islands merge in
+    SQL window functions."""
+    import ray.data
+
+    from .dedup import dup_token_spans
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return dup_token_spans(ds, w=w)
+
+
 def cross_dup_coverage(sf_dir: str, w: int = 4) -> pa.Table:
     """Cross-document duplicated-window coverage per doc
     (ngramstats.cross_dup_scores: df groupby -> score-by-join ->
