@@ -128,6 +128,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.minhash_pairs(sf_dir)
     with timed("dedup_ngram_exact"):  # exact prefix-filter Jaccard join
         d.ngram_jaccard(sf_dir)
+    with timed("dedup_incremental"):  # new batch vs base corpus, cross-side
+        d.incremental_dedup_pairs(sf_dir)
+    with timed("dup_token_spans"):  # cross-doc duplicated-substring spans
+        d.dup_token_spans_entry(sf_dir)
     with timed("knn_cosine"):
         d.knn_cosine(sf_dir, 0, 10)
     with timed("quality_features"):
