@@ -296,6 +296,34 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start
 """
 
+# Substring-dedup rewrite from first principles: covered token indices =
+# the union of [pos, pos+4) over duplicated windows; survivors rejoin
+# with single spaces in token order (the whitespace-normalizing contract
+# both sides share). Docs with no tokens pin clean_text = ''.
+_DUP_SCRUB_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+occ AS (SELECT doc_id, unnest(range(0, len(l) - 3)) AS pos,
+        unnest(list_transform(range(0, len(l) - 3),
+        i -> l[i+1] || chr(31) || l[i+2] || chr(31) || l[i+3] || chr(31) || l[i+4])) AS g
+        FROM tl WHERE len(l) >= 4),
+dg AS (SELECT DISTINCT doc_id, g FROM occ),
+df AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+dp AS (SELECT occ.doc_id, occ.pos FROM occ JOIN df USING (g)),
+cov AS (SELECT DISTINCT dp.doc_id, dp.pos + o.o AS tpos
+        FROM dp CROSS JOIN (SELECT unnest(range(0, 4)) AS o) o),
+toks AS (SELECT doc_id, unnest(range(0, len(l))) AS tpos, unnest(l) AS tok FROM tl),
+kept AS (SELECT t.doc_id, t.tpos, t.tok FROM toks t LEFT JOIN cov c
+         ON t.doc_id = c.doc_id AND t.tpos = c.tpos WHERE c.doc_id IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+        FROM kept GROUP BY doc_id),
+nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(n.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN nrem n ON n.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
 # Cross-doc duplicated-window coverage from first principles: the same
 # 4-gram window identity as shingle_hashes(w=4) (string windows joined by
 # chr(31)), doc frequency over DISTINCT (doc, window) pairs, a window
@@ -728,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_novelty": d.bigram_novelty,
         "cross_dup_coverage": d.cross_dup_coverage,
         "dup_token_spans": d.dup_token_spans_entry,
+        "dup_span_scrub": d.dup_span_scrub_entry,
         "lang_distinct_tokens": d.lang_distinct_tokens,
         "mixture_weighted_repeat": d.mixture_weighted_repeat,
         "lang_length_quantiles": d.lang_length_quantiles,
@@ -899,6 +928,7 @@ ORDER BY tl.doc_id
         "bigram_novelty": _BIGRAM_SQL,
         "cross_dup_coverage": _CROSS_DUP_SQL,
         "dup_token_spans": _DUP_SPANS_SQL,
+        "dup_span_scrub": _DUP_SCRUB_SQL,
         # distinct-token cardinality per lang: set identity invariant
         # under the injective token-hash chain the Ray side shuffles
         "lang_distinct_tokens": (

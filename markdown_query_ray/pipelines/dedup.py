@@ -941,6 +941,45 @@ def _dup_span_group(group: pa.Table, w: int) -> pa.Table:
     })
 
 
+def _dup_window_pairs(ds, w: int, num_buckets: int):
+    """Shared head of the substring-dedup family: the materialized
+    (skey, doc_id, df) Dataset of every distinct (doc, w-gram) pair
+    whose gram appears in >= 2 distinct docs. Three bounded exchanges:
+    map-side df partials -> ``groupby(skey).sum`` -> dup keys (df >= 2);
+    distinct (doc, skey) pairs join the dup keys via
+    ``shuffle_hash_join``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .equijoin import shuffle_hash_join
+    from .ngramstats import dup_window_partials, window_occ_batch
+
+    df = ds.map_batches(partial(dup_window_partials, w=w),
+                        batch_format="pyarrow") \
+        .groupby("skey").aggregate(Sum("df_part", alias_name="df"))
+    dup_keys = df.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("df"), 2)),
+        batch_format="pyarrow")
+    occ = ds.map_batches(partial(window_occ_batch, w=w),
+                         batch_format="pyarrow")
+    return shuffle_hash_join(
+        occ, dup_keys, "skey", "skey",
+        {"doc_id": pa.int64()}, {"df": pa.int64()},
+        key_out="skey", num_buckets=num_buckets).materialize()
+
+
+def _dup_pair_rows(b: pa.Table, num_buckets: int) -> pa.Table:
+    """(doc_id, skey) dup pairs -> doc-hash-keyed routing rows (kind=0)."""
+    ids = b.column("doc_id").to_numpy().astype(np.int64)
+    return pa.table({
+        "jkey": pa.array(_doc_jkey(ids, num_buckets)),
+        "kind": pa.array(np.zeros(len(ids), np.int8)),
+        "doc_id": pa.array(ids),
+        "skey": b.column("skey").cast(pa.int64()),
+        "text": pa.array([""] * len(ids), pa.string()),
+    })
+
+
 def dup_token_spans(ds, w: int = 4, num_buckets: int = _JOIN_BUCKETS,
                     collect: bool = True):
     """Maximal per-doc token spans covered by CROSS-DOCUMENT duplicated
@@ -964,25 +1003,7 @@ def dup_token_spans(ds, w: int = 4, num_buckets: int = _JOIN_BUCKETS,
     the pair rows drops clean docs map-side, so their texts never ride
     the join — and each doc recomputes its window positions locally
     inside ``map_groups``."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
-
-    from .equijoin import shuffle_hash_join
-    from .ngramstats import dup_window_partials, window_occ_batch
-
-    df = ds.map_batches(partial(dup_window_partials, w=w),
-                        batch_format="pyarrow") \
-        .groupby("skey").aggregate(Sum("df_part", alias_name="df"))
-    dup_keys = df.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("df"), 2)),
-        batch_format="pyarrow")
-    occ = ds.map_batches(partial(window_occ_batch, w=w),
-                         batch_format="pyarrow")
-    pairs = shuffle_hash_join(
-        occ, dup_keys, "skey", "skey",
-        {"doc_id": pa.int64()}, {"df": pa.int64()},
-        key_out="skey", num_buckets=num_buckets).materialize()
-
+    pairs = _dup_window_pairs(ds, w, num_buckets)
     n_pairs = pairs.count()
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "span_start": pa.array([], pa.int64()),
@@ -995,16 +1016,6 @@ def dup_token_spans(ds, w: int = 4, num_buckets: int = _JOIN_BUCKETS,
         return empty
     m_bits = _bloom_size_bits(n_pairs)
     bloom_ref = _ids_bloom(pairs, "doc_id", m_bits)
-
-    def pair_rows(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy().astype(np.int64)
-        return pa.table({
-            "jkey": pa.array(_doc_jkey(ids, num_buckets)),
-            "kind": pa.array(np.zeros(len(ids), np.int8)),
-            "doc_id": pa.array(ids),
-            "skey": b.column("skey").cast(pa.int64()),
-            "text": pa.array([""] * len(ids), pa.string()),
-        })
 
     def text_rows(b: pa.Table) -> pa.Table:
         import ray
@@ -1022,7 +1033,9 @@ def dup_token_spans(ds, w: int = 4, num_buckets: int = _JOIN_BUCKETS,
             "text": b.column("text").cast(pa.string()),
         })
 
-    routed = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+    routed = pairs.map_batches(
+        partial(_dup_pair_rows, num_buckets=num_buckets),
+        batch_format="pyarrow").union(
         ds.map_batches(text_rows, batch_format="pyarrow"))
     spans = routed.groupby("jkey").map_groups(
         partial(_dup_span_group, w=w), batch_format="pyarrow")
@@ -1035,6 +1048,129 @@ def dup_token_spans(ds, w: int = 4, num_buckets: int = _JOIN_BUCKETS,
         return empty
     return t.sort_by([("doc_id", "ascending"),
                       ("span_start", "ascending")])
+
+
+def _scrub_group(group: pa.Table, w: int) -> pa.Table:
+    """One doc-hash bucket of the scrub: per doc, tokens covered by any
+    cross-doc duplicated w-gram window are removed and the survivors
+    rejoin with single spaces (whitespace-NORMALIZING rewrite — runs of
+    spaces collapse, matching the SQL oracle's token-list rebuild)."""
+    kind = group.column("kind").to_numpy()
+    pmask = kind == 0
+    out_d: list[int] = []
+    out_t: list[str] = []
+    out_r: list[int] = []
+    if (~pmask).any():
+        p = group.filter(pa.array(pmask))
+        pid = p.column("doc_id").to_numpy().astype(np.int64)
+        pkey = p.column("skey").to_numpy().astype(np.int64)
+        order = np.lexsort((pkey, pid))
+        pid, pkey = pid[order], pkey[order]
+        t = group.filter(pa.array(~pmask))
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            toks = [x for x in (txt or "").split(" ") if x]
+            lo = int(np.searchsorted(pid, did, "left"))
+            hi = int(np.searchsorted(pid, did, "right"))
+            if lo == hi or len(toks) < w:  # Bloom fp / short doc: clean
+                out_d.append(did)
+                out_t.append(" ".join(toks))
+                out_r.append(0)
+                continue
+            keys = pkey[lo:hi]
+            h_i64 = shingle_hashes(txt or "", w).view(np.int64)
+            pos = np.searchsorted(keys, h_i64)
+            pos_ok = pos < len(keys)
+            dup = np.zeros(len(h_i64), bool)
+            dup[pos_ok] = keys[pos[pos_ok]] == h_i64[pos_ok]
+            dpos = np.nonzero(dup)[0]
+            n = len(toks)
+            # covered[i] = i inside any dup window [p, p+w): diff trick
+            delta = np.zeros(n + 1, np.int32)
+            np.add.at(delta, dpos, 1)
+            np.add.at(delta, np.minimum(dpos + w, n), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            out_d.append(did)
+            out_t.append(" ".join(kept))
+            out_r.append(int(covered.sum()))
+    return pa.table({
+        "doc_id": pa.array(out_d, pa.int64()),
+        "clean_text": pa.array(out_t, pa.string()),
+        "n_removed": pa.array(out_r, pa.int64()),
+    })
+
+
+def dup_span_scrub(ds, w: int = 4, num_buckets: int = _JOIN_BUCKETS,
+                   collect: bool = True):
+    """Apply the ``dup_token_spans`` result: REMOVE every token covered
+    by a cross-doc duplicated w-gram window and return (doc_id,
+    clean_text, n_removed) for EVERY doc — the end-to-end
+    substring-dedup rewrite of Lee et al. (ACL 2022). The rewrite is
+    whitespace-normalizing (tokens rejoin with single spaces).
+
+    Same exchanges as ``dup_token_spans``; the Bloom split makes the
+    clean-doc majority ZERO-shuffle: docs testing negative emit
+    (doc_id, text, 0) map-side and never ride the doc-hash groupby —
+    only dup-suspect texts shuffle. Bloom false positives route, find
+    no pair rows in their group, and emit unchanged."""
+    pairs = _dup_window_pairs(ds, w, num_buckets)
+    n_pairs = pairs.count()
+
+    def norm_all(b: pa.Table) -> pa.Table:
+        texts = [" ".join(x for x in (t or "").split(" ") if x)
+                 for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "clean_text": pa.array(texts, pa.string()),
+            "n_removed": pa.array(
+                np.zeros(b.num_rows, np.int64)),
+        })
+
+    if n_pairs == 0:
+        result = ds.map_batches(norm_all, batch_format="pyarrow")
+    else:
+        m_bits = _bloom_size_bits(n_pairs)
+        bloom_ref = _ids_bloom(pairs, "doc_id", m_bits)
+
+        def suspect_rows(b: pa.Table) -> pa.Table:
+            import ray
+
+            ids = b.column("doc_id").to_numpy().astype(np.int64)
+            keep = _bloom_test(ray.get(bloom_ref), ids, m_bits)
+            b = b.filter(pa.array(keep))
+            ids = ids[keep]
+            return pa.table({
+                "jkey": pa.array(_doc_jkey(ids, num_buckets)),
+                "kind": pa.array(np.ones(len(ids), np.int8)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "skey": pa.array(np.zeros(len(ids), np.int64)),
+                "text": b.column("text").cast(pa.string()),
+            })
+
+        def clean_rows(b: pa.Table) -> pa.Table:
+            import ray
+
+            ids = b.column("doc_id").to_numpy().astype(np.int64)
+            keep = ~_bloom_test(ray.get(bloom_ref), ids, m_bits)
+            return norm_all(b.filter(pa.array(keep)))
+
+        routed = pairs.map_batches(
+            partial(_dup_pair_rows, num_buckets=num_buckets),
+            batch_format="pyarrow") \
+            .union(ds.map_batches(suspect_rows, batch_format="pyarrow"))
+        scrubbed = routed.groupby("jkey").map_groups(
+            partial(_scrub_group, w=w), batch_format="pyarrow")
+        result = scrubbed.union(
+            ds.map_batches(clean_rows, batch_format="pyarrow"))
+    if not collect:
+        return result
+    from .equijoin import collect_arrow
+
+    t = collect_arrow(result, pa.schema([
+        ("doc_id", pa.int64()), ("clean_text", pa.string()),
+        ("n_removed", pa.int64())]))
+    return t.sort_by("doc_id")
 
 
 def _verify_candidate_pairs(ds, cand, threshold: float, w: int,

@@ -638,6 +638,21 @@ def dup_token_spans_entry(sf_dir: str, w: int = 4) -> pa.Table:
     return dup_token_spans(ds, w=w)
 
 
+def dup_span_scrub_entry(sf_dir: str, w: int = 4) -> pa.Table:
+    """End-to-end substring-dedup rewrite (dedup.dup_span_scrub): every
+    token covered by a cross-doc duplicated w-gram window is removed;
+    clean docs take the zero-shuffle Bloom-negative path. Output is one
+    row per doc (doc_id, clean_text, n_removed); the rewrite is
+    whitespace-normalizing by contract."""
+    import ray.data
+
+    from .dedup import dup_span_scrub
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return dup_span_scrub(ds, w=w)
+
+
 def cross_dup_coverage(sf_dir: str, w: int = 4) -> pa.Table:
     """Cross-document duplicated-window coverage per doc
     (ngramstats.cross_dup_scores: df groupby -> score-by-join ->
