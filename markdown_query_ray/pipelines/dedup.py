@@ -779,10 +779,11 @@ def _bucket_cross_pair_scan(group: pa.Table) -> pa.Table:
     base rows (side=0) x new rows (side=1). Same lexsort+segment structure
     as ``_bucket_pair_scan``; same-side collisions emit nothing (the
     incremental contract only asks 'is this NEW doc a dup of the BASE
-    corpus'). Segments whose cross product exceeds ``MAX_SEGMENT_DOCS``
-    pairs are capped: each new doc pairs with the segment's minimum base
-    id plus its nearest base id in sorted order (<= 2 edges per new doc,
-    drops logged). RECALL CAVEAT as in ``_segment_pairs``: a capped true
+    corpus'). Segments holding more than ``MAX_SEGMENT_DOCS`` docs (the
+    same cap rule as the self-join's ``_segment_pairs``) are capped:
+    each new doc pairs with the segment's minimum base id plus its
+    nearest base id in sorted order (<= 2 edges per new doc, drops
+    logged). RECALL CAVEAT as in ``_segment_pairs``: a capped true
     pair is lost when both emitted edges fail the exact-Jaccard threshold
     — only the uncapped path is exhaustive."""
     bid = group.column("band_id").to_numpy()
@@ -807,7 +808,7 @@ def _bucket_cross_pair_scan(group: pa.Table) -> pa.Table:
             continue
         base = ids_s[s:s + nb]
         new = ids_s[s + nb:e]
-        if nb * nn > MAX_SEGMENT_DOCS:
+        if (e - s) > MAX_SEGMENT_DOCS:
             _log_segment_cap("minhash_incremental", e - s,
                              nb * nn - 2 * nn)
             near = np.clip(np.searchsorted(base, new) - 1, 0, nb - 1)
