@@ -944,29 +944,35 @@ def _dup_span_group(group: pa.Table, w: int) -> pa.Table:
 
 def _dup_window_pairs(ds, w: int, num_buckets: int):
     """Shared head of the substring-dedup family: the materialized
-    (skey, doc_id, df) Dataset of every distinct (doc, w-gram) pair
-    whose gram appears in >= 2 distinct docs. Three bounded exchanges:
-    map-side df partials -> ``groupby(skey).sum`` -> dup keys (df >= 2);
-    distinct (doc, skey) pairs join the dup keys via
-    ``shuffle_hash_join``."""
+    (skey, doc_id) Dataset of every distinct (doc, w-gram) pair whose
+    gram appears in >= 2 distinct docs. ONE exchange: the df aggregate
+    is FUSED into the join's own shuffle (``left_combine`` — map-side
+    df partials and the distinct (doc, skey) pairs co-shuffle on the
+    skey hash; the bucket co-locates equal keys, so the in-group sum is
+    globally exact), then the df >= 2 filter runs map-side on the join
+    output. Replaces the groupby(skey) + separate join (two all-to-alls
+    over the same key)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from .equijoin import shuffle_hash_join
     from .ngramstats import dup_window_partials, window_occ_batch
 
-    df = ds.map_batches(partial(dup_window_partials, w=w),
-                        batch_format="pyarrow") \
-        .groupby("skey").aggregate(Sum("df_part", alias_name="df"))
-    dup_keys = df.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("df"), 2)),
-        batch_format="pyarrow")
+    partials = ds.map_batches(partial(dup_window_partials, w=w),
+                              batch_format="pyarrow")
     occ = ds.map_batches(partial(window_occ_batch, w=w),
                          batch_format="pyarrow")
-    return shuffle_hash_join(
-        occ, dup_keys, "skey", "skey",
-        {"doc_id": pa.int64()}, {"df": pa.int64()},
-        key_out="skey", num_buckets=num_buckets).materialize()
+    joined = shuffle_hash_join(
+        partials, occ, "skey", "skey",
+        {"df_part": pa.int64()}, {"doc_id": pa.int64()},
+        key_out="skey", num_buckets=num_buckets,
+        left_combine=[("df_part", "sum", "df")])
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("df"), 2)) \
+            .select(["skey", "doc_id"])
+
+    return joined.map_batches(dup_only,
+                              batch_format="pyarrow").materialize()
 
 
 def _dup_pair_rows(b: pa.Table, num_buckets: int) -> pa.Table:

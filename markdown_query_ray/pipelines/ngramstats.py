@@ -4,16 +4,17 @@ Crawl pipelines score fluency/novelty against corpus-level n-gram
 statistics (perplexity filters in CCNet/Gopher/FineWeb). The statistics
 table at web scale is far too large to broadcast, so scoring must be a
 JOIN, not a lookup: this module builds global bigram counts and scores
-every document against them in three bounded exchanges —
+every document against them in two bounded exchanges —
 
-1. counts: map-side partial bigram counts (vectorized shingle-hash
-   identities, np.unique per batch) -> one ``groupby(bigram).sum``; the
-   count table is a Dataset, never driver state;
-2. score-by-join: per-doc bigram OCCURRENCES (duplicates kept — each
-   occurrence contributes) join the count table with
-   ``shuffle_hash_join`` on the bigram key (equijoin.py: one exchange,
-   hash-bucketed);
-3. per-doc aggregate: map-side combine + ``groupby(doc_id)`` for
+1. counts + score-by-join in ONE exchange: map-side partial bigram
+   counts (vectorized shingle-hash identities, np.unique per batch)
+   and the per-doc bigram OCCURRENCES (duplicates kept — each
+   occurrence contributes) co-shuffle on the bigram key's hash, with
+   the count aggregate FUSED into the join's own exchange
+   (``shuffle_hash_join`` ``left_combine``: the bucket co-locates
+   equal keys, so the in-group sum is globally exact). The count table
+   is never driver state and never shuffles a second time;
+2. per-doc aggregate: map-side combine + ``groupby(doc_id)`` for
    (n_bigrams, sum_count, min_count).
 
 Outputs are EXACT INTEGERS (occurrence totals against global counts),
@@ -135,26 +136,28 @@ def cross_dup_scores(ds, w: int = 4, num_buckets: int = 64):
                       OTHER document (global doc-frequency >= 2;
                       within-doc repeats alone do not count).
 
-    Shape = the same three bounded exchanges as ``bigram_scores``:
-    map-side df partials -> one ``groupby(skey).sum``; distinct
-    (doc, skey, occ) pairs join the df table via ``shuffle_hash_join``
-    (one exchange — occurrence positions never shuffle, only distinct
-    pairs); map-side combine -> ``groupby(doc_id)``. Outputs are exact
-    integers so the DuckDB oracle matches bit-for-bit. Callers pin
-    docs with < w tokens to (0, 0) via a zero-shuffle side pass."""
+    Shape = the same two bounded exchanges as ``bigram_scores``: the df
+    aggregate is FUSED into the join's own shuffle (``left_combine`` —
+    map-side df partials and the distinct (doc, skey, occ) pairs
+    co-shuffle on the skey hash, the in-group sum is globally exact);
+    then map-side combine -> ``groupby(doc_id)``. Occurrence positions
+    never shuffle, only distinct pairs. Outputs are exact integers so
+    the DuckDB oracle matches bit-for-bit. Callers pin docs with < w
+    tokens to (0, 0) via a zero-shuffle side pass."""
     from ray.data.aggregate import Sum
 
     from .equijoin import shuffle_hash_join
 
-    df = ds.map_batches(partial(dup_window_partials, w=w),
-                        batch_format="pyarrow") \
-        .groupby("skey").aggregate(Sum("df_part", alias_name="df"))
+    partials = ds.map_batches(partial(dup_window_partials, w=w),
+                              batch_format="pyarrow")
     occ = ds.map_batches(partial(window_occ_batch, w=w),
                          batch_format="pyarrow")
     joined = shuffle_hash_join(
-        occ, df, "skey", "skey",
-        {"doc_id": pa.int64(), "occ": pa.int64()}, {"df": pa.int64()},
-        key_out="skey", num_buckets=num_buckets)
+        partials, occ, "skey", "skey",
+        {"df_part": pa.int64()},
+        {"doc_id": pa.int64(), "occ": pa.int64()},
+        key_out="skey", num_buckets=num_buckets,
+        left_combine=[("df_part", "sum", "df")])
 
     def per_doc_partial(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy().astype(np.int64)
@@ -183,14 +186,14 @@ def bigram_scores(ds, num_buckets: int = 64):
 
     from .equijoin import shuffle_hash_join
 
-    counts = ds.map_batches(bigram_count_partials,
-                            batch_format="pyarrow") \
-        .groupby("bkey").aggregate(Sum("cnt_part", alias_name="cnt"))
+    partials = ds.map_batches(bigram_count_partials,
+                              batch_format="pyarrow")
     occ = ds.map_batches(bigram_occurrences_batch, batch_format="pyarrow")
     joined = shuffle_hash_join(
-        occ, counts, "bkey", "bkey",
-        {"doc_id": pa.int64()}, {"cnt": pa.int64()},
-        key_out="bkey", num_buckets=num_buckets)
+        partials, occ, "bkey", "bkey",
+        {"cnt_part": pa.int64()}, {"doc_id": pa.int64()},
+        key_out="bkey", num_buckets=num_buckets,
+        left_combine=[("cnt_part", "sum", "cnt")])
 
     def per_doc_partial(b: pa.Table) -> pa.Table:
         agg = pa.TableGroupBy(b.select(["doc_id", "cnt"]),
