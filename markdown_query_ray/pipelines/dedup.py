@@ -609,28 +609,63 @@ def _bloom_test(words: np.ndarray, ids: np.ndarray,
     return ((t1 & t2) != 0)
 
 
-def _bloom_block_batch(batch: pa.Table, m_bits: int) -> pa.Table:
-    """One candidate-pair block -> one fixed-size bitmap row."""
-    ids = np.concatenate([
-        batch.column("doc_a").to_numpy().astype(np.int64),
-        batch.column("doc_b").to_numpy().astype(np.int64)])
+def _bloom_payload(ids: np.ndarray, m_bits: int) -> pa.Table:
+    """One block's Bloom contribution, SPARSE when the block is small
+    relative to the filter: a dense m_bits bitmap row costs m_bits/8
+    bytes of driver traffic per block, so sparse blocks ship their set
+    BIT INDICES instead (2 hashes x n_ids x 8 bytes) and densify on the
+    driver — the per-block row is min(bitmap, indices) sized, keeping
+    the driver's transient per-batch footprint small even when the
+    filter itself is at its 128 MiB cap."""
+    i1, i2 = _bloom_idx(ids, m_bits)
+    idx = np.concatenate([i1, i2]).astype(np.uint64)
+    if len(idx) * 8 < m_bits // 8:
+        return pa.table({
+            "dense": pa.array([False]),
+            "payload": pa.array([idx.tobytes()], pa.large_binary()),
+        })
     words = np.zeros(m_bits // 64, np.uint64)
     _bloom_add(words, ids, m_bits)
-    return pa.table({"bits": pa.array([words.tobytes()], pa.large_binary())})
+    return pa.table({
+        "dense": pa.array([True]),
+        "payload": pa.array([words.tobytes()], pa.large_binary()),
+    })
 
 
-def _candidate_bloom(cand, m_bits: int):
-    """OR per-block bitmaps into one filter with O(m_bits) driver state
-    (streaming — blocks never accumulate) and return its ray.put handle."""
+def _bloom_or_rows(rows_ds, m_bits: int):
+    """OR per-block contributions into one filter with O(m_bits) driver
+    state (streaming — blocks never accumulate) and return its ray.put
+    handle."""
     import ray
 
     words = np.zeros(m_bits // 64, np.uint64)
-    blocks = cand.map_batches(partial(_bloom_block_batch, m_bits=m_bits),
-                              batch_format="pyarrow")
-    for b in blocks.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for buf in b.column("bits").to_pylist():
-            words |= np.frombuffer(buf, np.uint64)
+    for b in rows_ds.iter_batches(batch_size=16,
+                                  batch_format="pyarrow"):
+        for dense, buf in zip(b.column("dense").to_pylist(),
+                              b.column("payload").to_pylist()):
+            if dense:
+                words |= np.frombuffer(buf, np.uint64)
+            else:
+                idx = np.frombuffer(buf, np.uint64)
+                np.bitwise_or.at(
+                    words, (idx >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (idx & np.uint64(63)))
     return ray.put(words)
+
+
+def _bloom_block_batch(batch: pa.Table, m_bits: int) -> pa.Table:
+    """One candidate-pair block -> one sparse-or-dense Bloom row."""
+    ids = np.concatenate([
+        batch.column("doc_a").to_numpy().astype(np.int64),
+        batch.column("doc_b").to_numpy().astype(np.int64)])
+    return _bloom_payload(ids, m_bits)
+
+
+def _candidate_bloom(cand, m_bits: int):
+    """Bloom filter over candidate-pair doc ids (see _bloom_or_rows)."""
+    return _bloom_or_rows(
+        cand.map_batches(partial(_bloom_block_batch, m_bits=m_bits),
+                         batch_format="pyarrow"), m_bits)
 
 
 def _pair_rows_batch(batch: pa.Table) -> pa.Table:
@@ -878,23 +913,14 @@ def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
 
 def _ids_bloom(ds, col: str, m_bits: int):
     """Fixed-size Bloom filter over one int64 id column of a Dataset
-    (same streaming OR-of-per-block-bitmaps shape as
-    ``_candidate_bloom``; O(m_bits) driver state)."""
-    import ray
-
+    (same streaming sparse-or-dense OR as ``_candidate_bloom``;
+    O(m_bits) driver state)."""
     def block(batch: pa.Table) -> pa.Table:
-        words = np.zeros(m_bits // 64, np.uint64)
-        _bloom_add(words, batch.column(col).to_numpy().astype(np.int64),
-                   m_bits)
-        return pa.table({"bits": pa.array([words.tobytes()],
-                                          pa.large_binary())})
+        return _bloom_payload(
+            batch.column(col).to_numpy().astype(np.int64), m_bits)
 
-    words = np.zeros(m_bits // 64, np.uint64)
-    for b in ds.map_batches(block, batch_format="pyarrow") \
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        for buf in b.column("bits").to_pylist():
-            words |= np.frombuffer(buf, np.uint64)
-    return ray.put(words)
+    return _bloom_or_rows(
+        ds.map_batches(block, batch_format="pyarrow"), m_bits)
 
 
 def _dup_span_group(group: pa.Table, w: int) -> pa.Table:

@@ -2,9 +2,12 @@
 (round 3, late): a web-shaped corpus with boilerplate shared across many
 docs (every doc embeds one of a few hundred header/footer templates), run
 through ``dup_span_scrub`` and ``incremental_minhash_pairs``, reporting
-wall time and driver maxRSS. The point is that corpus-scale state (window
-positions, dup-suspect texts, the base corpus) never lands on the driver:
-only the fixed-size Bloom filters and the collected result tables do.
+wall time and driver maxRSS. The corpus is generated DISTRIBUTED as a
+pure function of doc_id (no driver-side text ever exists), so the RSS
+numbers measure the pipelines alone: corpus-scale state (window
+positions, dup-suspect texts, the base corpus) must never land on the
+driver — only the fixed-size Bloom filters and the collected result
+tables do.
 
 Usage:  python tools/stress_incremental.py [--docs 200000]
         [--templates 256] [--new-frac 0.2]
@@ -13,34 +16,65 @@ Usage:  python tools/stress_incremental.py [--docs 200000]
 from __future__ import annotations
 
 import argparse
+import os
 import resource
+import sys
 import time
 
 import numpy as np
 import pyarrow as pa
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
-def make_corpus(n_docs: int, n_templates: int):
-    """Every doc = unique body + a shared boilerplate template (the
-    RefinedWeb/CC shape dup_span_scrub exists for)."""
-    rng = np.random.Generator(np.random.PCG64(11))
-    vocab = np.array([f"w{i}" for i in range(20000)])
-    templates = [" ".join(rng.choice(vocab, size=24).tolist())
-                 for _ in range(n_templates)]
-    texts = []
-    for i in range(n_docs):
-        body = " ".join(rng.choice(vocab, size=48).tolist())
-        texts.append(templates[i % n_templates] + " " + body)
-    return pa.table({
-        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
-        "text": pa.array(texts, pa.string()),
-    })
+N_TEMPLATES = 256
+TEMPLATE_TOKENS = 24
+BODY_TOKENS = 48
+VOCAB = 20000
+
+
+def _template(t: int) -> str:
+    rng = np.random.Generator(np.random.PCG64(10_000_000 + t))
+    return " ".join(f"w{i}" for i in
+                    rng.integers(0, VOCAB, TEMPLATE_TOKENS))
+
+
+def _text_of(doc_id: int, split: int) -> str:
+    """Deterministic text: boilerplate template + unique body. New-side
+    docs (>= split) at (doc_id - split) % 10 == 0 are exact copies of
+    base doc (doc_id - split) — the planted incremental dups."""
+    if doc_id >= split and (doc_id - split) % 10 == 0:
+        return _text_of(doc_id - split, split)
+    rng = np.random.Generator(np.random.PCG64(doc_id))
+    body = " ".join(f"w{i}" for i in rng.integers(0, VOCAB, BODY_TOKENS))
+    return _template(doc_id % N_TEMPLATES) + " " + body
+
+
+class GenStage:
+    """Distributed corpus generator (templates built once per actor)."""
+
+    def __init__(self, split: int):
+        self.split = split
+        self.templates = [_template(t) for t in range(N_TEMPLATES)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy().astype(np.int64)
+        texts = []
+        for i in ids.tolist():
+            src = i
+            if i >= self.split and (i - self.split) % 10 == 0:
+                src = i - self.split
+            rng = np.random.Generator(np.random.PCG64(src))
+            body = " ".join(
+                f"w{j}" for j in rng.integers(0, VOCAB, BODY_TOKENS))
+            texts.append(self.templates[src % N_TEMPLATES] + " " + body)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(texts, pa.string())})
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200_000)
-    ap.add_argument("--templates", type=int, default=256)
     ap.add_argument("--new-frac", type=float, default=0.2)
     args = ap.parse_args()
 
@@ -54,8 +88,11 @@ def main() -> None:
         incremental_minhash_pairs,
     )
 
-    t = make_corpus(args.docs, args.templates)
-    ds = ray.data.from_arrow(t).repartition(64).materialize()
+    n_new = int(args.docs * args.new_frac)
+    split = args.docs - n_new
+    ds = ray.data.range(args.docs, override_num_blocks=64).map_batches(
+        GenStage, fn_constructor_args=(split,), batch_format="pyarrow",
+        concurrency=(1, 8)).materialize()
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     t0 = time.time()
@@ -72,12 +109,9 @@ def main() -> None:
           f"tokens removed {removed:,}, "
           f"driver maxRSS {rss0:.2f} -> {rss1:.2f} GB")
 
-    # incremental: the last new_frac of docs against the rest. Boilerplate
-    # alone (24 of 72 tokens ~ Jaccard 0.2) stays under the 0.5 threshold;
-    # plant exact dups so the expected pair count is known.
-    n_new = int(args.docs * args.new_frac)
-    split = args.docs - n_new
-
+    # incremental: the last new_frac of docs against the rest.
+    # Boilerplate alone (24 of 72 tokens ~ Jaccard 0.2) stays under the
+    # 0.5 threshold; every 10th new doc is an exact base copy (planted).
     def base_half(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy()
         return b.filter(pa.array(ids < split))
@@ -87,20 +121,10 @@ def main() -> None:
         return b.filter(pa.array(ids >= split))
 
     base = ds.map_batches(base_half, batch_format="pyarrow")
-    # every 10th new doc is an exact copy of a base doc
-    texts = t.column("text").to_pylist()
-    planted = 0
-    for j in range(split, args.docs, 10):
-        texts[j] = texts[j - split]
-        planted += 1
-    t2 = pa.table({"doc_id": t.column("doc_id"),
-                   "text": pa.array(texts, pa.string())})
-    ds2 = ray.data.from_arrow(t2).repartition(64).materialize()
-    new = ds2.map_batches(new_half, batch_format="pyarrow")
-    base2 = ds2.map_batches(base_half, batch_format="pyarrow")
+    new = ds.map_batches(new_half, batch_format="pyarrow")
 
     t0 = time.time()
-    pairs = incremental_minhash_pairs(base2, new, threshold=0.5,
+    pairs = incremental_minhash_pairs(base, new, threshold=0.5,
                                       num_hashes=128, bands=16,
                                       sig_mode="oph", collect=False)
     n_pairs = pairs.count()
@@ -108,7 +132,7 @@ def main() -> None:
     rss2 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"incremental: {split}+{n_new} docs in {wall_inc:.1f}s "
           f"({args.docs / wall_inc:,.0f} docs/s), verified pairs "
-          f"{n_pairs} (planted {planted} exact dups), "
+          f"{n_pairs} (planted {(n_new + 9) // 10} exact dups), "
           f"driver maxRSS {rss1:.2f} -> {rss2:.2f} GB")
     ray.shutdown()
 
