@@ -346,6 +346,50 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 
+# Quantized exact k-means from first principles: the SAME deterministic
+# integer spec as clustering.py (floor(x*2^16+0.5) grid, init = k
+# smallest vec_ids, exact squared-L2 argmin with ties -> smallest
+# cluster, per-dim mean with floor((2s+n)/(2n)) rounding, empty
+# clusters carry), unrolled as one CTE chain per Lloyd iteration. Every
+# value is an integer below 2^53, so DOUBLE arithmetic is exact on both
+# sides and the assignment matches bit-for-bit.
+def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
+    parts = [
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 65536 + 0.5) AS BIGINT)) "
+        "AS q FROM embeddings)",
+        "qd AS (SELECT vec_id, unnest(range(1, len(q) + 1)) AS dim, "
+        "unnest(q) AS v FROM q)",
+        f"init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, "
+        f"vec_id FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}))",
+        "cent0 AS (SELECT init.c, qd.dim, qd.v FROM init "
+        "JOIN qd USING (vec_id))",
+    ]
+    for i in range(1, iters + 2):  # iters updates + the final assignment
+        prev = f"cent{i - 1}"
+        parts.append(
+            f"dist{i} AS (SELECT qd.vec_id, {prev}.c, "
+            f"sum((qd.v - {prev}.v) * (qd.v - {prev}.v)) AS d2 "
+            f"FROM qd JOIN {prev} USING (dim) GROUP BY 1, 2)")
+        parts.append(
+            f"asg{i} AS (SELECT vec_id, c FROM (SELECT vec_id, c, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) "
+            f"AS rn FROM dist{i}) WHERE rn = 1)")
+        if i <= iters:
+            parts.append(
+                f"upd{i} AS (SELECT c, dim, CAST(floor((2.0 * s + n) / "
+                f"(2.0 * n)) AS BIGINT) AS v FROM (SELECT a.c, qd.dim, "
+                f"sum(qd.v) AS s, count(*) AS n FROM asg{i} a "
+                f"JOIN qd USING (vec_id) GROUP BY 1, 2))")
+            parts.append(
+                f"cent{i} AS (SELECT p.c, p.dim, COALESCE(u.v, p.v) AS v "
+                f"FROM {prev} p LEFT JOIN upd{i} u "
+                f"ON u.c = p.c AND u.dim = p.dim)")
+    return (", ".join(parts)
+            + f" SELECT vec_id, CAST(c AS BIGINT) AS cluster "
+              f"FROM asg{iters + 1} ORDER BY vec_id")
+
+
 _STRATIFIED_SQL = f"""
 WITH h AS (SELECT doc_id, lang, {_mix_hash_sql()} AS sk FROM documents),
 r AS (SELECT lang, doc_id, sk, row_number() OVER
@@ -725,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": d.embedding_neardup,
         # -- similarity ------------------------------------------------------
         "knn_cosine_top10": lambda sf: d.knn_cosine(sf, 0, 10),
+        "kmeans_embeddings": d.kmeans_embeddings,
         # -- stream-shaped ---------------------------------------------------
         "events_tumbling_1h": d.events_tumbling,
         "asof_purchase_click": d.asof_purchase_click,
@@ -929,6 +974,7 @@ ORDER BY tl.doc_id
         "cross_dup_coverage": _CROSS_DUP_SQL,
         "dup_token_spans": _DUP_SPANS_SQL,
         "dup_span_scrub": _DUP_SCRUB_SQL,
+        "kmeans_embeddings": _kmeans_sql(),
         # distinct-token cardinality per lang: set identity invariant
         # under the injective token-hash chain the Ray side shuffles
         "lang_distinct_tokens": (

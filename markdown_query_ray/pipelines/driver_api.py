@@ -689,6 +689,25 @@ def cross_dup_coverage(sf_dir: str, w: int = 4) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 4) -> pa.Table:
+    """Quantized exact k-means over the embeddings table
+    (clustering.kmeans_assign): deterministic integer Lloyd, centroids
+    broadcast per iteration, per-block partial sums streamed to the
+    driver (k x d per block) — zero all-to-all exchanges. The oracle
+    replays the identical 4 iterations as unrolled SQL CTEs."""
+    import ray.data
+
+    from .clustering import kmeans_assign
+    from .equijoin import collect_arrow
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = kmeans_assign(ds, k=k, iters=iters)
+    t = collect_arrow(out, pa.schema([("vec_id", pa.int64()),
+                                      ("cluster", pa.int64())]))
+    return t.sort_by("vec_id")
+
+
 def dedup_exact_ids(sf_dir: str) -> pa.Table:
     import ray.data
 
