@@ -353,7 +353,8 @@ ORDER BY d.doc_id
 # clusters carry), unrolled as one CTE chain per Lloyd iteration. Every
 # value is an integer below 2^53, so DOUBLE arithmetic is exact on both
 # sides and the assignment matches bit-for-bit.
-def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 4) -> tuple[list, str]:
+    """The shared Lloyd CTE chain; returns (cte_parts, final_asg_name)."""
     parts = [
         "WITH q AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 65536 + 0.5) AS BIGINT)) "
@@ -385,9 +386,43 @@ def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
                 f"cent{i} AS (SELECT p.c, p.dim, COALESCE(u.v, p.v) AS v "
                 f"FROM {prev} p LEFT JOIN upd{i} u "
                 f"ON u.c = p.c AND u.dim = p.dim)")
+    return parts, f"asg{iters + 1}"
+
+
+def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
+    parts, asg = _kmeans_ctes(k, iters)
     return (", ".join(parts)
             + f" SELECT vec_id, CAST(c AS BIGINT) AS cluster "
-              f"FROM asg{iters + 1} ORDER BY vec_id")
+              f"FROM {asg} ORDER BY vec_id")
+
+
+# SemDeDup oracle: the SAME Lloyd CTE chain assigns clusters, then the
+# exact within-cluster cosine test on the 2^8 grid — HUGEINT arithmetic
+# so den_sq*dot^2 vs num_sq*|a|^2*|b|^2 cannot overflow in SQL either.
+def _semdedup_sql(k: int = 8, iters: int = 4, num_sq: int = 81,
+                  den_sq: int = 100) -> str:
+    parts, asg = _kmeans_ctes(k, iters)
+    parts.append(
+        "q8 AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS "
+        "dim, unnest(list_transform(embedding, x -> CAST(floor("
+        "CAST(x AS DOUBLE) * 256 + 0.5) AS BIGINT))) AS v "
+        "FROM embeddings)")
+    parts.append(
+        "nrm AS (SELECT vec_id, sum(v * v) AS n2 FROM q8 GROUP BY 1)")
+    parts.append(
+        f"pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"sum(qa.v * qb.v) AS dot "
+        f"FROM {asg} a JOIN {asg} b ON a.c = b.c AND a.vec_id < b.vec_id "
+        f"JOIN q8 qa ON qa.vec_id = a.vec_id "
+        f"JOIN q8 qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim "
+        f"GROUP BY 1, 2)")
+    return (", ".join(parts)
+            + f" SELECT vec_a, vec_b, CAST(dot AS BIGINT) AS dot "
+              f"FROM pr JOIN nrm na ON na.vec_id = vec_a "
+              f"JOIN nrm nb ON nb.vec_id = vec_b "
+              f"WHERE dot > 0 AND CAST({den_sq} AS HUGEINT) * dot * dot "
+              f">= CAST({num_sq} AS HUGEINT) * na.n2 * nb.n2 "
+              f"ORDER BY vec_a, vec_b")
 
 
 _STRATIFIED_SQL = f"""
@@ -770,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity ------------------------------------------------------
         "knn_cosine_top10": lambda sf: d.knn_cosine(sf, 0, 10),
         "kmeans_embeddings": d.kmeans_embeddings,
+        "semdedup_pairs": d.semdedup_embedding_pairs,
         # -- stream-shaped ---------------------------------------------------
         "events_tumbling_1h": d.events_tumbling,
         "asof_purchase_click": d.asof_purchase_click,
@@ -975,6 +1011,10 @@ ORDER BY tl.doc_id
         "dup_token_spans": _DUP_SPANS_SQL,
         "dup_span_scrub": _DUP_SCRUB_SQL,
         "kmeans_embeddings": _kmeans_sql(),
+        # entry threshold cos >= 0.3: the synthetic embeddings carry no
+        # 0.9-grade near-dups, so the checked regime is the one with a
+        # non-trivial pair set (~300 pairs)
+        "semdedup_pairs": _semdedup_sql(num_sq=9, den_sq=100),
         # distinct-token cardinality per lang: set identity invariant
         # under the injective token-hash chain the Ray side shuffles
         "lang_distinct_tokens": (

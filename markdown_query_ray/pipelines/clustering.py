@@ -136,10 +136,9 @@ def _init_centroids(ds, k: int) -> np.ndarray:
     return np.stack([np.frombuffer(buf, np.int64) for _, buf in best])
 
 
-def kmeans_assign(ds, k: int = 8, iters: int = 4):
-    """Quantized exact Lloyd: returns the (vec_id, cluster) assignment
-    Dataset after ``iters`` iterations (see module docstring for the
-    exact deterministic spec the SQL oracle replays)."""
+def kmeans_centroids(ds, k: int = 8, iters: int = 4) -> np.ndarray:
+    """The quantized centroids after ``iters`` exact Lloyd iterations
+    (the k x d int64 matrix the final assignment pass broadcasts)."""
     import ray
 
     cents = _init_centroids(ds, k)
@@ -161,6 +160,124 @@ def kmeans_assign(ds, k: int = 8, iters: int = 4):
                        / (2.0 * counts[nz][:, None])).astype(np.int64)
         cents = cents.copy()
         cents[nz] = upd  # empty clusters keep their previous centroid
-    ref = ray.put(cents)
+    return cents
+
+
+def kmeans_assign(ds, k: int = 8, iters: int = 4):
+    """Quantized exact Lloyd: returns the (vec_id, cluster) assignment
+    Dataset after ``iters`` iterations (see module docstring for the
+    exact deterministic spec the SQL oracle replays)."""
+    import ray
+
+    ref = ray.put(kmeans_centroids(ds, k, iters))
     return ds.map_batches(partial(_assign_batch, cents_ref=ref),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-cosine semantic near-dup pairs
+# ---------------------------------------------------------------------------
+
+QUANT8 = 256.0           # coarser grid for the exact cosine test
+_Q8_BOUND = 1024         # |q8| bound that keeps 100*dot^2 inside int64
+_SEM_MAX_CLUSTER = 4096  # all-pairs cap per cluster (star+chain above)
+
+
+def _quantize8(mat: np.ndarray) -> np.ndarray:
+    q = np.floor(mat.astype(np.float64) * QUANT8 + 0.5).astype(np.int64)
+    if len(q) and int(np.abs(q).max()) > _Q8_BOUND:
+        raise ValueError(
+            "embedding magnitudes exceed the exact-cosine bound "
+            f"(|q8| > {_Q8_BOUND}); rescale inputs")
+    return q
+
+
+def _sem_pair_group(group: pa.Table, num_sq: int, den_sq: int
+                    ) -> pa.Table:
+    """One cluster: emit (vec_a, vec_b, dot) for every pair whose exact
+    cosine passes  cos >= sqrt(num_sq/den_sq), tested entirely in int64:
+    dot > 0 AND den_sq * dot^2 >= num_sq * |a|^2 * |b|^2. With the
+    2^8 grid and |q8| <= 1024 every product stays below 2^63. Clusters
+    above _SEM_MAX_CLUSTER docs fall back to star+chain pairs (same
+    logged recall caveat as dedup._segment_pairs)."""
+    ids = group.column("vec_id").to_numpy().astype(np.int64)
+    n = len(ids)
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "dot": pa.array([], pa.int64())})
+    if n < 2:
+        return empty
+    q = np.stack([np.frombuffer(b, np.int64)
+                  for b in group.column("q8").to_pylist()])
+    order = np.argsort(ids, kind="stable")
+    ids, q = ids[order], q[order]
+    if n > _SEM_MAX_CLUSTER:
+        from .dedup import _log_segment_cap
+
+        _log_segment_cap("semdedup", n, n * (n - 1) // 2 - (2 * n - 3))
+        ii = np.concatenate([np.zeros(n - 1, np.int64),
+                             np.arange(1, n - 1, dtype=np.int64)])
+        jj = np.concatenate([np.arange(1, n, dtype=np.int64),
+                             np.arange(2, n, dtype=np.int64)])
+    else:
+        ii, jj = np.triu_indices(n, k=1)
+    dots = np.einsum("ij,ij->i", q[ii], q[jj])
+    norms = np.einsum("ij,ij->i", q, q)
+    keep = (dots > 0) & (den_sq * dots * dots
+                         >= num_sq * norms[ii] * norms[jj])
+    return pa.table({
+        "vec_a": pa.array(ids[ii[keep]]),
+        "vec_b": pa.array(ids[jj[keep]]),
+        "dot": pa.array(dots[keep].astype(np.int64)),
+    })
+
+
+def semdedup_pairs(ds, k: int = 8, iters: int = 4,
+                   num_sq: int = 81, den_sq: int = 100,
+                   collect: bool = True):
+    """SemDeDup (Abbas et al. 2023, public paper): semantic near-dup
+    pairs found by clustering embeddings (the quantized exact k-means
+    above) and testing exact cosine ONLY within clusters — the
+    cluster blocking that makes web-scale semantic dedup tractable
+    (all-pairs over 10^12 vectors is impossible; within-cluster pairs
+    are k-fold fewer). Default threshold cos >= 0.9 (num_sq/den_sq =
+    81/100), tested in exact integer arithmetic on the 2^8 grid so the
+    SQL oracle (k-means CTE chain + HUGEINT pair test) matches
+    bit-for-bit. BLOCKING CAVEAT (inherent to SemDeDup, not this
+    implementation): a cross-cluster near-dup pair is out of scope by
+    definition — the operator's contract is within-cluster pairs, and
+    the oracle checks exactly that contract.
+
+    One exchange: the assignment pass emits (cluster, vec_id, q8) and
+    the per-cluster pair scan runs inside ``groupby(cluster)``."""
+    import ray
+
+    cents = ray.put(kmeans_centroids(ds, k, iters))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vids, mat = _batch_matrix(batch)
+        if len(vids) == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "q8": pa.array([], pa.large_binary())})
+        a = _assign(_quantize(mat), ray.get(cents))
+        q8 = _quantize8(mat)
+        return pa.table({
+            "cluster": pa.array(a),
+            "vec_id": pa.array(vids),
+            "q8": pa.array([row.tobytes() for row in q8],
+                           pa.large_binary()),
+        })
+
+    pairs = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(
+            partial(_sem_pair_group, num_sq=num_sq, den_sq=den_sq),
+            batch_format="pyarrow")
+    if not collect:
+        return pairs
+    from .equijoin import collect_arrow
+
+    t = collect_arrow(pairs, pa.schema([
+        ("vec_a", pa.int64()), ("vec_b", pa.int64()),
+        ("dot", pa.int64())]))
+    return t.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

@@ -708,6 +708,23 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 4) -> pa.Table:
     return t.sort_by("vec_id")
 
 
+def semdedup_embedding_pairs(sf_dir: str) -> pa.Table:
+    """SemDeDup semantic near-dup pairs (clustering.semdedup_pairs):
+    exact-kmeans cluster blocking + exact integer cosine within
+    clusters, one groupby(cluster) exchange. The entry runs at
+    cos >= 0.3 (9/100 squared) because the synthetic embeddings carry
+    no true 0.9-grade near-dups — the lower threshold exercises a
+    non-trivial pair set (~300 pairs) against the oracle; 0.9 is the
+    documented default for real corpora."""
+    import ray.data
+
+    from .clustering import semdedup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return semdedup_pairs(ds, num_sq=9, den_sq=100)
+
+
 def dedup_exact_ids(sf_dir: str) -> pa.Table:
     import ray.data
 

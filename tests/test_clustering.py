@@ -73,3 +73,50 @@ def test_kmeans_parallelism_invariant(ray_session):
     b = kmeans_assign(ray.data.from_arrow(t).repartition(13),
                       k=5, iters=3).to_pandas().sort_values("vec_id")
     assert a["cluster"].tolist() == b["cluster"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup pairs
+# ---------------------------------------------------------------------------
+
+def test_semdedup_matches_brute(ray_session):
+    import ray.data
+
+    from markdown_query_ray.pipelines.clustering import (
+        QUANT8,
+        kmeans_assign,
+        semdedup_pairs,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    base = rng.normal(0, 0.3, (30, 8)).astype(np.float32)
+    # plant near-dups: rows 30..34 are tiny perturbations of rows 0..4
+    dups = (base[:5] + rng.normal(0, 0.005, (5, 8))).astype(np.float32)
+    vecs = np.concatenate([base, dups])
+    t = _mk(vecs)
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    out = semdedup_pairs(ds, k=4, iters=4)
+    got = sorted(zip(out.column("vec_a").to_pylist(),
+                     out.column("vec_b").to_pylist(),
+                     out.column("dot").to_pylist()))
+
+    # brute force: same cluster AND exact integer cosine >= 0.9
+    asg = kmeans_assign(ds, k=4, iters=4).to_pandas() \
+        .set_index("vec_id")["cluster"].to_dict()
+    q8 = np.floor(vecs.astype(np.float64) * QUANT8 + 0.5).astype(np.int64)
+    exp = []
+    n = len(vecs)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if asg[a] != asg[b]:
+                continue
+            dot = int(q8[a] @ q8[b])
+            na, nb = int(q8[a] @ q8[a]), int(q8[b] @ q8[b])
+            if dot > 0 and 100 * dot * dot >= 81 * na * nb:
+                exp.append((a, b, dot))
+    assert got == sorted(exp)
+    # the planted dups must be found (they're near-identical)
+    found = {(a, b) for a, b, _ in got}
+    planted_found = sum((i, i + 30) in found for i in range(5))
+    assert planted_found >= 4  # blocking can split at most rarely
