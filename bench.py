@@ -134,6 +134,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.dup_token_spans_entry(sf_dir)
     with timed("knn_cosine"):
         d.knn_cosine(sf_dir, 0, 10)
+    with timed("clustering"):  # exact kmeans + SemDeDup pair scan
+        d.kmeans_embeddings(sf_dir)
+        d.semdedup_embedding_pairs(sf_dir)
     with timed("quality_features"):
         d.quality_features(sf_dir)
     with timed("events_sessions"):
