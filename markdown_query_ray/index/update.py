@@ -238,9 +238,10 @@ def _stats_deltas_for(index_dir: str, segs: dict,
             partials, schema=pa.schema([("term", pa.string()),
                                         ("cnt", pa.int64()),
                                         ("tot", pa.int64())]))]
-    t = pa.concat_tables([p for p in partials if len(p)])
-    if len(t) == 0:
+    nonempty = [p for p in partials if len(p)]
+    if not nonempty:
         return _empty_deltas()
+    t = pa.concat_tables(nonempty)
     agg = pa.TableGroupBy(t, "term").aggregate(
         [("cnt", "sum"), ("tot", "sum")])
     return pa.table({

@@ -179,16 +179,25 @@ def kmeans_assign(ds, k: int = 8, iters: int = 4):
 # ---------------------------------------------------------------------------
 
 QUANT8 = 256.0           # coarser grid for the exact cosine test
-_Q8_BOUND = 1024         # |q8| bound that keeps 100*dot^2 inside int64
 _SEM_MAX_CLUSTER = 4096  # all-pairs cap per cluster (star+chain above)
 
 
-def _quantize8(mat: np.ndarray) -> np.ndarray:
+def _quantize8(mat: np.ndarray, coef: int = 100) -> np.ndarray:
+    """Quantize to the 2^8 grid and REJECT inputs whose magnitude x
+    dimension combination could overflow int64 in the pair test: with
+    M = max |q8| and d = dim, |dot| and |norm| are <= d*M^2, so the
+    largest product formed is coef * (d*M^2)^2 — require it < 2^63.
+    (A fixed |q8| <= 1024 bound only suffices for d <= ~290; 768-dim
+    embeddings near that bound would silently wrap.)"""
     q = np.floor(mat.astype(np.float64) * QUANT8 + 0.5).astype(np.int64)
-    if len(q) and int(np.abs(q).max()) > _Q8_BOUND:
-        raise ValueError(
-            "embedding magnitudes exceed the exact-cosine bound "
-            f"(|q8| > {_Q8_BOUND}); rescale inputs")
+    if len(q):
+        m = int(np.abs(q).max())
+        d = q.shape[1]
+        if coef * (d * m * m) ** 2 >= 2 ** 63:
+            raise ValueError(
+                "embedding magnitude x dimension exceeds the exact-cosine "
+                f"int64 bound (max|q8|={m}, dim={d}, coef={coef}); "
+                "rescale inputs or use a coarser grid")
     return q
 
 
@@ -196,8 +205,9 @@ def _sem_pair_group(group: pa.Table, num_sq: int, den_sq: int
                     ) -> pa.Table:
     """One cluster: emit (vec_a, vec_b, dot) for every pair whose exact
     cosine passes  cos >= sqrt(num_sq/den_sq), tested entirely in int64:
-    dot > 0 AND den_sq * dot^2 >= num_sq * |a|^2 * |b|^2. With the
-    2^8 grid and |q8| <= 1024 every product stays below 2^63. Clusters
+    dot > 0 AND den_sq * dot^2 >= num_sq * |a|^2 * |b|^2. The
+    ``_quantize8`` magnitude-x-dimension check guarantees every product
+    here stays below 2^63 (no silent int64 wrap). Clusters
     above _SEM_MAX_CLUSTER docs fall back to star+chain pairs (same
     logged recall caveat as dedup._segment_pairs)."""
     ids = group.column("vec_id").to_numpy().astype(np.int64)
@@ -261,7 +271,7 @@ def semdedup_pairs(ds, k: int = 8, iters: int = 4,
                              "vec_id": pa.array([], pa.int64()),
                              "q8": pa.array([], pa.large_binary())})
         a = _assign(_quantize(mat), ray.get(cents))
-        q8 = _quantize8(mat)
+        q8 = _quantize8(mat, coef=max(num_sq, den_sq))
         return pa.table({
             "cluster": pa.array(a),
             "vec_id": pa.array(vids),

@@ -844,13 +844,14 @@ def _bucket_cross_pair_scan(group: pa.Table) -> pa.Table:
         base = ids_s[s:s + nb]
         new = ids_s[s + nb:e]
         if (e - s) > MAX_SEGMENT_DOCS:
-            _log_segment_cap("minhash_incremental", e - s,
-                             nb * nn - 2 * nn)
             near = np.clip(np.searchsorted(base, new) - 1, 0, nb - 1)
             a = np.concatenate([np.full(nn, base[0], np.int64),
                                 base[near]])
             b = np.concatenate([new, new])
             uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+            # dropped = candidate cross pairs (nb*nn) minus what we emit
+            _log_segment_cap("minhash_incremental", e - s,
+                             nb * nn - len(uniq))
             out_a.append(uniq[:, 0])
             out_b.append(uniq[:, 1])
         else:
@@ -1384,6 +1385,7 @@ class PrefixEmitStage:
             "shingle": pa.array([], pa.uint64()),
             "doc_id": pa.array([], pa.int64()),
             "size": pa.array([], pa.int32()),
+            "pos": pa.array([], pa.int32()),
         })
         if not lens.sum():
             return empty

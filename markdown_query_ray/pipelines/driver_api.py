@@ -1274,6 +1274,19 @@ def domain_doc_stats(sf_dir: str) -> pa.Table:
 
 
 def _collect(ds) -> pa.Table:
-    """Materialize a (small, aggregated) Dataset result to one Table."""
-    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-    return t
+    """Materialize a (small, aggregated) Dataset result to one Table.
+
+    Collects via the Arrow batch iterator FIRST, dropping the
+    zero-column empty blocks ``groupby().map_groups`` leaves behind
+    (they make ``Dataset.to_pandas`` nondeterministically promote
+    int64 -> float64 when one leads the concat — see
+    equijoin.collect_arrow), then round-trips through pandas so the
+    type normalization matches what every oracle hash was recorded
+    against."""
+    batches = [b for b in ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")
+               if b.num_columns > 0]
+    if not batches:
+        return pa.table({})
+    t = pa.concat_tables(batches)
+    return pa.Table.from_pandas(t.to_pandas(), preserve_index=False)

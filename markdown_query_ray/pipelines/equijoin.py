@@ -66,10 +66,16 @@ def _broadcast_probe(batch: pa.Table, small_ref, big_key: str,
     keys = small.column(small_key).to_numpy().astype(np.int64)
     payload = small.drop_columns([small_key])
     bk = batch.column(big_key).to_numpy().astype(np.int64)
+    if not len(keys):
+        # empty dimension side: emit a 0-row table with the full joined
+        # schema so downstream blocks unify
+        out = batch.slice(0, 0)
+        for name in payload.column_names:
+            out = out.append_column(name, payload.column(name))
+        return out
     pos = np.searchsorted(keys, bk)
-    pos_c = np.minimum(pos, len(keys) - 1) if len(keys) \
-        else np.zeros_like(pos)
-    hit = (len(keys) > 0) & (keys[pos_c] == bk)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    hit = keys[pos_c] == bk
     out = batch.filter(pa.array(hit))
     gathered = payload.take(pa.array(pos_c[hit]))
     for name in gathered.column_names:

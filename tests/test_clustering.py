@@ -120,3 +120,18 @@ def test_semdedup_matches_brute(ray_session):
     found = {(a, b) for a, b, _ in got}
     planted_found = sum((i, i + 30) in found for i in range(5))
     assert planted_found >= 4  # blocking can split at most rarely
+
+
+def test_quantize8_dimension_aware_overflow_guard():
+    """The exact-cosine int64 bound depends on magnitude x dimension:
+    a 64-dim matrix at the grid bound is fine, a 768-dim one at the
+    same per-component magnitude must be rejected (it would silently
+    wrap in the pair test)."""
+    import pytest
+
+    from markdown_query_ray.pipelines.clustering import _quantize8
+
+    ok = _quantize8(np.full((2, 64), 4.0), coef=100)
+    assert int(np.abs(ok).max()) == 1024
+    with pytest.raises(ValueError):
+        _quantize8(np.full((2, 768), 4.0), coef=100)

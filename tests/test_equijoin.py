@@ -65,6 +65,23 @@ def test_broadcast_join_no_hits(ray_session):
     assert out.count() == 0
 
 
+def test_broadcast_join_empty_small_side(ray_session):
+    """An empty dimension side must yield an empty join with the full
+    joined schema, not an IndexError inside the probe."""
+    import ray.data
+
+    big = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array([10, 20, 30], pa.int64())})
+    small = pa.table({"k": pa.array([], pa.int64()),
+                      "name": pa.array([], pa.string())})
+    out = broadcast_inner_join(ray.data.from_arrow(big), small, "k", "k")
+    t = collect_arrow(out, pa.schema([("k", pa.int64()),
+                                      ("v", pa.int64()),
+                                      ("name", pa.string())]))
+    assert len(t) == 0
+    assert set(t.column_names) == {"k", "v", "name"}
+
+
 def _shuffle_case(seed, nparts, n_left=400, n_right=300, key_range=25):
     import ray.data
 

@@ -135,3 +135,23 @@ def test_repetition_signals_handcrafted(ray_session):
     assert d["n_chars"][2] == 0
     # doc 3: "one two three four five" x2 as 5-gram (23 chars) -> 46
     assert d["dup5gram_cov"][3] == 46
+
+
+def test_prefix_emit_empty_batch_schema_matches():
+    """A batch of only empty/whitespace texts must emit the SAME 5-column
+    schema as a productive batch (incl. 'pos'), or downstream groupby
+    blocks fail to unify."""
+    from markdown_query_ray.pipelines.dedup import PrefixEmitStage
+
+    stage = PrefixEmitStage(0.5, 3, head_ref=None)
+    stage._hot = (np.array([], np.int64), np.array([], np.int64))
+    empty = stage(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["", "  "]),
+    }))
+    full = stage(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon"]),
+    }))
+    assert empty.schema.equals(full.schema)
+    assert len(empty) == 0 and len(full) > 0
