@@ -474,6 +474,48 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id ORDER BY d.doc_id
 """
 
 
+def _langid_ngram_sql() -> str:
+    """Trigram-model language ID replayed in SQL: the profile CTE trains
+    the same fixed-point model (cnt * 2^20 // tot per (lang, trigram)),
+    the scores CTE classifies every doc against every language, ties
+    break to the lexicographically-first language, docs shorter than one
+    trigram predict 'und'. Byte trigrams == substring char trigrams on
+    this ASCII corpus (textstats._tri_windows docstring)."""
+    return """
+WITH tri AS (
+    SELECT doc_id, substring(text, CAST(i AS INT), 3) AS tri
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text) - 1, 1))) AS i
+          FROM documents)),
+prof_cnt AS (
+    SELECT lang, substring(text, CAST(i AS INT), 3) AS tri, count(*) AS cnt
+    FROM (SELECT lang, text,
+                 unnest(range(1, greatest(length(text) - 1, 1))) AS i
+          FROM documents)
+    GROUP BY 1, 2),
+tot AS (SELECT lang, sum(cnt) AS tot FROM prof_cnt GROUP BY 1),
+prof AS (
+    SELECT p.lang, p.tri, p.cnt * 1048576 // t.tot AS freq
+    FROM prof_cnt p JOIN tot t USING (lang)),
+scores AS (
+    SELECT t.doc_id, l.lang, COALESCE(sum(p.freq), 0) AS score
+    FROM tri t
+    CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+    LEFT JOIN prof p ON p.lang = l.lang AND p.tri = t.tri
+    GROUP BY 1, 2),
+best AS (
+    SELECT doc_id, lang, score, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scores)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS lang_pred,
+       CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
+
+
 def _langid_sql() -> str:
     """Profile-word language ID: hits = count of DISTINCT profile words per
     language; prediction = lexicographically-first argmax, 'und' on zero
@@ -826,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_top10": d.lsh_ann_topk,
         "ivf_ann_top10": d.ivf_ann_topk,
         "langid": d.langid_preds,
+        "langid_ngram": d.langid_ngram_preds,
         "doc_fingerprints": d.fingerprints,
         "url_canonicalize": d.url_canon,
         "domain_doc_stats": d.domain_doc_stats,
@@ -1041,6 +1084,7 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         "simhash_pairs": _SIMHASH_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
         "langid": _langid_sql(),
+        "langid_ngram": _langid_ngram_sql(),
         # the LSH near-dup entries run recall-complete parameterizations, so
         # the exhaustive pair SQL is a true oracle for both
         "embedding_neardup_lsh": (

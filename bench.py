@@ -139,6 +139,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.semdedup_embedding_pairs(sf_dir)
     with timed("quality_features"):
         d.quality_features(sf_dir)
+    with timed("langid_ngram"):  # train trigram profiles + classify
+        d.langid_ngram_preds(sf_dir)
     with timed("events_sessions"):
         d.events_sessions(sf_dir)
     with timed("tpch_q1ish"):

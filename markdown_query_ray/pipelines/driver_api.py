@@ -1065,6 +1065,29 @@ def langid_preds(sf_dir: str) -> pa.Table:
                                    concurrency=(1, 16))).sort_by("doc_id")
 
 
+def langid_ngram_preds(sf_dir: str) -> pa.Table:
+    """Model-grade language ID: character-trigram frequency profiles
+    trained distributed over the labeled corpus (map-side partial counts,
+    one small groupby), broadcast once via ray.put, then a zero-shuffle
+    vectorized classify pass. Fixed-point integer scoring so the DuckDB
+    oracle replays train + classify bit-for-bit (see
+    textstats.NgramLangIdStage)."""
+    import ray
+    import ray.data
+
+    from .textstats import NgramLangIdStage, ngram_lang_profiles
+
+    train = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "lang"])
+    prof_ref = ray.put(ngram_lang_profiles(train))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return _collect(ds.map_batches(
+        NgramLangIdStage, fn_constructor_args=(prof_ref,),
+        batch_format="pyarrow", concurrency=(1, 16))).sort_by("doc_id")
+
+
 def fingerprints(sf_dir: str) -> pa.Table:
     import ray.data
 

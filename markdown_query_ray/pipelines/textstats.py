@@ -324,3 +324,141 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
         "dup5gram_cov": pa.array(out["dup5gram_cov"], pa.int64()),
         "n_chars": pa.array(n_chars, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram statistical language ID (the "model-grade" shape the
+# profile-word heuristic above stands in for): per-language trigram
+# frequency profiles are TRAINED distributed over the labeled corpus
+# (map-side partial counts -> one small groupby; driver state is bounded
+# by |langs| x trigram vocabulary, <= 2^24 keys, never corpus rows),
+# broadcast once via ray.put, and classification is a zero-shuffle
+# vectorized map_batches pass. All scoring is fixed-point integer
+# arithmetic (freq = cnt * 2^20 // tot) so a SQL oracle replays the whole
+# model bit-for-bit. Trigram identity is defined on UTF-8 BYTES (the
+# standard byte-n-gram model convention); on ASCII corpora — which the
+# test tables are — byte trigrams coincide with the SQL oracle's
+# substring(text, i, 3) character trigrams.
+# ---------------------------------------------------------------------------
+
+TRI_SCALE = 1 << 20  # fixed-point denominator for profile frequencies
+
+
+def _tri_windows(col) -> tuple[np.ndarray, np.ndarray]:
+    """All UTF-8-byte trigram keys of a string column, fully vectorized on
+    the Arrow buffers: returns (keys, docidx) where keys = b0<<16|b1<<8|b2
+    for every in-document 3-byte window (windows never cross documents)
+    and docidx is sorted ascending."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(col, "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    off = np.frombuffer(col.buffers()[1], np.int32)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], np.uint8)[off[0]: off[-1]]
+    off = off - off[0]
+    n_bytes = int(off[-1])
+    if n_bytes < 3:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.arange(n_bytes - 2, dtype=np.int64)
+    docidx = np.searchsorted(off[1:], starts, side="right")
+    valid = starts + 3 <= off[docidx + 1]
+    s, d = starts[valid], docidx[valid]
+    keys = ((data[s].astype(np.int64) << 16)
+            | (data[s + 1].astype(np.int64) << 8)
+            | data[s + 2].astype(np.int64))
+    return keys, d
+
+
+def tri_profile_partial(batch: pa.Table) -> pa.Table:
+    """Map-side combiner for profile training: (lang, tri_key, cnt)
+    partial counts for one batch — only the combined counts shuffle."""
+    keys, d = _tri_windows(batch.column("text"))
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "tri_key": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    if not len(keys):
+        return empty
+    langs = np.asarray(batch.column("lang").to_pylist(), object)
+    uniq_langs, inv = np.unique(langs, return_inverse=True)
+    combo = inv[d].astype(np.int64) * (1 << 24) + keys
+    u, c = np.unique(combo, return_counts=True)
+    return pa.table({
+        "lang": pa.array(uniq_langs[(u >> 24)].tolist(), pa.string()),
+        "tri_key": pa.array(u & ((1 << 24) - 1), pa.int64()),
+        "cnt": pa.array(c.astype(np.int64)),
+    })
+
+
+def ngram_lang_profiles(ds, scale: int = TRI_SCALE):
+    """Train per-language trigram profiles over a labeled Dataset.
+    Returns (sorted lang list, {lang: (sorted tri keys, scaled freqs)}).
+    Driver state is the aggregated profile table only — bounded by
+    |langs| x 2^24, independent of corpus row count."""
+    from ray.data.aggregate import Sum
+
+    from .equijoin import collect_arrow
+
+    agg = ds.map_batches(tri_profile_partial, batch_format="pyarrow") \
+        .groupby(["lang", "tri_key"]).aggregate(Sum("cnt", alias_name="cnt"))
+    t = collect_arrow(agg, pa.schema([
+        ("lang", pa.string()), ("tri_key", pa.int64()),
+        ("cnt", pa.int64())]))
+    import pyarrow.compute as pc
+
+    langs = sorted(set(t.column("lang").to_pylist()))
+    prof: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for lang in langs:
+        sub = t.filter(pc.equal(t.column("lang"), lang))
+        keys = sub.column("tri_key").to_numpy().astype(np.int64)
+        cnt = sub.column("cnt").to_numpy().astype(np.int64)
+        order = np.argsort(keys)
+        keys, cnt = keys[order], cnt[order]
+        tot = int(cnt.sum())
+        assert tot * scale < 2 ** 63, "profile counts overflow fixed point"
+        prof[lang] = (keys, (cnt * scale) // tot)
+    return langs, prof
+
+
+class NgramLangIdStage:
+    """Actor-pool classifier: profiles fetched from the object store once
+    per actor; per batch one vectorized trigram pass + one searchsorted
+    lookup per language. Prediction = highest integer score, ties to the
+    lexicographically-first language (matching the SQL oracle's
+    ORDER BY score DESC, lang); documents shorter than one trigram
+    predict 'und' with score 0."""
+
+    def __init__(self, prof_ref):
+        import ray
+
+        self._langs, self._prof = ray.get(prof_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        keys, d = _tri_windows(batch.column("text"))
+        scores = np.zeros((len(self._langs), n), np.int64)
+        if len(keys):
+            for li, lang in enumerate(self._langs):
+                pk, pf = self._prof[lang]
+                if not len(pk):
+                    continue
+                pos = np.minimum(np.searchsorted(pk, keys), len(pk) - 1)
+                contrib = np.where(pk[pos] == keys, pf[pos], 0)
+                # bincount sums in float64: exact while any per-doc score
+                # stays below 2^53 (scale 2^20 x <2^33 windows per doc)
+                scores[li] = np.bincount(
+                    d, weights=contrib.astype(np.float64),
+                    minlength=n).astype(np.int64)
+        has_tri = np.bincount(d, minlength=n) > 0 if len(keys) \
+            else np.zeros(n, bool)
+        best = scores.argmax(axis=0)  # first max = lexicographic tiebreak
+        langs_arr = np.asarray(self._langs, object)
+        preds = np.where(has_tri, langs_arr[best], "und")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds.tolist(), pa.string()),
+            "score": pa.array(np.where(has_tri, scores.max(axis=0), 0)),
+        })

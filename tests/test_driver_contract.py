@@ -82,7 +82,7 @@ SQL_CHECKED = [
     "lang_length_quantiles", "stratified_sample_docs", "tpch_q3ish",
     "bigram_novelty", "lang_distinct_tokens", "cross_dup_coverage",
     "incremental_dedup_pairs", "dup_token_spans", "dup_span_scrub",
-    "kmeans_embeddings", "semdedup_pairs",
+    "kmeans_embeddings", "semdedup_pairs", "langid_ngram",
 ]
 
 
