@@ -272,6 +272,33 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 
+# CCNet-style bucketing from first principles: the _BIGRAM_SQL metric in
+# fixed point, per-lang quantile_disc tertiles (rank rule max(1, ceil(q*n))
+# == quantiles.group_quantiles; float 1/3 < exact 1/3 so ceil agrees for
+# any n < 1e16), head/middle/tail by threshold comparison.
+_CCNET_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+occ AS (SELECT doc_id, unnest(list_transform(range(0, len(l) - 1),
+        i -> l[i+1] || chr(31) || l[i+2])) AS g FROM tl WHERE len(l) >= 2),
+c AS (SELECT g, count(*) AS cnt FROM occ GROUP BY g),
+sc AS (SELECT doc_id, count(*) AS nb, sum(cnt) AS sumc
+       FROM occ JOIN c USING (g) GROUP BY doc_id),
+m AS (SELECT s.doc_id, d.lang, CAST(s.sumc * 1024 // s.nb AS BIGINT) AS metric
+      FROM sc s JOIN documents d USING (doc_id)),
+thr AS (SELECT lang, quantile_disc(metric, 1.0/3) AS t13,
+               quantile_disc(metric, 2.0/3) AS t23 FROM m GROUP BY lang)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(m.metric, -1) AS BIGINT) AS metric,
+       CASE WHEN m.metric IS NULL THEN 'tail'
+            WHEN m.metric >= t.t23 THEN 'head'
+            WHEN m.metric >= t.t13 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d
+LEFT JOIN m ON m.doc_id = d.doc_id
+LEFT JOIN thr t ON t.lang = d.lang
+ORDER BY d.doc_id
+"""
+
 # Duplicated-substring spans from first principles: same 4-gram identity
 # and cross-doc df >= 2 rule as _CROSS_DUP_SQL, then the gaps-and-islands
 # merge (a new island starts when the gap to the previous dup window
@@ -878,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": d.seq_packing,
         "pii_redact": d.pii_redact,
         "bigram_novelty": d.bigram_novelty,
+        "ccnet_buckets": d.ccnet_quality_buckets,
         "cross_dup_coverage": d.cross_dup_coverage,
         "dup_token_spans": d.dup_token_spans_entry,
         "dup_span_scrub": d.dup_span_scrub_entry,
@@ -1050,6 +1078,7 @@ ORDER BY tl.doc_id
         "seq_packing": _PACKING_SQL,
         "pii_redact": _PII_SQL,
         "bigram_novelty": _BIGRAM_SQL,
+        "ccnet_buckets": _CCNET_SQL,
         "cross_dup_coverage": _CROSS_DUP_SQL,
         "dup_token_spans": _DUP_SPANS_SQL,
         "dup_span_scrub": _DUP_SCRUB_SQL,

@@ -158,6 +158,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.pii_redact(sf_dir)
     with timed("bigram_novelty"):  # corpus-stats score-by-join
         d.bigram_novelty(sf_dir)
+    with timed("ccnet_buckets"):  # per-lang tertile quality gates
+        d.ccnet_quality_buckets(sf_dir)
     with timed("composite_pipeline"):  # quality -> dedup -> index -> BM25
         d.composite_pipeline(sf_dir, fresh=True)  # cold: cache cleared inside
 

@@ -623,6 +623,24 @@ def bigram_novelty(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def ccnet_quality_buckets(sf_dir: str) -> pa.Table:
+    """CCNet-style head/middle/tail bucketing: corpus-bigram fluency
+    metric per doc, per-language exact tertile gates (see
+    ngramstats.ccnet_buckets). All-integer metric and quantile_disc
+    thresholds so the SQL oracle replays the whole gate."""
+    import ray.data
+
+    from .equijoin import collect_arrow
+    from .ngramstats import ccnet_buckets
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text", "lang"])
+    t = collect_arrow(ccnet_buckets(ds), pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("metric", pa.int64()), ("bucket", pa.string())]))
+    return t.sort_by("doc_id")
+
+
 def dup_token_spans_entry(sf_dir: str, w: int = 4) -> pa.Table:
     """Maximal per-doc token spans covered by cross-doc duplicated
     w-gram windows (dedup.dup_token_spans: df groupby -> dup-key join ->

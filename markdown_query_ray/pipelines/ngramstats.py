@@ -207,3 +207,88 @@ def bigram_scores(ds, num_buckets: int = 64):
             Sum("n_part", alias_name="n_bigrams"),
             Sum("sum_part", alias_name="sum_count"),
             Min("min_part", alias_name="min_count"))
+
+
+def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64):
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020, public paper): per-document fluency metric = mean corpus
+    frequency of the doc's bigrams in fixed-point (sum_count * scale //
+    n_bigrams — higher = more typical text = lower perplexity), then
+    per-language tertile gates from EXACT discrete quantiles: metric >=
+    q_disc(2/3) -> 'head', >= q_disc(1/3) -> 'middle', else 'tail'.
+    Documents without bigrams pin ('tail', metric -1) via a zero-shuffle
+    side pass.
+
+    Scale shape: the bigram score-by-join is ngramstats.bigram_scores
+    (counts ride the join's own exchange); lang attaches with ONE
+    doc_id-keyed shuffle join; the (doc_id, lang, metric) projection is
+    materialized once (~25 B/doc — at 10^11 docs that is ~2.5 TB across
+    the cluster's object stores, 2.5% of corpus bytes; spills if needed)
+    because both the quantile histogram and the assignment pass consume
+    it; tertile thresholds come from the bounded value-domain histogram
+    (quantiles.group_quantiles), never a per-lang sort. Returns a
+    Dataset of (doc_id, lang, metric, bucket)."""
+    from fractions import Fraction
+
+    from .equijoin import shuffle_hash_join
+    from .quantiles import group_quantiles
+
+    def to_metric(b: pa.Table) -> pa.Table:
+        sc = b.column("sum_count").to_numpy().astype(np.int64)
+        nb = b.column("n_bigrams").to_numpy().astype(np.int64)
+        assert not len(sc) or int(sc.max()) < 2 ** 53, \
+            "metric fixed point overflows int64"
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "metric": pa.array(sc * scale // np.maximum(nb, 1)),
+        })
+
+    metric = bigram_scores(ds, num_buckets=num_buckets).map_batches(
+        to_metric, batch_format="pyarrow")
+    langs = ds.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow")
+    joined = shuffle_hash_join(
+        metric, langs, "doc_id", "doc_id",
+        {"metric": pa.int64()}, {"lang": pa.string()},
+        key_out="doc_id", num_buckets=num_buckets).materialize()
+
+    thr_t = group_quantiles(joined, "lang", "metric",
+                            qs=(Fraction(1, 3), Fraction(2, 3)))
+    thr: dict[str, list[int]] = {}
+    for lang, q, v in zip(thr_t.column("lang").to_pylist(),
+                          thr_t.column("q").to_pylist(),
+                          thr_t.column("quantile").to_pylist()):
+        thr.setdefault(lang, [0, 0])[0 if q < 0.5 else 1] = int(v)
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = b.column("metric").to_numpy().astype(np.int64)
+        langs_b = b.column("lang").to_pylist()
+        t13 = np.array([thr[la][0] for la in langs_b], np.int64)
+        t23 = np.array([thr[la][1] for la in langs_b], np.int64)
+        bucket = np.where(m >= t23, "head",
+                          np.where(m >= t13, "middle", "tail"))
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "lang": pa.array(langs_b, pa.string()),
+            "metric": pa.array(m),
+            "bucket": pa.array(bucket.tolist(), pa.string()),
+        })
+
+    def empties(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(b.column("text"), ""), "[^ ]+").to_numpy()
+        keep = n_tok < 2
+        ids = b.column("doc_id").to_numpy().astype(np.int64)[keep]
+        langs_b = np.asarray(b.column("lang").to_pylist(), object)[keep]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": pa.array(langs_b.tolist(), pa.string()),
+            "metric": pa.array(np.full(len(ids), -1, np.int64)),
+            "bucket": pa.array(["tail"] * len(ids), pa.string()),
+        })
+
+    assigned = joined.map_batches(assign, batch_format="pyarrow")
+    pinned = ds.map_batches(empties, batch_format="pyarrow")
+    return assigned.union(pinned)

@@ -157,3 +157,69 @@ def test_cross_dup_driver_entry_pins_short_docs(ray_session, tmp_path):
     exp = _brute_dup(DUP_TEXTS, 4)
     for i in range(len(DUP_TEXTS)):
         assert got[i] == exp[i], i
+
+
+def test_ccnet_buckets_matches_reference(ray_session):
+    """Pipeline vs a sequential pure-Python replay of the whole gate:
+    bigram corpus counts, fixed-point mean metric, per-lang tertiles
+    with the max(1, ceil(q*n)) rank rule, threshold buckets."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from markdown_query_ray.pipelines.equijoin import collect_arrow
+    from markdown_query_ray.pipelines.ngramstats import ccnet_buckets
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(0, 14))  # includes 0- and 1-token docs
+        docs.append((i, " ".join(rng.choice(vocab, n)),
+                     ["en", "de", "fr"][i % 3]))
+
+    # -- reference --
+    cnt = Counter()
+    doc_bi = {}
+    for i, text, _ in docs:
+        toks = [t for t in text.split(" ") if t]
+        bi = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        doc_bi[i] = bi
+        cnt.update(bi)
+    metric = {i: sum(cnt[b] for b in bi) * 1024 // len(bi)
+              for i, bi in doc_bi.items() if bi}
+    thr = {}
+    for lang in ["en", "de", "fr"]:
+        vals = sorted(metric[i] for i, _, la in docs
+                      if la == lang and i in metric)
+        n = len(vals)
+        t13 = vals[max(1, math.ceil(n / 3)) - 1]
+        t23 = vals[max(1, math.ceil(2 * n / 3)) - 1]
+        thr[lang] = (t13, t23)
+    exp = {}
+    for i, _, lang in docs:
+        if i not in metric:
+            exp[i] = (-1, "tail")
+            continue
+        m = metric[i]
+        t13, t23 = thr[lang]
+        exp[i] = (m, "head" if m >= t23 else
+                  "middle" if m >= t13 else "tail")
+
+    # -- pipeline --
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+        "lang": pa.array([d[2] for d in docs]),
+    })
+    out = collect_arrow(
+        ccnet_buckets(ray.data.from_arrow(t).repartition(5)),
+        pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                   ("metric", pa.int64()), ("bucket", pa.string())]))
+    got = {d: (m, b) for d, m, b in zip(
+        out.column("doc_id").to_pylist(), out.column("metric").to_pylist(),
+        out.column("bucket").to_pylist())}
+    assert got == exp
+    assert {"head", "middle", "tail"} == set(
+        b for _, b in got.values() if _ != -1) | {"tail"}
