@@ -562,16 +562,11 @@ ORDER BY d.doc_id
 """
 
 
-def _composite_sql(terms: list[str], k: int, min_tokens: int) -> str:
-    """Full-chain oracle: quality filter -> exact dedup (first doc_id per
-    distinct text) -> classic BM25 over the SURVIVING corpus (N/avgdl/df
-    recomputed on the filtered set, mirroring what the index build sees)."""
-    base = (
-        "WITH base AS (SELECT doc_id, text FROM ("
-        "SELECT doc_id, text, row_number() OVER (PARTITION BY text "
-        "ORDER BY doc_id) AS rn FROM documents "
-        f"WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) "
-        f">= {min_tokens}) WHERE rn = 1), "
+def _bm25_tail(terms: list[str], k: int) -> str:
+    """Shared classic-BM25 scoring tail over a `base(doc_id, text)` CTE:
+    tokens, doclens, corpus stats (N/avgdl recomputed over base), one
+    UNION ALL branch per query term, top-k by (score desc, doc_id)."""
+    head = (
         "toks AS (SELECT doc_id, unnest(list_filter("
         "string_split(lower(text), ' '), x -> x <> '')) AS term "
         "FROM base), "
@@ -591,12 +586,56 @@ def _composite_sql(terms: list[str], k: int, min_tokens: int) -> str:
         f"WHERE term = '{t}') df, st, dl WHERE dl.doc_id = tf.doc_id"
         for t in terms)
     return (
-        base +
+        head +
         f", scored AS (SELECT doc_id, sum(s) AS score FROM ({per_term}) "
         f"GROUP BY doc_id) "
         f"SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) "
         f"AS BIGINT) AS rank, doc_id, round(score, 6) AS score "
         f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
+
+
+def _composite_sql(terms: list[str], k: int, min_tokens: int) -> str:
+    """Full-chain oracle: quality filter -> exact dedup (first doc_id per
+    distinct text) -> classic BM25 over the SURVIVING corpus (N/avgdl/df
+    recomputed on the filtered set, mirroring what the index build sees)."""
+    return (
+        "WITH base AS (SELECT doc_id, text FROM ("
+        "SELECT doc_id, text, row_number() OVER (PARTITION BY text "
+        "ORDER BY doc_id) AS rn FROM documents "
+        f"WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        f">= {min_tokens}) WHERE rn = 1), "
+        + _bm25_tail(terms, k))
+
+
+def _refresh_sql(terms: list[str], k: int, min_tokens: int) -> str:
+    """Crawl-refresh oracle: base corpus (doc_id % 5 != 0) UNION the new
+    batch (doc_id % 5 == 0) that passes the token gate AND has no exact
+    3-shingle Jaccard >= 0.5 neighbor in the base (the same cross-side
+    flag rule _INCR_DEDUP_SQL validates against the recall-complete
+    banding), then classic BM25 with stats recomputed over the UPDATED
+    corpus — the SQL replay of build -> gate -> incremental dedup ->
+    update_index -> search."""
+    gate = ("len(list_filter(string_split(text, ' '), x -> x <> '')) "
+            f">= {min_tokens}")
+    return ("""WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+sh3 AS (SELECT doc_id, CASE WHEN len(l) <= 3 THEN [array_to_string(l, chr(31))]
+    ELSE list_transform(range(0, len(l)-2), i -> l[i+1] || chr(31) || l[i+2] || chr(31) || l[i+3]) END AS sh FROM tl),
+s AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(sh) AS g FROM sh3)),
+sz AS (SELECT doc_id, count(*) AS c FROM s GROUP BY doc_id),
+flagged AS (
+    SELECT DISTINCT b_doc AS doc_id FROM (
+        SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS i
+        FROM s a JOIN s b ON a.g = b.g
+        WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 GROUP BY 1, 2) p
+    JOIN sz ca ON ca.doc_id = p.a_doc JOIN sz cb ON cb.doc_id = p.b_doc
+    WHERE CAST(p.i AS DOUBLE) / (ca.c + cb.c - p.i) >= 0.5),
+base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    UNION ALL
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % 5 = 0 AND """ + gate + """
+      AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+""" + _bm25_tail(terms, k))
 
 
 # URL canonicalization: the oracle reconstructs both the messy url AND its
@@ -916,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": d.warc_extract,
         "span_dedup": d.span_dedup_survivors,
         "composite_quality_dedup_bm25": lambda sf: d.composite_pipeline(sf),
+        "crawl_refresh_bm25": lambda sf: d.crawl_refresh_pipeline(sf),
         "multimodal_features": d.multimodal_features,
         "video_frame_features": d.video_frame_feats,
         "audio_chunk_features": d.audio_chunk_feats,
@@ -1158,6 +1198,7 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         # C4-style span dedup: first (doc_id, span_idx) per distinct span
         "composite_quality_dedup_bm25": _composite_sql(
             ["merge", "sort"], 10, 30),
+        "crawl_refresh_bm25": _refresh_sql(["merge", "sort"], 10, 30),
         "span_dedup": (
             "WITH sp AS (SELECT doc_id, unnest(l) AS span, "
             "CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS span_idx "

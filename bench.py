@@ -162,6 +162,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.ccnet_quality_buckets(sf_dir)
     with timed("composite_pipeline"):  # quality -> dedup -> index -> BM25
         d.composite_pipeline(sf_dir, fresh=True)  # cold: cache cleared inside
+    with timed("crawl_refresh"):  # base build -> gate -> incr dedup -> update
+        d.crawl_refresh_pipeline(sf_dir, fresh=True)
 
     total = round(sum(timings.values()), 4)
     return {

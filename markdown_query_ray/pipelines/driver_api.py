@@ -1262,6 +1262,83 @@ def composite_pipeline(sf_dir: str, min_tokens: int = 30,
     return _round_col(res, "score")
 
 
+def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
+                           terms: list[str] | None = None,
+                           k: int = 10, fresh: bool = False) -> pa.Table:
+    """Crawl-refresh composed end to end: build the base index over the
+    accumulated corpus (doc_id % 5 != 0), then take the new crawl batch
+    (doc_id % 5 == 0) through quality gate (n_tokens >= min_tokens) ->
+    incremental near-dup vs the base (exact 3-shingle Jaccard >= 0.5 via
+    the recall-complete 64x2 banding, the same regime the
+    incremental_dedup_pairs oracle validates) -> distributed anti-join of
+    flagged doc_ids (equijoin.hash_anti_join — flagged ids never land on
+    the driver) -> update_index INSERTION of the survivors -> BM25 top-k
+    over the UPDATED multi-segment index. One DuckDB oracle replays the
+    whole refresh, including the updated corpus-dependent BM25 stats —
+    this is the driver-contract exercise of the update path (previously
+    pytest-only: update/compact rank-identity suites)."""
+    import shutil
+
+    import ray.data
+
+    from ..index.update import update_index
+    from .dedup import incremental_minhash_pairs
+    from .equijoin import hash_anti_join
+    from .textstats import token_count_batch
+
+    terms = terms or ["merge", "sort"]
+    key = hashlib.md5(
+        f"{sf_dir}|v{__version__}|refresh-{min_tokens}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"refresh-{key}")
+    done = os.path.join(out, "_REFRESH_DONE")
+    if fresh:  # bench mode: time the actual build+update, not a cache hit
+        shutil.rmtree(out, ignore_errors=True)
+    if not os.path.exists(done):
+        full = _docs_dataset(sf_dir)
+
+        def half(keep_new: bool):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy()
+                mask = (ids % 5 == 0) if keep_new else (ids % 5 != 0)
+                return b.filter(pa.array(mask))
+            return f
+
+        base = full.map_batches(half(False), batch_format="pyarrow")
+        new = full.map_batches(half(True), batch_format="pyarrow")
+        cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=8,
+                          num_doc_buckets=1, block_size=128)
+        build_index(out, dataset=base, cfg=cfg)
+
+        def quality_gate(b: pa.Table) -> pa.Table:
+            n = token_count_batch(b).column("n_tokens").to_numpy()
+            return b.filter(pa.array(n >= min_tokens))
+
+        gated = new.map_batches(quality_gate, batch_format="pyarrow")
+        pick = lambda b: b.select(["doc_id", "text"])  # noqa: E731
+        pairs = incremental_minhash_pairs(
+            base.map_batches(pick, batch_format="pyarrow"),
+            gated.map_batches(pick, batch_format="pyarrow"),
+            threshold=0.5, num_hashes=128, bands=64, collect=False)
+        flagged = pairs.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_b").cast(pa.int64())}),
+            batch_format="pyarrow")
+        survivors = hash_anti_join(
+            gated, flagged, "doc_id",
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                       ("lang", pa.string()), ("url", pa.string())]))
+        update_index(out, dataset=survivors, cfg=cfg)
+        with open(done, "w") as f:
+            f.write("ok")
+    node = Term(terms[0]) if len(terms) == 1 \
+        else Or(tuple(Term(t) for t in terms))
+    qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)
+    res = qx.search(out, node, qcfg).select(["rank", "doc_id", "score"])
+    res = res.set_column(1, "doc_id", res.column("doc_id").cast(pa.int64()))
+    return _round_col(res, "score")
+
+
 def span_dedup_survivors(sf_dir: str) -> pa.Table:
     """(doc_id, span_idx) of first occurrences of each distinct '. '-span
     — C4-style sub-document exact dedup."""

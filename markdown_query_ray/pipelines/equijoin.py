@@ -252,3 +252,52 @@ def collect_arrow(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
             raise ValueError("empty result and no fallback schema")
         return empty_schema.empty_table()
     return pa.concat_tables(batches)
+
+
+def hash_anti_join(rows_ds, ids_ds, key: str, rows_schema: pa.Schema,
+                   num_buckets: int = 64):
+    """Distributed NOT IN: drop the rows of ``rows_ds`` whose ``key``
+    value appears in ``ids_ds`` (a Dataset with a ``key`` column), with
+    neither side ever collecting. Both sides co-shuffle ONCE on
+    ``FNV(key) % num_buckets`` (equal key => equal bucket) and the
+    filter is a vectorized searchsorted inside ``map_groups`` — the
+    same semi-join shape as dedup.exact_dedup_rows, inverted.
+    ``rows_schema`` pins the row side's column types so the id side can
+    union in as typed nulls (one Dataset, one exchange)."""
+    names = [f.name for f in rows_schema]
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        b = b.select(names)
+        k = b.column(key).to_numpy().astype(np.int64)
+        bucket = (_key_u64(k) % np.uint64(num_buckets)).astype(np.int32)
+        b = b.append_column("__side", pa.array(
+            np.zeros(len(b), np.int8)))
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def tag_ids(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy().astype(np.int64)
+        bucket = (_key_u64(k) % np.uint64(num_buckets)).astype(np.int32)
+        cols = {}
+        for f in rows_schema:
+            cols[f.name] = (pa.array(k, pa.int64()) if f.name == key
+                            else pa.nulls(len(k), f.type))
+        t = pa.table(cols)
+        t = t.append_column("__side", pa.array(np.ones(len(k), np.int8)))
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def drop(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy()
+        keys = group.column(key).to_numpy().astype(np.int64)
+        flagged = np.unique(keys[side == 1])
+        rows_mask = side == 0
+        if len(flagged):
+            pos = np.minimum(np.searchsorted(flagged, keys),
+                             len(flagged) - 1)
+            rows_mask &= flagged[pos] != keys
+        return group.filter(pa.array(rows_mask)).drop_columns(
+            ["__side", "__bucket"])
+
+    tagged = rows_ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        ids_ds.map_batches(tag_ids, batch_format="pyarrow"))
+    return tagged.groupby("__bucket").map_groups(
+        drop, batch_format="pyarrow")

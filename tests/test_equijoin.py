@@ -164,3 +164,46 @@ def test_shuffle_join_disjoint_keys(ray_session):
                             "lk", "rk", {"a": pa.int64()},
                             {"b": pa.string()})
     assert out.count() == 0
+
+
+def test_hash_anti_join_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from markdown_query_ray.pipelines.equijoin import hash_anti_join
+
+    rng = np.random.default_rng(9)
+    rows = pa.table({
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+        "text": pa.array([f"t{i}" for i in range(300)]),
+    })
+    ids = pa.table({
+        "doc_id": pa.array(np.unique(rng.integers(0, 400, 120)), pa.int64()),
+    })
+    out = hash_anti_join(
+        ray.data.from_arrow(rows).repartition(4),
+        ray.data.from_arrow(ids).repartition(3),
+        "doc_id",
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+    got = collect_arrow(out, rows.schema).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("r", rows)
+    con.register("f", ids)
+    exp = con.sql("SELECT * FROM r WHERE doc_id NOT IN "
+                  "(SELECT doc_id FROM f) ORDER BY doc_id").df()
+    assert got.equals(exp.reset_index(drop=True))
+
+
+def test_hash_anti_join_empty_ids(ray_session):
+    import ray.data
+
+    from markdown_query_ray.pipelines.equijoin import hash_anti_join
+
+    rows = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["a", "b"])})
+    ids = pa.table({"doc_id": pa.array([], pa.int64())})
+    out = hash_anti_join(
+        ray.data.from_arrow(rows), ray.data.from_arrow(ids), "doc_id",
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]))
+    assert collect_arrow(out, rows.schema).num_rows == 2
