@@ -57,6 +57,39 @@ def _bm25_sql(terms: list[str], k: int) -> str:
         f"FROM scored ORDER BY score DESC, doc_id LIMIT {k}")
 
 
+def _snippet_sql(terms: list[str], k: int, window: int = 8) -> str:
+    """Snippet oracle: the _bm25_sql top-k as a CTE, then for each hit
+    the best `window`-token passage — window hit-counts via a ROWS
+    frame sum over the position-ordered token stream, argmax with ties
+    to the earliest start (row_number ORDER BY w DESC, st), snippet
+    rebuilt from the ORIGINAL tokens with DuckDB's 1-based inclusive
+    list slice."""
+    in_list = ", ".join(f"'{t.lower()}'" for t in terms)
+    bm25 = _bm25_sql(terms, k)
+    return f"""
+WITH hits AS ({bm25}),
+tl AS (SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> x <> '') AS l
+       FROM documents d JOIN hits USING (doc_id)),
+pos AS (SELECT doc_id, unnest(range(0, len(l))) AS p,
+        unnest(list_transform(range(0, len(l)), i -> lower(l[i+1]))) AS tok
+        FROM tl),
+h AS (SELECT doc_id, p, CASE WHEN tok IN ({in_list}) THEN 1 ELSE 0 END AS hit
+      FROM pos),
+win AS (SELECT doc_id, p AS st, sum(hit) OVER (PARTITION BY doc_id ORDER BY p
+        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS w FROM h),
+valid AS (SELECT win.doc_id, st, w FROM win JOIN tl ON tl.doc_id = win.doc_id
+          WHERE st <= greatest(len(tl.l) - {window}, 0)),
+best AS (SELECT doc_id, st FROM (SELECT doc_id, st, row_number() OVER (
+         PARTITION BY doc_id ORDER BY w DESC, st) AS rn FROM valid)
+         WHERE rn = 1)
+SELECT hits.rank, hits.doc_id, hits.score,
+       array_to_string(tl.l[best.st + 1 : best.st + {window}], ' ') AS snippet
+FROM hits JOIN best ON best.doc_id = hits.doc_id
+JOIN tl ON tl.doc_id = hits.doc_id
+ORDER BY hits.rank
+"""
+
+
 # BPE-ish pre-tokenizer count oracle: the exact pattern the Ray stage
 # compiles (textstats.BPE_PATTERN), SQL-escaped for the DuckDB literal.
 from markdown_query_ray.pipelines.textstats import BPE_PATTERN as _BPE_PAT
@@ -879,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- inverted index + BM25 (engine end to end, SQL-checked) ----------
         "bm25_single_term": lambda sf: d.bm25_topk(sf, ["merge"], k=20),
+        "search_snippets": lambda sf: d.search_snippets(sf, ["merge", "sort"], k=10),
         "bm25_or3": lambda sf: d.bm25_topk(sf, ["merge", "sort", "window"],
                                            k=20),
         # rare term (df=25): exercises nonzero classic idf + WAND pruning
@@ -965,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_single_term": _bm25_sql(["merge"], 20),
+        "search_snippets": _snippet_sql(["merge", "sort"], 10),
         "bm25_or3": _bm25_sql(["merge", "sort", "window"], 20),
         "bm25_or3_bitpack": _bm25_sql(["merge", "sort", "window"], 20),
         "bm25_rare_dup": _bm25_sql(["dup", "merge"], 20),

@@ -87,6 +87,76 @@ def bm25_topk(sf_dir: str, terms: list[str], k: int = 10,
     return _round_col(out, "score")
 
 
+def search_snippets(sf_dir: str, terms: list[str] | None = None,
+                    k: int = 10, window: int = 8) -> pa.Table:
+    """(rank, doc_id, score, snippet): the data-path analog of the
+    reference's interactive result preview (TUI render loop,
+    /root/reference/src/interactive.rs:139-203) — for each BM25 top-k
+    hit, the best `window`-token passage = the window with the most
+    query-term occurrences, ties to the earliest start; the snippet
+    keeps the ORIGINAL token casing while hit-matching is on the
+    simple-mode lowercase terms.
+
+    Scale shape: snippets are computed ONLY for the top-k hit set — the
+    documents read is pruned to those ids (filter pushdown at the
+    parquet scan), so the stage's cost is bounded by k, never corpus
+    size; the in-doc window scan is one cumsum over the hit mask."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .equijoin import collect_arrow
+
+    terms = terms or ["merge", "sort"]
+    idx = documents_index(sf_dir)
+    node = Term(terms[0]) if len(terms) == 1 \
+        else Or(tuple(Term(t) for t in terms))
+    qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)
+    res = qx.search(idx, node, qcfg).select(["rank", "doc_id", "score"])
+    ids = res.column("doc_id").to_numpy().astype(np.int64)  # k values
+
+    term_set = {t.lower() for t in terms}
+
+    def snippet_batch(b: pa.Table) -> pa.Table:
+        out = []
+        for text in b.column("text").to_pylist():
+            toks = [t for t in (text or "").split(" ") if t]
+            n = len(toks)
+            if n == 0:
+                out.append("")
+                continue
+            hit = np.fromiter((t.lower() in term_set for t in toks),
+                              bool, n)
+            c = np.concatenate([[0], np.cumsum(hit)])
+            n_st = max(n - window, 0) + 1
+            wins = c[np.minimum(np.arange(n_st) + window, n)] - c[:n_st]
+            st = int(np.argmax(wins))  # first max = earliest start
+            out.append(" ".join(toks[st:st + window]))
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "snippet": pa.array(out, pa.string()),
+        })
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(ids.tolist()))
+    snip = collect_arrow(
+        docs.map_batches(snippet_batch, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("snippet", pa.string())]))
+    # k-row driver-side attach of rank/score to snippets
+    order = np.argsort(snip.column("doc_id").to_numpy())
+    s_ids = snip.column("doc_id").to_numpy()[order]
+    s_txt = np.asarray(snip.column("snippet").to_pylist(), object)[order]
+    pos = np.searchsorted(s_ids, ids)
+    t = pa.table({
+        "rank": res.column("rank"),
+        "doc_id": pa.array(ids, pa.int64()),
+        "score": res.column("score"),
+        "snippet": pa.array(s_txt[pos].tolist(), pa.string()),
+    })
+    return _round_col(t, "score")
+
+
 def phrase_bm25(sf_dir: str, terms: list[str], k: int = 20,
                 ordered: bool = True, window: int = 0) -> pa.Table:
     """(rank, doc_id, score) for a true positional PHRASE/NEAR query over a

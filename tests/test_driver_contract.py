@@ -83,7 +83,7 @@ SQL_CHECKED = [
     "bigram_novelty", "lang_distinct_tokens", "cross_dup_coverage",
     "incremental_dedup_pairs", "dup_token_spans", "dup_span_scrub",
     "kmeans_embeddings", "semdedup_pairs", "langid_ngram",
-    "ccnet_buckets", "crawl_refresh_bm25",
+    "ccnet_buckets", "crawl_refresh_bm25", "search_snippets",
 ]
 
 
