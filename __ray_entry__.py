@@ -913,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- inverted index + BM25 (engine end to end, SQL-checked) ----------
         "bm25_single_term": lambda sf: d.bm25_topk(sf, ["merge"], k=20),
         "search_snippets": lambda sf: d.search_snippets(sf, ["merge", "sort"], k=10),
+        "facet_lang_counts": lambda sf: d.facet_counts(sf, ["merge", "sort"]),
         "bm25_or3": lambda sf: d.bm25_topk(sf, ["merge", "sort", "window"],
                                            k=20),
         # rare term (df=25): exercises nonzero classic idf + WAND pruning
@@ -1000,6 +1001,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_single_term": _bm25_sql(["merge"], 20),
         "search_snippets": _snippet_sql(["merge", "sort"], 10),
+        "facet_lang_counts": (
+            "WITH tl AS (SELECT doc_id, lang, list_filter(string_split("
+            "lower(text), ' '), x -> x <> '') AS l FROM documents) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_matches FROM tl "
+            "WHERE list_contains(l, 'merge') OR list_contains(l, 'sort') "
+            "GROUP BY lang ORDER BY lang"),
         "bm25_or3": _bm25_sql(["merge", "sort", "window"], 20),
         "bm25_or3_bitpack": _bm25_sql(["merge", "sort", "window"], 20),
         "bm25_rare_dup": _bm25_sql(["dup", "merge"], 20),

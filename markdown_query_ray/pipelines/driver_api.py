@@ -215,6 +215,57 @@ def match_counts(sf_dir: str, terms: list[str]) -> pa.Table:
                      "n_matches": pa.array(counts, pa.int64())})
 
 
+def facet_counts(sf_dir: str, terms: list[str] | None = None,
+                 facet: str = "lang") -> pa.Table:
+    """Faceted search (the MatchSpy analog of xapian's per-value result
+    spies): per-`facet` counts over the FULL match set of a weighted-OR
+    query. Match doc_ids are produced per doc-bucket INSIDE map_batches
+    over a control dataset of bucket ids (the _ScoreBuckets shape — the
+    match set, which is corpus-scale for stopword-grade queries, never
+    collects), the facet column attaches with one doc_id-keyed shuffle
+    join against the pruned (doc_id, facet) projection, and the count
+    is a tiny per-facet groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .equijoin import shuffle_hash_join
+
+    terms = terms or ["merge", "sort"]
+    idx = documents_index(sf_dir)
+    node = Term(terms[0]) if len(terms) == 1 \
+        else Or(tuple(Term(t) for t in terms))
+    n_buckets = max(IndexReader(idx).S, 1)
+    params = BM25Params.classic()
+
+    def match_bucket(batch: pa.Table) -> pa.Table:
+        reader = IndexReader(idx)
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            ev = qx.Evaluator(reader, params,
+                              int(b) if reader.S > 1 else None)
+            out.append(ev.evaluate(node).ids.astype(np.int64))
+        ids = np.concatenate(out) if out else np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "one": pa.array(np.ones(len(ids), np.int64))})
+
+    ctrl = ray.data.from_items(
+        [{"bucket": b} for b in range(n_buckets)])
+    matches = ctrl.map_batches(match_bucket, batch_format="pyarrow")
+    facets = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", facet])
+    joined = shuffle_hash_join(
+        matches, facets, "doc_id", "doc_id",
+        {"one": pa.int64()}, {facet: pa.string()}, key_out="doc_id")
+    agg = joined.groupby(facet).aggregate(
+        Sum("one", alias_name="n_matches"))
+    t = _collect(agg).sort_by(facet)
+    return pa.table({
+        facet: t.column(facet),
+        "n_matches": t.column("n_matches").cast(pa.int64()),
+    })
+
+
 def doc_token_counts(sf_dir: str) -> pa.Table:
     import ray.data
 
