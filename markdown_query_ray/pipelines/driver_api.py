@@ -73,12 +73,17 @@ def _round_col(t: pa.Table, col: str, digits: int = ROUND) -> pa.Table:
     return t.set_column(i, col, pa.array(vals, pa.float64()))
 
 
+def _or_node(terms: list[str]):
+    """Single-term leaf or weighted-OR tree for a term list."""
+    return Term(terms[0]) if len(terms) == 1 \
+        else Or(tuple(Term(t) for t in terms))
+
+
 def bm25_topk(sf_dir: str, terms: list[str], k: int = 10,
               codec: str = "varint") -> pa.Table:
     """(rank, doc_id, score) for a weighted-OR query, classic BM25 profile."""
     idx = documents_index(sf_dir, codec=codec)
-    node = Term(terms[0]) if len(terms) == 1 \
-        else Or(tuple(Term(t) for t in terms))
+    node = _or_node(terms)
     qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)
     out = qx.search(idx, node, qcfg)
     out = out.select(["rank", "doc_id", "score"])
@@ -108,8 +113,7 @@ def search_snippets(sf_dir: str, terms: list[str] | None = None,
 
     terms = terms or ["merge", "sort"]
     idx = documents_index(sf_dir)
-    node = Term(terms[0]) if len(terms) == 1 \
-        else Or(tuple(Term(t) for t in terms))
+    node = _or_node(terms)
     qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)
     res = qx.search(idx, node, qcfg).select(["rank", "doc_id", "score"])
     ids = res.column("doc_id").to_numpy().astype(np.int64)  # k values
@@ -148,6 +152,13 @@ def search_snippets(sf_dir: str, terms: list[str] | None = None,
     s_ids = snip.column("doc_id").to_numpy()[order]
     s_txt = np.asarray(snip.column("snippet").to_pylist(), object)[order]
     pos = np.searchsorted(s_ids, ids)
+    if len(s_ids) < len(ids) or not (s_ids[np.minimum(
+            pos, len(s_ids) - 1)] == ids).all():
+        # a hit id absent from the documents read means the cached index
+        # is stale relative to the table — fail loudly, never misattach
+        raise ValueError(
+            "top-k hit ids missing from the documents read; the cached "
+            "index is stale — clear /tmp/mdq_ray_cache")
     t = pa.table({
         "rank": res.column("rank"),
         "doc_id": pa.array(ids, pa.int64()),
@@ -232,8 +243,7 @@ def facet_counts(sf_dir: str, terms: list[str] | None = None,
 
     terms = terms or ["merge", "sort"]
     idx = documents_index(sf_dir)
-    node = Term(terms[0]) if len(terms) == 1 \
-        else Or(tuple(Term(t) for t in terms))
+    node = _or_node(terms)
     n_buckets = max(IndexReader(idx).S, 1)
     params = BM25Params.classic()
 
@@ -259,7 +269,10 @@ def facet_counts(sf_dir: str, terms: list[str] | None = None,
         {"one": pa.int64()}, {facet: pa.string()}, key_out="doc_id")
     agg = joined.groupby(facet).aggregate(
         Sum("one", alias_name="n_matches"))
-    t = _collect(agg).sort_by(facet)
+    from .equijoin import collect_arrow
+
+    t = collect_arrow(agg, pa.schema([
+        (facet, pa.string()), ("n_matches", pa.int64())])).sort_by(facet)
     return pa.table({
         facet: t.column(facet),
         "n_matches": t.column("n_matches").cast(pa.int64()),
@@ -1375,8 +1388,7 @@ def composite_pipeline(sf_dir: str, min_tokens: int = 30,
         build_index(out, dataset=survivors, cfg=cfg)
         with open(done, "w") as f:
             f.write("ok")
-    node = Term(terms[0]) if len(terms) == 1 \
-        else Or(tuple(Term(t) for t in terms))
+    node = _or_node(terms)
     qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)
     res = qx.search(out, node, qcfg).select(["rank", "doc_id", "score"])
     res = res.set_column(1, "doc_id", res.column("doc_id").cast(pa.int64()))
@@ -1452,8 +1464,7 @@ def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
         update_index(out, dataset=survivors, cfg=cfg)
         with open(done, "w") as f:
             f.write("ok")
-    node = Term(terms[0]) if len(terms) == 1 \
-        else Or(tuple(Term(t) for t in terms))
+    node = _or_node(terms)
     qcfg = QueryConfig(k=k, params=BM25Params.classic(), use_wand=True)
     res = qx.search(out, node, qcfg).select(["rank", "doc_id", "score"])
     res = res.set_column(1, "doc_id", res.column("doc_id").cast(pa.int64()))

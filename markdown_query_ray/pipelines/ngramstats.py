@@ -236,8 +236,21 @@ def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64):
     def to_metric(b: pa.Table) -> pa.Table:
         sc = b.column("sum_count").to_numpy().astype(np.int64)
         nb = b.column("n_bigrams").to_numpy().astype(np.int64)
-        assert not len(sc) or int(sc.max()) < 2 ** 53, \
-            "metric fixed point overflows int64"
+        if len(sc):
+            # two hard bounds, both loud: the fixed-point product must
+            # fit int64 for THIS scale, and the resulting metric must fit
+            # the quantile histogram's value domain (< 2^40,
+            # quantiles._hist_partials) — corpora whose mean bigram count
+            # exceeds 2^40/scale need a smaller `scale`
+            if int(sc.max()) >= 2 ** 63 // scale:
+                raise ValueError(
+                    f"sum_count x scale={scale} overflows int64; "
+                    "reduce scale")
+            m_max = int((sc * scale // np.maximum(nb, 1)).max())
+            if m_max >= 1 << 40:
+                raise ValueError(
+                    f"ccnet metric {m_max} exceeds the 2^40 quantile "
+                    f"histogram domain; reduce scale={scale}")
         return pa.table({
             "doc_id": b.column("doc_id").cast(pa.int64()),
             "metric": pa.array(sc * scale // np.maximum(nb, 1)),
@@ -275,10 +288,11 @@ def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64):
         })
 
     def empties(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from .textstats import token_count_batch
 
-        n_tok = pc.count_substring_regex(
-            pc.fill_null(b.column("text"), ""), "[^ ]+").to_numpy()
+        # the "has bigrams" rule must stay bit-identical to the bigram
+        # side's token count — share the kernel, don't re-derive it
+        n_tok = token_count_batch(b).column("n_tokens").to_numpy()
         keep = n_tok < 2
         ids = b.column("doc_id").to_numpy().astype(np.int64)[keep]
         langs_b = np.asarray(b.column("lang").to_pylist(), object)[keep]

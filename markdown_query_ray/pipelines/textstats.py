@@ -375,21 +375,35 @@ def _tri_windows(col) -> tuple[np.ndarray, np.ndarray]:
 
 def tri_profile_partial(batch: pa.Table) -> pa.Table:
     """Map-side combiner for profile training: (lang, tri_key, cnt)
-    partial counts for one batch — only the combined counts shuffle."""
-    keys, d = _tri_windows(batch.column("text"))
-    empty = pa.table({"lang": pa.array([], pa.string()),
-                      "tri_key": pa.array([], pa.int64()),
-                      "cnt": pa.array([], pa.int64())})
-    if not len(keys):
-        return empty
+    partial counts for one batch — only the combined counts shuffle.
+    Every lang present in the batch also emits a (lang, -1, 0) sentinel
+    row so trigram-less languages survive the aggregate: the language
+    UNIVERSE must be every distinct lang in the corpus (the SQL oracle
+    cross-joins DISTINCT lang), not just the ones that produced
+    trigrams — otherwise all-zero-score docs can resolve to a different
+    lexicographically-first language than the oracle's."""
     langs = np.asarray(batch.column("lang").to_pylist(), object)
-    uniq_langs, inv = np.unique(langs, return_inverse=True)
+    uniq_langs = np.unique(langs) if len(langs) else langs
+    sentinel_lang = uniq_langs.tolist()
+    sentinel_key = np.full(len(uniq_langs), -1, np.int64)
+    sentinel_cnt = np.zeros(len(uniq_langs), np.int64)
+    keys, d = _tri_windows(batch.column("text"))
+    if not len(keys):
+        return pa.table({
+            "lang": pa.array(sentinel_lang, pa.string()),
+            "tri_key": pa.array(sentinel_key),
+            "cnt": pa.array(sentinel_cnt),
+        })
+    inv = np.searchsorted(uniq_langs, langs)
     combo = inv[d].astype(np.int64) * (1 << 24) + keys
     u, c = np.unique(combo, return_counts=True)
     return pa.table({
-        "lang": pa.array(uniq_langs[(u >> 24)].tolist(), pa.string()),
-        "tri_key": pa.array(u & ((1 << 24) - 1), pa.int64()),
-        "cnt": pa.array(c.astype(np.int64)),
+        "lang": pa.array(
+            uniq_langs[(u >> 24)].tolist() + sentinel_lang, pa.string()),
+        "tri_key": pa.array(np.concatenate(
+            [u & ((1 << 24) - 1), sentinel_key])),
+        "cnt": pa.array(np.concatenate(
+            [c.astype(np.int64), sentinel_cnt])),
     })
 
 
@@ -415,9 +429,14 @@ def ngram_lang_profiles(ds, scale: int = TRI_SCALE):
         sub = t.filter(pc.equal(t.column("lang"), lang))
         keys = sub.column("tri_key").to_numpy().astype(np.int64)
         cnt = sub.column("cnt").to_numpy().astype(np.int64)
+        real = keys >= 0  # drop the lang-universe sentinel rows
+        keys, cnt = keys[real], cnt[real]
         order = np.argsort(keys)
         keys, cnt = keys[order], cnt[order]
         tot = int(cnt.sum())
+        if tot == 0:  # lang exists in the corpus but has no trigrams
+            prof[lang] = (keys[:0], cnt[:0])
+            continue
         assert tot * scale < 2 ** 63, "profile counts overflow fixed point"
         prof[lang] = (keys, (cnt * scale) // tot)
     return langs, prof
@@ -438,6 +457,12 @@ class NgramLangIdStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
+        if not self._langs:  # corpus produced no language universe at all
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(["und"] * n, pa.string()),
+                "score": pa.array(np.zeros(n, np.int64)),
+            })
         keys, d = _tri_windows(batch.column("text"))
         scores = np.zeros((len(self._langs), n), np.int64)
         if len(keys):

@@ -38,8 +38,7 @@ def _ref(docs):
             out.append((_id, "und", 0))
             continue
         scores = {L: sum(prof[L].get(t, 0) for t in tris) for L in langs}
-        best = max(langs, key=lambda L: (scores[L], [-ord(c) for c in L]))
-        # max with ties to lexicographically FIRST lang:
+        # max score, ties to the lexicographically FIRST lang
         top = max(scores.values())
         best = min(L for L in langs if scores[L] == top)
         out.append((_id, best, top))
@@ -97,3 +96,54 @@ def test_ngram_langid_matches_reference(ray_session):
     labeled = [(d, e) for d, e in zip(docs, exp) if d[1]]
     acc = np.mean([d[2] == e[1] for d, e in labeled])
     assert acc > 0.9
+
+
+def test_langid_universe_includes_trigramless_langs(ray_session):
+    """The language universe must be every DISTINCT lang in the corpus
+    (the SQL oracle cross-joins all of them): a lang whose only docs are
+    too short to produce trigrams still participates, so an
+    all-zero-score doc resolves to the lexicographically-first lang of
+    the FULL universe."""
+    import ray
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        # lang 'aa' contributes NO trigrams; 'qzj' shares no trigram
+        # with the 'en' profile -> zero score everywhere
+        "text": pa.array(["hello world text", "ab", "qzj"]),
+        "lang": pa.array(["en", "aa", "en"]),
+    })
+    ds = ray.data.from_arrow(t)
+    # scale=1 floors every profile frequency to 0 (cnt < tot), forcing
+    # the all-zero-score regime the universe rule decides
+    langs, prof = ngram_lang_profiles(ds, scale=1)
+    assert langs == ["aa", "en"]
+    assert len(prof["aa"][0]) == 0
+    stage = NgramLangIdStage.__new__(NgramLangIdStage)
+    stage._langs, stage._prof = langs, prof
+    out = stage(t).to_pydict()
+    # docs 0 and 2 have trigrams but zero score for both langs -> 'aa'
+    # (first of the FULL universe), matching ORDER BY score DESC, lang
+    # over a cross join of all corpus langs
+    assert out["lang_pred"][0] == "aa" and out["score"][0] == 0
+    assert out["lang_pred"][2] == "aa" and out["score"][2] == 0
+    assert out["lang_pred"][1] == "und"  # no trigram at all
+
+
+def test_langid_all_short_corpus(ray_session):
+    """Corpus where no doc produces a trigram: every prediction is
+    'und', no crash on the empty profile matrix."""
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["ab", ""]),
+        "lang": pa.array(["en", "de"]),
+    })
+    langs, prof = ngram_lang_profiles(ray.data.from_arrow(t))
+    stage = NgramLangIdStage.__new__(NgramLangIdStage)
+    stage._langs, stage._prof = langs, prof
+    out = stage(t).to_pydict()
+    assert out["lang_pred"] == ["und", "und"]
+    assert out["score"] == [0, 0]
