@@ -964,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_pairs": d.incremental_dedup_pairs,
         "ngram_jaccard_pairs": d.ngram_jaccard,
         "neardup_clusters": d.neardup_clusters,
+        "neardup_dedup_docs": d.neardup_dedup_docs,
         "embedding_neardup_lsh": d.embedding_neardup_lsh,
         "simhash_pairs": d.simhash_near_pairs,
         "lsh_ann_top10": d.lsh_ann_topk,
@@ -1183,6 +1184,18 @@ ORDER BY tl.doc_id
         # connected components from first principles: transitive closure
         # of the (recall-complete) J >= 0.5 pair graph via a recursive
         # CTE, component label = min reachable id
+        "neardup_dedup_docs": f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL_T.format(thr=0.5)})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+comp AS (SELECT u AS doc_id, min(r) AS rep FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> rep)
+ORDER BY d.doc_id
+""",
         "neardup_clusters": f"""
 WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_JACCARD_SQL_T.format(thr=0.5)})),
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),

@@ -1162,6 +1162,42 @@ def neardup_clusters(sf_dir: str) -> pa.Table:
     return connected_components(pairs)
 
 
+def neardup_dedup_docs(sf_dir: str) -> pa.Table:
+    """Near-dup SURVIVOR selection — the consumer that turns cluster
+    output into a deduplicated corpus: keep exactly one doc (the
+    component-minimum rep) per near-dup cluster, keep every singleton.
+    Composition is Dataset end to end: verified pairs -> star-round
+    connected components (collect=False) -> drop-set map (members with
+    doc_id != rep) -> distributed hash_anti_join against the corpus id
+    projection. Nothing cluster- or corpus-scale lands on the driver;
+    only this entry's final (bounded, sorted) id list collects."""
+    import ray.data
+
+    from .dedup import minhash_dedup_pairs
+    from .equijoin import collect_arrow, hash_anti_join
+    from .graph import connected_components
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, num_hashes=128, bands=64,
+                                collect=False)
+    comps = connected_components(pairs, collect=False)
+
+    def drops(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        rep = b.column("cluster_rep").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[ids != rep], pa.int64())})
+
+    corpus_ids = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    survivors = hash_anti_join(
+        corpus_ids, comps.map_batches(drops, batch_format="pyarrow"),
+        "doc_id", pa.schema([("doc_id", pa.int64())]))
+    t = collect_arrow(survivors, pa.schema([("doc_id", pa.int64())]))
+    return pa.table({"doc_id": t.column("doc_id").cast(pa.int64())}) \
+        .sort_by("doc_id")
+
+
 def simhash_near_pairs(sf_dir: str) -> pa.Table:
     import ray.data
 

@@ -123,8 +123,12 @@ def _swap_to_node_nbr(batch: pa.Table) -> pa.Table:
     return pa.table({"node": batch.column("v"), "nbr": batch.column("u")})
 
 
-def connected_components(pairs, max_iters: int = 64):
-    """(doc_a, doc_b) pair Dataset -> (doc_id, cluster_rep) pyarrow Table:
+def connected_components(pairs, max_iters: int = 64,
+                         collect: bool = True):
+    """(doc_a, doc_b) pair Dataset -> (doc_id, cluster_rep) pyarrow Table
+    (or, with collect=False, a Dataset with those columns — for
+    corpus-scale consumers like survivor selection that must not pull
+    the membership table onto the driver):
     cluster_rep = component minimum, every node that appears in a pair
     present exactly once, sorted by doc_id. Nodes in no pair (singletons)
     are by construction absent — union with the corpus id space upstream
@@ -164,6 +168,11 @@ def connected_components(pairs, max_iters: int = 64):
 
     members = edges.map_batches(_members, batch_format="pyarrow")
     out = members.groupby("doc_id").min("cluster_rep")
+    if not collect:
+        def _rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["doc_id", "cluster_rep"]) \
+                if b.num_columns == 2 else b
+        return out.map_batches(_rename, batch_format="pyarrow")
     chunks = list(out.iter_batches(batch_size=65536, batch_format="pyarrow"))
     if not chunks:
         return pa.table({"doc_id": pa.array([], pa.int64()),

@@ -84,7 +84,7 @@ SQL_CHECKED = [
     "incremental_dedup_pairs", "dup_token_spans", "dup_span_scrub",
     "kmeans_embeddings", "semdedup_pairs", "langid_ngram",
     "ccnet_buckets", "crawl_refresh_bm25", "search_snippets",
-    "facet_lang_counts",
+    "facet_lang_counts", "neardup_dedup_docs",
 ]
 
 
