@@ -137,8 +137,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     with timed("clustering"):  # exact kmeans + SemDeDup pair scan
         d.kmeans_embeddings(sf_dir)
         d.semdedup_embedding_pairs(sf_dir)
-    with timed("quality_features"):
-        d.quality_features(sf_dir)
+    with timed("quality_features"):  # pre-r4 semantics (cross-round compare)
+        d.quality_features_basic(sf_dir)
     with timed("langid_ngram"):  # train trigram profiles + classify
         d.langid_ngram_preds(sf_dir)
     with timed("events_sessions"):
@@ -149,7 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.tpch_q3ish(sf_dir)
     with timed("webnorm"):  # url canonicalization + per-domain aggregate
         d.url_canon(sf_dir)
-        d.domain_doc_stats(sf_dir)
+        d.domain_doc_stats_basic(sf_dir)  # pre-r4 semantics (comparability)
     with timed("decontam"):  # benchmark-overlap flags, broadcast small side
         d.decontam_flags(sf_dir)
     with timed("seq_packing"):  # two-level distributed scan

@@ -429,6 +429,115 @@ static PyObject *rolling_fingerprint64(PyObject *self, PyObject *args) {
     return PyLong_FromUnsignedLongLong(h);
 }
 
+/* Shingle hashes for EVERY string of an Arrow-layout string column in ONE
+ * call — per doc identical to shingle_hashes64 (space-split tokens, FNV-1a64
+ * token hashes, FNV-1a64 over each w-window's LE bytes; one whole-doc
+ * shingle when 0 < ntok < w). Returns (hashes_u64le, shingle_counts_i64le,
+ * token_counts_i64le) so callers can build row indices and apply
+ * min-token gates without a per-doc Python loop. */
+static PyObject *shingle_hashes64_multi(PyObject *self, PyObject *args) {
+    Py_buffer offs, data;
+    int wide = 0; Py_ssize_t w = 3;
+    if (!PyArg_ParseTuple(args, "y*y*|in", &offs, &data, &wide, &w))
+        return NULL;
+    if (w < 1) w = 1;
+    size_t item = wide ? 8 : 4;
+    size_t n = offs.len >= (Py_ssize_t)item ? (size_t)offs.len / item - 1 : 0;
+    PyObject *cnts = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(n * 8));
+    PyObject *ntoks = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)(n * 8));
+    if (!cnts || !ntoks) {
+        Py_XDECREF(cnts); Py_XDECREF(ntoks);
+        PyBuffer_Release(&offs); PyBuffer_Release(&data);
+        return NULL;
+    }
+    int64_t *cb = (int64_t *)PyBytes_AS_STRING(cnts);
+    int64_t *nb = (int64_t *)PyBytes_AS_STRING(ntoks);
+    size_t caph = 4096, nh = 0;
+    uint64_t *hb = (uint64_t *)malloc(caph * sizeof(uint64_t));
+    size_t captok = 256;
+    uint64_t *th = (uint64_t *)malloc(captok * sizeof(uint64_t));
+    if (!hb || !th) {
+        free(hb); free(th); Py_DECREF(cnts); Py_DECREF(ntoks);
+        PyBuffer_Release(&offs); PyBuffer_Release(&data);
+        return PyErr_NoMemory();
+    }
+    const char *d = (const char *)data.buf;
+    for (size_t di = 0; di < n; di++) {
+        int64_t a, b;
+        if (wide) {
+            a = ((const int64_t *)offs.buf)[di];
+            b = ((const int64_t *)offs.buf)[di + 1];
+        } else {
+            a = ((const int32_t *)offs.buf)[di];
+            b = ((const int32_t *)offs.buf)[di + 1];
+        }
+        if (a < 0 || b < a || b > (int64_t)data.len) {
+            free(hb); free(th); Py_DECREF(cnts); Py_DECREF(ntoks);
+            PyBuffer_Release(&offs); PyBuffer_Release(&data);
+            PyErr_SetString(PyExc_ValueError, "offsets out of range");
+            return NULL;
+        }
+        const char *s = d + a;
+        Py_ssize_t len = (Py_ssize_t)(b - a);
+        size_t ntok = 0;
+        Py_ssize_t i = 0;
+        while (i < len) {
+            while (i < len && s[i] == ' ') i++;
+            Py_ssize_t st = i;
+            while (i < len && s[i] != ' ') i++;
+            if (i > st) {
+                if (ntok == captok) {
+                    captok *= 2;
+                    uint64_t *nt = (uint64_t *)realloc(
+                        th, captok * sizeof(uint64_t));
+                    if (!nt) {
+                        free(hb); free(th);
+                        Py_DECREF(cnts); Py_DECREF(ntoks);
+                        PyBuffer_Release(&offs); PyBuffer_Release(&data);
+                        return PyErr_NoMemory();
+                    }
+                    th = nt;
+                }
+                th[ntok++] = fnv1a(s + st, (uint32_t)(i - st));
+            }
+        }
+        size_t nsh = ntok == 0 ? 0
+                   : (ntok < (size_t)w ? 1 : ntok - (size_t)w + 1);
+        size_t win = ntok < (size_t)w ? ntok : (size_t)w;
+        if (nh + nsh > caph) {
+            while (nh + nsh > caph) caph *= 2;
+            uint64_t *nhb = (uint64_t *)realloc(hb, caph * sizeof(uint64_t));
+            if (!nhb) {
+                free(hb); free(th); Py_DECREF(cnts); Py_DECREF(ntoks);
+                PyBuffer_Release(&offs); PyBuffer_Release(&data);
+                return PyErr_NoMemory();
+            }
+            hb = nhb;
+        }
+        for (size_t sh = 0; sh < nsh; sh++) {
+            uint64_t h = 14695981039346656037ULL;
+            for (size_t j = 0; j < win; j++) {
+                uint64_t v = th[sh + j];
+                for (int bb = 0; bb < 8; bb++) {
+                    h ^= (v >> (8 * bb)) & 0xFF;
+                    h *= 1099511628211ULL;
+                }
+            }
+            hb[nh++] = h;
+        }
+        cb[di] = (int64_t)nsh;
+        nb[di] = (int64_t)ntok;
+    }
+    PyObject *hout = PyBytes_FromStringAndSize((const char *)hb,
+                                               (Py_ssize_t)(nh * 8));
+    free(hb); free(th);
+    PyBuffer_Release(&offs); PyBuffer_Release(&data);
+    if (!hout) { Py_DECREF(cnts); Py_DECREF(ntoks); return NULL; }
+    PyObject *tup = PyTuple_Pack(3, hout, cnts, ntoks);
+    Py_DECREF(hout); Py_DECREF(cnts); Py_DECREF(ntoks);
+    return tup;
+}
+
 /* FNV-1a64 of each string in an Arrow-layout string column: `offs` is the
  * (n+1)-long offsets vector (int32, or int64 when wide != 0) as raw bytes,
  * `data` the UTF-8 data buffer. Returns n little-endian uint64 hashes as
@@ -931,6 +1040,9 @@ static PyMethodDef Methods[] = {
      "per-string 16 LE bytes (lo64, hi64)"},
     {"shingle_hashes64", shingle_hashes64, METH_VARARGS,
      "shingle_hashes64(text, w=3) -> bytes of little-endian uint64 hashes"},
+    {"shingle_hashes64_multi", shingle_hashes64_multi, METH_VARARGS,
+     "shingle_hashes64_multi(offsets_bytes, data_bytes, wide=0, w=3) -> "
+     "(hashes u64le, shingle counts i64le, token counts i64le)"},
     {"rolling_fingerprint64", rolling_fingerprint64, METH_VARARGS,
      "rolling_fingerprint64(text) -> int (order-sensitive doc fingerprint)"},
     {"count_ascii_terms", count_ascii_terms, METH_VARARGS,

@@ -45,8 +45,24 @@ QUANT = 65536.0  # 2^16 quantization grid
 
 
 def _quantize(mat: np.ndarray) -> np.ndarray:
-    """float32/64 (n, d) -> int64 grid, floor(x * 2^16 + 0.5)."""
-    return np.floor(mat.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+    """float32/64 (n, d) -> int64 grid, floor(x * 2^16 + 0.5).
+
+    Rejects magnitude x dimension combinations that would break the
+    'float64 BLAS on integer operands is exact' invariant in ``_assign``
+    (distance terms are bounded by d*M^2 with M = max |q|; require
+    d*M^2 < 2^53) — the same loud-failure contract as ``_quantize8``,
+    which also keeps |2s| < 2^53 in the centroid update for any
+    realistic row count."""
+    q = np.floor(mat.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+    if len(q):
+        m = int(np.abs(q).max())
+        d = q.shape[1]
+        if d * m * m >= 2 ** 53:
+            raise ValueError(
+                "embedding magnitude x dimension exceeds the exact-"
+                f"distance float64 bound (max|q|={m}, dim={d}); "
+                "rescale inputs or use a coarser grid")
+    return q
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

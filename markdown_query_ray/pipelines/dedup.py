@@ -32,7 +32,10 @@ def _cat(xs: list[np.ndarray], dtype) -> np.ndarray:
 
 
 def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """128-bit FNV-1a content key per row as (h_lo, h_hi) uint64 columns,
+    """128-bit FNV-1a content key per row as (h_lo, h_hi) INT64 columns
+    (bijective uint64 view — Ray's groupby key path falls back to
+    pickled-object blocks for uint64 values above 2^63, the NOTES_r3
+    hazard; int64 reinterpretation keeps equality and hashes the same),
     hashed straight out of the Arrow string buffers (C kernel, no per-row
     Python). 128 bits keep 'exact' semantics collision-safe at
     trillion-doc scale; nulls hash as empty strings."""
@@ -46,8 +49,8 @@ def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "h_lo": pa.array(lo),
-        "h_hi": pa.array(hi),
+        "h_lo": pa.array(lo.view(np.int64)),
+        "h_hi": pa.array(hi.view(np.int64)),
     })
 
 
@@ -89,7 +92,7 @@ def exact_dedup_rows(ds, column: str = "text",
 
     def add_key(batch: pa.Table) -> pa.Table:
         h = content_hash_batch(batch, column)
-        lo = h.column("h_lo").to_numpy()
+        lo = h.column("h_lo").to_numpy().view(np.uint64)
         bucket = (lo % np.uint64(num_buckets)).astype(np.int32)
         batch = batch.append_column("h_lo", h.column("h_lo"))
         batch = batch.append_column("h_hi", h.column("h_hi"))
@@ -136,11 +139,13 @@ def span_explode_batch(batch: pa.Table, sep: str = ". ") -> pa.Table:
     lo, hi = fnv1a128_strings(
         flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
     ids = batch.column("doc_id").to_numpy().astype(np.int64)[parent]
+    # int64 views (not uint64): Ray groupby keys above 2^63 fall back to
+    # pickled-object blocks (NOTES_r3); the reinterpretation is bijective
     return pa.table({
         "doc_id": pa.array(ids),
         "span_idx": pa.array(span_idx.astype(np.int64)),
-        "h_lo": pa.array(lo),
-        "h_hi": pa.array(hi),
+        "h_lo": pa.array(lo.view(np.int64)),
+        "h_hi": pa.array(hi.view(np.int64)),
     })
 
 
@@ -229,6 +234,50 @@ def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
     else:
         windows = np.lib.stride_tricks.sliding_window_view(th, w)
     return _fnv1a_u64_rows(windows)
+
+
+def shingle_hashes_column(col, w: int = 3
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``shingle_hashes`` for EVERY string of an Arrow column in one C
+    call (``_ctok.shingle_hashes64_multi`` walks the Arrow string buffer
+    directly — no per-doc Python objects). Returns
+    ``(keys uint64, counts int64[n], ntok int64[n])`` where ``keys`` is
+    the concatenation of each doc's shingle hashes, ``counts[i]`` its
+    shingle count and ``ntok[i]`` its token count (for min-token gates).
+    Pure-Python fallback computes the identical function per doc."""
+    import pyarrow.compute as pc
+
+    from ..functions.ctok import load as _load_ctok
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    ct = _load_ctok()
+    if ct is not None and hasattr(ct, "shingle_hashes64_multi") and n:
+        wide = 1 if pa.types.is_large_string(col.type) else 0
+        dt = np.int64 if wide else np.int32
+        offs = np.frombuffer(col.buffers()[1], dt)[
+            col.offset: col.offset + n + 1]
+        data = col.buffers()[2] or b""
+        hb, cb, nb = ct.shingle_hashes64_multi(
+            np.ascontiguousarray(offs).data, data, wide, w)
+        return (np.frombuffer(hb, np.uint64),
+                np.frombuffer(cb, np.int64),
+                np.frombuffer(nb, np.int64))
+    keys = []
+    counts = np.zeros(n, np.int64)
+    ntoks = np.zeros(n, np.int64)
+    for i, t in enumerate(col.to_pylist()):
+        t = t or ""
+        h = shingle_hashes(t, w)
+        keys.append(h)
+        counts[i] = len(h)
+        ntoks[i] = sum(1 for x in t.split(" ") if x)
+    return (np.concatenate(keys) if keys else np.empty(0, np.uint64),
+            counts, ntoks)
 
 
 class MinHashStage:
@@ -1075,9 +1124,11 @@ def dup_token_spans(ds, w: int = 4, num_buckets: int = _JOIN_BUCKETS,
         partial(_dup_span_group, w=w), batch_format="pyarrow")
     if not collect:
         return spans
-    chunks = list(spans.iter_batches(batch_size=65536,
-                                     batch_format="pyarrow"))
-    t = pa.concat_tables(chunks) if chunks else empty
+    from .equijoin import collect_arrow
+
+    # collect_arrow drops map_groups' zero-column empty blocks that a raw
+    # iter_batches+concat would trip over (shuffle_hash_join caveat)
+    t = collect_arrow(spans, empty.schema)
     if t.num_rows == 0:
         return empty
     return t.sort_by([("doc_id", "ascending"),

@@ -212,6 +212,36 @@ def boolean_docs(sf_dir: str, kind: str, t1: str, t2: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def bool_ops(sf_dir: str, t1: str = "merge", t2: str = "sort") -> pa.Table:
+    """All three boolean operators (AND / AND_NOT / XOR) over the same
+    two terms in one driver entry: the three full doc_id result sets,
+    tagged with an ``op`` column. Each leg is the same executor path the
+    individual ``boolean_docs`` entries exercised."""
+    parts = []
+    for kind in ("and", "and_not", "xor"):
+        t = boolean_docs(sf_dir, kind, t1, t2)
+        parts.append(pa.table({
+            "op": pa.array([kind] * t.num_rows, pa.string()),
+            "doc_id": t.column("doc_id"),
+        }))
+    return pa.concat_tables(parts).sort_by(
+        [("op", "ascending"), ("doc_id", "ascending")])
+
+
+def token_counts_entry(sf_dir: str) -> pa.Table:
+    """Whitespace + BPE-ish per-doc token counts in ONE corpus pass
+    (textstats.TokenCountsStage)."""
+    import ray.data
+
+    from .textstats import TokenCountsStage
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = _collect(ds.map_batches(TokenCountsStage, batch_format="pyarrow",
+                                concurrency=(1, 16)))
+    return t.sort_by("doc_id")
+
+
 def match_counts(sf_dir: str, terms: list[str]) -> pa.Table:
     """Exact per-term match counts plus the OR-union count (the reference's
     get_matches_estimated analog, made exact). One row per term + 'ANY'."""
@@ -318,23 +348,76 @@ def term_df_top(sf_dir: str, n: int = 50) -> pa.Table:
 
 
 def lang_doc_stats(sf_dir: str) -> pa.Table:
+    """Per-language corpus stats + the deterministic 90/5/5 id-hash split
+    counts pivoted per split — one driver entry covers the per-lang
+    aggregate AND the zero-shuffle ``split.hash_split`` assignment (the
+    split is a pure function of doc_id, so the pivot is map-side)."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from .split import hash_split
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["lang", "n_chars"])
-    agg = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_chars"))
-    t = _collect(agg).sort_by("lang")
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = np.asarray(batch.column("split").to_pylist(), object)
+        t = pa.table({
+            "lang": batch.column("lang"),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "chars": batch.column("n_chars").cast(pa.int64()),
+            "tr": pa.array((split == "train").astype(np.int64)),
+            "va": pa.array((split == "val").astype(np.int64)),
+            "te": pa.array((split == "test").astype(np.int64)),
+        })
+        agg = pa.TableGroupBy(t, ["lang"]).aggregate(
+            [("n", "sum"), ("chars", "sum"), ("tr", "sum"),
+             ("va", "sum"), ("te", "sum")])
+        return pa.table({"lang": agg.column("lang"),
+                         "n_part": agg.column("n_sum"),
+                         "chars_part": agg.column("chars_sum"),
+                         "tr_part": agg.column("tr_sum"),
+                         "va_part": agg.column("va_sum"),
+                         "te_part": agg.column("te_sum")})
+
+    res = hash_split(ds).map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n_part", alias_name="n_docs"),
+            Sum("chars_part", alias_name="sum_chars"),
+            Sum("tr_part", alias_name="n_train"),
+            Sum("va_part", alias_name="n_val"),
+            Sum("te_part", alias_name="n_test"))
+    t = _collect(res).sort_by("lang")
     return pa.table({
         "lang": t.column("lang"),
         "n_docs": t.column("n_docs").cast(pa.int64()),
         "sum_chars": t.column("sum_chars").cast(pa.int64()),
+        "n_train": t.column("n_train").cast(pa.int64()),
+        "n_val": t.column("n_val").cast(pa.int64()),
+        "n_test": t.column("n_test").cast(pa.int64()),
     })
 
 
 def quality_features(sf_dir: str) -> pa.Table:
+    """Length/stopword quality features + Gopher repetition coverage +
+    rolling fingerprint in one fused per-doc pass
+    (textstats.quality_repetition_batch)."""
+    import ray.data
+
+    from .textstats import quality_repetition_batch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return _collect(
+        ds.map_batches(quality_repetition_batch,
+                       batch_format="pyarrow")).sort_by("doc_id")
+
+
+def quality_features_basic(sf_dir: str) -> pa.Table:
+    """Length/stopword features only — the pre-round-4 entry semantics,
+    kept so bench.py's `quality_features` timing stays comparable across
+    rounds (the driver entry is the fused quality+repetition+fingerprint
+    pass above)."""
     import ray.data
 
     from .textstats import quality_batch
@@ -342,7 +425,8 @@ def quality_features(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return _collect(
-        ds.map_batches(quality_batch, batch_format="pyarrow")).sort_by("doc_id")
+        ds.map_batches(quality_batch, batch_format="pyarrow")).sort_by(
+        "doc_id")
 
 
 def _events_side(sf_dir: str, event_type: str):
@@ -396,6 +480,37 @@ def range_purchase_clicks(sf_dir: str) -> pa.Table:
                           "click_ts"])
     t = t.sort_by([("event_id", "ascending"), ("click_id", "ascending")])
     return t.select(["event_id", "user_id", "ts", "click_id", "click_ts"])
+
+
+def asof_range_join(sf_dir: str) -> pa.Table:
+    """AS-OF join + bounded range join fused into one driver entry: per
+    purchase, the latest click at-or-before the instant (asof columns)
+    PLUS the count and click-id checksum of all clicks in the 24 h
+    window before it (the range join aggregated per purchase — the
+    checksum pins the exact pair SET without expanding it in the
+    result). Both joins are the same distributed co-partitioned passes
+    the individual entries ran; only the per-purchase zip is local."""
+    a = asof_purchase_click(sf_dir)
+    r = range_purchase_clicks(sf_dir)
+    gb = pa.TableGroupBy(r.select(["event_id", "click_id"]),
+                         ["event_id"]).aggregate(
+        [("click_id", "count"), ("click_id", "sum")])
+    gids = gb.column("event_id").to_numpy()
+    order = np.argsort(gids)
+    gids = gids[order]
+    n_clicks = gb.column("click_id_count").to_numpy()[order]
+    id_sum = gb.column("click_id_sum").to_numpy()[order]
+    aids = a.column("event_id").to_numpy()
+    pos = np.searchsorted(gids, aids)
+    hit = (pos < len(gids))
+    hit[hit] &= gids[pos[hit]] == aids[hit]
+    out_n = np.zeros(len(aids), np.int64)
+    out_s = np.zeros(len(aids), np.int64)
+    out_n[hit] = n_clicks[pos[hit]]
+    out_s[hit] = id_sum[pos[hit]]
+    return a.append_column(
+        "n_clicks_24h", pa.array(out_n, pa.int64())).append_column(
+        "click_id_sum", pa.array(out_s, pa.int64()))
 
 
 def domain_topk_docs(sf_dir: str, k: int = 3) -> pa.Table:
@@ -1006,6 +1121,22 @@ def events_hopping(sf_dir: str) -> pa.Table:
     return _round_col(out, "sum_value")
 
 
+def events_windows(sf_dir: str) -> pa.Table:
+    """Tumbling (1 h) + hopping (1 h / 30 min) window aggregates in one
+    driver entry, tagged by a ``win`` column — both legs are the same
+    distributed window pipelines the individual entries ran."""
+    parts = []
+    for win, t in (("hopping_1h_30m", events_hopping(sf_dir)),
+                   ("tumbling_1h", events_tumbling(sf_dir))):
+        parts.append(t.append_column(
+            "win", pa.array([win] * t.num_rows, pa.string())))
+    t = pa.concat_tables(parts).sort_by(
+        [("win", "ascending"), ("event_type", "ascending"),
+         ("window_start", "ascending")])
+    return t.select(["win", "event_type", "window_start", "n_events",
+                     "sum_value"])
+
+
 def events_sessions(sf_dir: str) -> pa.Table:
     import ray.data
 
@@ -1287,6 +1418,93 @@ def fingerprints(sf_dir: str) -> pa.Table:
         fingerprint_batch, batch_format="pyarrow")).sort_by("doc_id")
 
 
+def langid_both(sf_dir: str) -> pa.Table:
+    """Both language-ID models in one driver entry: the profile-word
+    heuristic (lang_word) and the trained character-trigram model
+    (lang_tri + fixed-point score), zipped per doc. Each side is the
+    same distributed train/classify pipeline the individual entries
+    ran; only the per-doc zip of the two (doc_id-sorted) prediction
+    tables is local."""
+    w = langid_preds(sf_dir)
+    t = langid_ngram_preds(sf_dir)
+    if not w.column("doc_id").equals(t.column("doc_id")):
+        raise RuntimeError("langid doc_id sets diverge between models")
+    return pa.table({
+        "doc_id": w.column("doc_id"),
+        "lang_word": w.column("lang_pred"),
+        "lang_tri": t.column("lang_pred"),
+        "tri_score": t.column("score").cast(pa.int64()),
+    })
+
+
+def ann_topk_both(sf_dir: str, k: int = 10) -> pa.Table:
+    """LSH ANN (recall-complete parameters) + IVF ANN (full probe) in one
+    driver entry, tagged by a ``method`` column — both must equal the
+    brute-force cosine top-k, so one oracle checks both index layouts."""
+    parts = []
+    for method, t in (("ivf", ivf_ann_topk(sf_dir, k)),
+                      ("lsh", lsh_ann_topk(sf_dir, k))):
+        parts.append(pa.table({
+            "method": pa.array([method] * t.num_rows, pa.string()),
+            "query_idx": t.column("query_idx"),
+            "rank": t.column("rank"),
+            "vec_id": t.column("vec_id"),
+            "sim": t.column("sim"),
+        }))
+    return pa.concat_tables(parts).sort_by(
+        [("method", "ascending"), ("query_idx", "ascending"),
+         ("rank", "ascending")])
+
+
+def lang_token_quantiles(sf_dir: str) -> pa.Table:
+    """Per-lang exact COUNT(DISTINCT token) (sharded-vocabulary distinct
+    count) + exact n_chars quantiles (value-histogram quantile_disc)
+    pivoted wide, one row per lang — two aggregate families, one driver
+    entry. Both sides are the same distributed passes the individual
+    entries ran; the per-lang zip is local (|langs| rows)."""
+    from fractions import Fraction
+
+    d = lang_distinct_tokens(sf_dir)
+    q = lang_length_quantiles(sf_dir)
+    langs = d.column("lang").to_pylist()
+    cols = {"lang": langs,
+            "n_distinct": d.column("n_distinct").to_pylist()}
+    qmap = {}
+    for lang, qv, val in zip(q.column("lang").to_pylist(),
+                             q.column("q").to_pylist(),
+                             q.column("quantile").to_pylist()):
+        qmap[(lang, Fraction(qv).limit_denominator(100))] = val
+    for frac, name in ((Fraction(1, 4), "p25"), (Fraction(1, 2), "p50"),
+                       (Fraction(3, 4), "p75"), (Fraction(9, 10), "p90"),
+                       (Fraction(99, 100), "p99")):
+        cols[name] = [qmap[(g, frac)] for g in langs]
+    return pa.table({
+        "lang": pa.array(cols["lang"], pa.string()),
+        "n_distinct": pa.array(cols["n_distinct"], pa.int64()),
+        **{n: pa.array(cols[n], pa.int64())
+           for n in ("p25", "p50", "p75", "p90", "p99")},
+    })
+
+
+def ngram_scores(sf_dir: str) -> pa.Table:
+    """Corpus-bigram novelty + cross-document duplicated-window coverage
+    zipped per doc — the two score-by-join pipelines (ngramstats.py)
+    under one driver entry. Each side is the same distributed
+    count/join/aggregate chain the individual entries ran."""
+    b = bigram_novelty(sf_dir)
+    c = cross_dup_coverage(sf_dir)
+    if not b.column("doc_id").equals(c.column("doc_id")):
+        raise RuntimeError("ngram score doc_id sets diverge")
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_bigrams": b.column("n_bigrams"),
+        "sum_count": b.column("sum_count"),
+        "min_count": b.column("min_count"),
+        "n_windows": c.column("n_windows"),
+        "dup_windows": c.column("dup_windows"),
+    })
+
+
 def multimodal_features(sf_dir: str) -> pa.Table:
     """Scalar image features (mean/std intensity) over the deterministic
     RAW8 fixture — checked against an independently recomputed golden
@@ -1543,8 +1761,62 @@ def url_canon(sf_dir: str) -> pa.Table:
 
 
 def domain_doc_stats(sf_dir: str) -> pa.Table:
-    """(domain, n_docs, sum_chars) per registered domain of the canonical
-    url — the per-domain quota/quality aggregate."""
+    """(domain, n_docs, sum_chars, top_doc_id, top_doc_chars) per
+    registered domain of the canonical url — the per-domain quota/quality
+    aggregate, plus each domain's largest doc via the group-wise top-k
+    machinery (``topk.groupwise_topk`` at k=1), so one driver entry covers
+    both the aggregate and the per-key top-k pass. The two small results
+    (one row per domain each) zip driver-side. bench.py times
+    ``domain_doc_stats_basic`` (the aggregate alone) for cross-round
+    comparability."""
+    import ray.data
+
+    from .topk import groupwise_topk
+    from .webnorm import domain_stats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    stats = _collect(domain_stats(ds)).sort_by("domain")
+
+    from .webnorm import (
+        canonical_url_batch,
+        registered_domain_batch,
+        synth_messy_urls_batch,
+    )
+
+    def to_domain_rows(batch: pa.Table) -> pa.Table:
+        b = synth_messy_urls_batch(batch)
+        b = canonical_url_batch(b)
+        b = registered_domain_batch(b)
+        return pa.table({
+            "domain": b.column("domain"),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+        })
+
+    ds2 = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["doc_id", "n_chars"])
+    top1 = _collect(groupwise_topk(
+        ds2.map_batches(to_domain_rows, batch_format="pyarrow"),
+        key="domain",
+        order=[("n_chars", "descending"), ("doc_id", "ascending")],
+        k=1)).sort_by("domain")
+    if top1.column("domain").to_pylist() != \
+            stats.column("domain").to_pylist():
+        raise RuntimeError("domain sets diverge between aggregate and "
+                           "top-1 passes")
+    return pa.table({
+        "domain": stats.column("domain"),
+        "n_docs": stats.column("n_docs").cast(pa.int64()),
+        "sum_chars": stats.column("sum_chars").cast(pa.int64()),
+        "top_doc_id": top1.column("doc_id").cast(pa.int64()),
+        "top_doc_chars": top1.column("n_chars").cast(pa.int64()),
+    })
+
+
+def domain_doc_stats_basic(sf_dir: str) -> pa.Table:
+    """Per-domain aggregate alone — pre-round-4 entry semantics, kept for
+    bench.py cross-round comparability."""
     import ray.data
 
     from .webnorm import domain_stats

@@ -45,9 +45,26 @@ def _as_i64(u: np.ndarray) -> np.ndarray:
         u.astype(np.uint64).view(np.int64)
 
 
+def _col_windows(batch: pa.Table, w: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, window_key i64) pairs for every w-gram OCCURRENCE in
+    every text with >= w tokens — ONE C sweep over the Arrow string
+    buffer (dedup.shingle_hashes_column), no per-doc Python. Docs with
+    0 < ntok < w emit a single whole-doc shingle in the raw kernel
+    output; the ntok gate drops those rows vectorized, matching the
+    former per-doc skip."""
+    from .dedup import shingle_hashes_column
+
+    keys, counts, ntok = shingle_hashes_column(batch.column("text"), w)
+    keep_doc = ntok >= w
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = np.repeat(keep_doc, counts)
+    return rows[keep], _as_i64(keys)[keep]
+
+
 def _doc_bigrams(texts: list) -> tuple[np.ndarray, np.ndarray]:
-    """(row_idx, bigram_key i64) pairs for every bigram OCCURRENCE in
-    every text with >= 2 tokens."""
+    """Per-doc fallback form of :func:`_col_windows` at w=2 — kept as the
+    reference implementation for the batch-kernel parity test."""
     from .dedup import shingle_hashes
 
     rows, keys = [], []
@@ -65,8 +82,7 @@ def _doc_bigrams(texts: list) -> tuple[np.ndarray, np.ndarray]:
 
 def bigram_count_partials(batch: pa.Table) -> pa.Table:
     """Map-side combine: (bkey, cnt_part) distinct within the batch."""
-    texts = batch.column("text").to_pylist()
-    _, keys = _doc_bigrams(texts)
+    _, keys = _col_windows(batch, 2)
     uk, cnt = np.unique(keys, return_counts=True)
     return pa.table({"bkey": pa.array(uk),
                      "cnt_part": pa.array(cnt.astype(np.int64))})
@@ -74,9 +90,8 @@ def bigram_count_partials(batch: pa.Table) -> pa.Table:
 
 def bigram_occurrences_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, bkey) per bigram occurrence (duplicates kept)."""
-    texts = batch.column("text").to_pylist()
     ids = batch.column("doc_id").to_numpy().astype(np.int64)
-    rows, keys = _doc_bigrams(texts)
+    rows, keys = _col_windows(batch, 2)
     return pa.table({"doc_id": pa.array(ids[rows]),
                      "bkey": pa.array(keys)})
 
@@ -85,17 +100,18 @@ def dup_window_partials(batch: pa.Table, w: int) -> pa.Table:
     """Map-side document-frequency partials: (skey, df_part) where
     df_part = number of DISTINCT docs in this batch containing the
     w-gram. Each doc lives in exactly one batch row, so summing the
-    partials over batches gives the exact global document frequency."""
-    from .dedup import shingle_hashes
-
-    texts = batch.column("text").to_pylist()
-    keys = [np.unique(_as_i64(shingle_hashes(t, w)))
-            for t in texts
-            if t and sum(1 for x in t.split(" ") if x) >= w]
-    if not keys:
+    partials over batches gives the exact global document frequency.
+    One batch kernel sweep; per-doc dedup via a (row, key) lexsort
+    run-boundary scan instead of per-doc np.unique calls."""
+    rows, keys = _col_windows(batch, w)
+    if not len(rows):
         return pa.table({"skey": pa.array([], pa.int64()),
                          "df_part": pa.array([], pa.int64())})
-    uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+    order = np.lexsort((keys, rows))
+    r, k = rows[order], keys[order]
+    first = np.ones(len(r), bool)
+    first[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+    uk, cnt = np.unique(k[first], return_counts=True)
     return pa.table({"skey": pa.array(uk),
                      "df_part": pa.array(cnt.astype(np.int64))})
 
@@ -103,27 +119,24 @@ def dup_window_partials(batch: pa.Table, w: int) -> pa.Table:
 def window_occ_batch(batch: pa.Table, w: int) -> pa.Table:
     """(doc_id, skey, occ) DISTINCT per doc with within-doc occurrence
     counts — only distinct (doc, w-gram) pairs ride the join shuffle,
-    never one row per window position."""
-    from .dedup import shingle_hashes
-
-    texts = batch.column("text").to_pylist()
+    never one row per window position. One batch kernel sweep; per-doc
+    occurrence counts via a (row, key) lexsort run-length scan instead
+    of per-doc np.unique calls."""
     ids = batch.column("doc_id").to_numpy().astype(np.int64)
-    out_d, out_k, out_c = [], [], []
-    for i, t in enumerate(texts):
-        if not t or sum(1 for x in t.split(" ") if x) < w:
-            continue
-        uk, cnt = np.unique(_as_i64(shingle_hashes(t, w)),
-                            return_counts=True)
-        out_d.append(np.full(len(uk), ids[i], np.int64))
-        out_k.append(uk)
-        out_c.append(cnt.astype(np.int64))
-    if not out_d:
+    rows, keys = _col_windows(batch, w)
+    if not len(rows):
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "skey": pa.array([], pa.int64()),
                          "occ": pa.array([], pa.int64())})
-    return pa.table({"doc_id": pa.array(np.concatenate(out_d)),
-                     "skey": pa.array(np.concatenate(out_k)),
-                     "occ": pa.array(np.concatenate(out_c))})
+    order = np.lexsort((keys, rows))
+    r, k = rows[order], keys[order]
+    first = np.ones(len(r), bool)
+    first[1:] = (r[1:] != r[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(first)
+    occ = np.diff(np.append(starts, len(r)))
+    return pa.table({"doc_id": pa.array(ids[r[starts]]),
+                     "skey": pa.array(k[starts]),
+                     "occ": pa.array(occ.astype(np.int64))})
 
 
 def cross_dup_scores(ds, w: int = 4, num_buckets: int = 64):

@@ -66,6 +66,25 @@ class BpeCountStage:
         })
 
 
+class TokenCountsStage:
+    """Whitespace + BPE-ish token counts fused into one per-batch pass —
+    two RE2 kernel sweeps over the same (already materialized) string
+    column, so one driver entry covers both counting rules with a single
+    corpus read."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(batch.column("text"), "")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.count_substring_regex(
+                col, "[^ ]+").cast(pa.int64()),
+            "n_bpe_tokens": pc.count_substring_regex(
+                col, BPE_PATTERN).cast(pa.int64()),
+        })
+
+
 def term_partials_batch(batch: pa.Table) -> pa.Table:
     """Per-batch partial (term, df, cf) rows — the combiner before the
     groupby(term) shuffle."""
@@ -267,6 +286,29 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def quality_repetition_batch(batch: pa.Table) -> pa.Table:
+    """``quality_batch`` + ``repetition_batch`` fused into one per-doc
+    pass, plus the rolling document fingerprint — one driver entry
+    covers all three per-doc signal families (the length/stopword gate,
+    the Gopher repetition gate and the fingerprint act on the same doc
+    in a real curation pipeline anyway, so fusing them also cuts the
+    corpus reads 3x). Shared doc_id/n_chars; integer columns throughout
+    for the same SQL-exactness rationale as the parents."""
+    q = quality_batch(batch)
+    r = repetition_batch(batch)
+    f = fingerprint_batch(batch)
+    return pa.table({
+        "doc_id": q.column("doc_id"),
+        "n_tokens": q.column("n_tokens"),
+        "n_stopwords": q.column("n_stopwords"),
+        "n_chars": q.column("n_chars"),
+        "top2gram_cov": r.column("top2gram_cov"),
+        "top3gram_cov": r.column("top3gram_cov"),
+        "dup5gram_cov": r.column("dup5gram_cov"),
+        "fingerprint": f.column("fingerprint"),
+    })
+
+
 def repetition_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition quality signals (Rae et al. 2021, public
     literature), word-n-gram variants (the corpus has no newlines, so the
@@ -421,18 +463,24 @@ def ngram_lang_profiles(ds, scale: int = TRI_SCALE):
     t = collect_arrow(agg, pa.schema([
         ("lang", pa.string()), ("tri_key", pa.int64()),
         ("cnt", pa.int64())]))
-    import pyarrow.compute as pc
-
-    langs = sorted(set(t.column("lang").to_pylist()))
+    # one global (lang, tri_key) lexsort, then per-lang runs sliced by
+    # searchsorted — O(rows log rows) total instead of the former
+    # per-lang full-table filter (O(|langs| x rows))
+    all_langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+    all_keys = t.column("tri_key").to_numpy().astype(np.int64)
+    all_cnt = t.column("cnt").to_numpy().astype(np.int64)
+    order = np.lexsort((all_keys, all_langs))
+    all_langs, all_keys, all_cnt = (all_langs[order], all_keys[order],
+                                    all_cnt[order])
+    langs = sorted(set(all_langs.tolist()))
+    lo = np.searchsorted(all_langs, np.asarray(langs, dtype=object), "left")
+    hi = np.searchsorted(all_langs, np.asarray(langs, dtype=object), "right")
     prof: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for lang in langs:
-        sub = t.filter(pc.equal(t.column("lang"), lang))
-        keys = sub.column("tri_key").to_numpy().astype(np.int64)
-        cnt = sub.column("cnt").to_numpy().astype(np.int64)
+    for lang, a, b in zip(langs, lo, hi):
+        keys = all_keys[a:b]
+        cnt = all_cnt[a:b]
         real = keys >= 0  # drop the lang-universe sentinel rows
         keys, cnt = keys[real], cnt[real]
-        order = np.argsort(keys)
-        keys, cnt = keys[order], cnt[order]
         tot = int(cnt.sum())
         if tot == 0:  # lang exists in the corpus but has no trigrams
             prof[lang] = (keys[:0], cnt[:0])

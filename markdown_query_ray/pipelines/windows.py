@@ -119,25 +119,33 @@ def sessionize(ds, gap_minutes: int = 30, buckets: int = 64):
             "bucket", pa.array((h >> np.uint64(40)).astype(np.int64)
                                % buckets))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        uid = g["user_id"].to_numpy()
-        new = np.ones(len(g), bool)
-        if len(g) > 1:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        ts = g.column("ts").to_numpy()
+        uid = g.column("user_id").to_numpy()
+        new = np.ones(len(ts), bool)
+        if len(ts) > 1:
             new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
         # per-user session numbering: global cumsum minus the user's offset
         csum = np.cumsum(new)
-        user_change = np.zeros(len(g), bool)
-        user_change[0] = True
-        if len(g) > 1:
+        user_change = np.zeros(len(ts), bool)
+        if len(ts):
+            user_change[0] = True
+        if len(ts) > 1:
             user_change[1:] = uid[1:] != uid[:-1]
-        base = np.zeros(len(g), np.int64)
+        base = np.zeros(len(ts), np.int64)
         base[user_change] = csum[user_change] - 1
         np.maximum.accumulate(base, out=base)
-        out = g[["event_id", "user_id"]].copy()
-        out["session_id"] = (csum - base).astype("int64")
-        return out
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "session_id": pa.array((csum - base).astype(np.int64)),
+        })
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")

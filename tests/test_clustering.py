@@ -135,3 +135,18 @@ def test_quantize8_dimension_aware_overflow_guard():
     assert int(np.abs(ok).max()) == 1024
     with pytest.raises(ValueError):
         _quantize8(np.full((2, 768), 4.0), coef=100)
+
+
+def test_quantize_16bit_exactness_guard():
+    """_quantize (the 2^16 k-means grid) rejects magnitude x dimension
+    combinations where d * max|q|^2 >= 2^53 — beyond that the 'float64
+    BLAS is exact integer math' invariant in _assign silently breaks."""
+    import pytest
+
+    from markdown_query_ray.pipelines.clustering import _quantize
+
+    ok = _quantize(np.full((2, 64), 4.0))
+    assert int(np.abs(ok).max()) == 262144
+    # 64 dims at |x| ~ 6000 -> d*M^2 ~ 2^66: must be rejected loudly
+    with pytest.raises(ValueError):
+        _quantize(np.full((2, 64), 6000.0))

@@ -55,43 +55,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-SQL_CHECKED = [
-    "bm25_single_term", "bm25_or3", "bm25_or3_bitpack", "bm25_rare_dup",
-    "bm25_lang_de",
-    "phrase_merge_sort",
-    "near_merge_sort_w5", "embedding_neardup",
-    "bool_and", "bool_and_not", "bool_xor", "match_counts",
-    "doc_token_counts", "bpe_token_counts", "term_df_top50", "lang_doc_stats",
-    "quality_features", "dedup_exact", "knn_cosine_top10",
-    "events_tumbling_1h", "events_hopping_1h_30m", "events_sessions_30m",
-    "tpch_q1ish",
-    # round 2: formerly rows-only, now oracle-checked (exact-SQL
-    # reimplementations, recall-complete LSH parameterizations, and
-    # golden tables — flagship's golden comes from the REAL xapian-core)
-    "minhash_dedup_pairs", "simhash_pairs", "doc_fingerprints", "langid",
-    "embedding_neardup_lsh", "lsh_ann_top10", "ivf_ann_top10",
-    "flagship_xapian_search", "multimodal_features", "video_frame_features",
-    "audio_chunk_features",
-    "url_canonicalize", "domain_doc_stats", "warc_extract", "span_dedup",
-    "composite_quality_dedup_bm25",
-    # round 3: new operators, oracle-checked from the start
-    "ngram_jaccard_pairs", "neardup_clusters", "repetition_signals",
-    "asof_purchase_click", "range_purchase_clicks",
-    "domain_topk_docs", "hash_split_counts", "decontam_flags",
-    "seq_packing", "pii_redact", "mixture_weighted_repeat",
-    "lang_length_quantiles", "stratified_sample_docs", "tpch_q3ish",
-    "bigram_novelty", "lang_distinct_tokens", "cross_dup_coverage",
-    "incremental_dedup_pairs", "dup_token_spans", "dup_span_scrub",
-    "kmeans_embeddings", "semdedup_pairs", "langid_ngram",
-    "ccnet_buckets", "crawl_refresh_bm25", "search_snippets",
-    "facet_lang_counts", "neardup_dedup_docs",
-]
+# Every registered entry — the curated driver window (queries()) AND the
+# demoted/un-fused extras (queries_extra()) — is oracle-checked here.
+# The list is materialized at import time for parametrize.
+def _all_keys():
+    mod = _load_entry_module()
+    return sorted(set(mod.queries()) | set(mod.queries_extra()))
+
+
+SQL_CHECKED = _all_keys()
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(entry_mod, duck, name):
-    ray_result = _to_df(entry_mod.queries()[name](SF_DIR))
-    sql = entry_mod.oracle_sql()[name]
+    q = {**entry_mod.queries(), **entry_mod.queries_extra()}
+    o = {**entry_mod.oracle_sql(), **entry_mod.oracle_sql_extra()}
+    ray_result = _to_df(q[name](SF_DIR))
+    sql = o[name]
     oracle = duck.sql(sql).df()
     a, b = _normalize(ray_result), _normalize(oracle)
     assert list(a.columns) == list(b.columns), \
@@ -114,9 +94,16 @@ def test_rows_only_queries_run(entry_mod, name):
 def test_every_query_key_has_callable(entry_mod):
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert set(o) <= set(q)  # every oracle key has a query
-    assert set(SQL_CHECKED) == set(o)
-    assert set(ROWS_ONLY) == set(q) - set(o)
+    qx = entry_mod.queries_extra()
+    ox = entry_mod.oracle_sql_extra()
+    # the driver-checked window: every entry oracle-backed, <= 50 entries
+    assert set(o) == set(q)
+    assert len(q) <= 50, f"driver window overflow: {len(q)} entries"
+    # extras: disjoint from the window, every one oracle-backed too
+    assert not set(qx) & set(q)
+    assert set(ox) == set(qx)
+    assert set(SQL_CHECKED) == set(q) | set(qx)
+    assert set(ROWS_ONLY) == set()
 
 
 def test_entry_smoke(entry_mod):

@@ -223,3 +223,91 @@ def test_ccnet_buckets_matches_reference(ray_session):
     assert got == exp
     assert {"head", "middle", "tail"} == set(
         b for _, b in got.values() if _ != -1) | {"tail"}
+
+
+def test_shingle_column_kernel_parity():
+    """The one-sweep Arrow-buffer shingle kernel computes exactly the
+    per-doc shingle_hashes function (including the <w whole-doc shingle,
+    empty docs, nulls, multiple spaces, and non-ASCII), and the C and
+    pure-Python paths agree."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from markdown_query_ray.pipelines.dedup import (
+        shingle_hashes,
+        shingle_hashes_column,
+    )
+
+    texts = ["a b c d e", "", None, "one", "two  spaced   out", "x y",
+             "héllo wörld naïve", " lead and trail ", "a a a a a a a a"]
+    col = pa.array(texts, pa.string())
+    for w in (1, 2, 4):
+        keys, counts, ntok = shingle_hashes_column(col, w)
+        exp_keys, exp_counts, exp_ntok = [], [], []
+        for t in texts:
+            t = t or ""
+            h = shingle_hashes(t, w)
+            exp_keys.append(h)
+            exp_counts.append(len(h))
+            exp_ntok.append(sum(1 for x in t.split(" ") if x))
+        assert counts.tolist() == exp_counts
+        assert ntok.tolist() == exp_ntok
+        assert keys.tolist() == np.concatenate(
+            exp_keys if exp_keys else [np.empty(0, np.uint64)]).tolist()
+        # pure-Python fallback identical
+        os.environ["MDQ_RAY_NO_CTOK"] = "1"
+        try:
+            import markdown_query_ray.functions.ctok as ctok
+            saved = ctok._mod
+            ctok._mod = None
+            k2, c2, n2 = shingle_hashes_column(col, w)
+        finally:
+            del os.environ["MDQ_RAY_NO_CTOK"]
+            ctok._mod = saved
+        assert k2.tolist() == keys.tolist()
+        assert c2.tolist() == counts.tolist()
+        assert n2.tolist() == ntok.tolist()
+
+
+def test_col_windows_matches_per_doc_reference():
+    """_col_windows (batch kernel + vectorized gates) == the per-doc
+    _doc_bigrams reference, and window_occ_batch's run-length per-doc
+    occurrence counts == per-doc np.unique."""
+    import numpy as np
+    import pyarrow as pa
+
+    from markdown_query_ray.pipelines.dedup import shingle_hashes
+    from markdown_query_ray.pipelines.ngramstats import (
+        _as_i64,
+        _col_windows,
+        _doc_bigrams,
+        window_occ_batch,
+    )
+
+    texts = ["b a b a b", "", None, "solo", "x y z w v u",
+             "dup dup dup dup", "a b"]
+    batch = pa.table({
+        "doc_id": pa.array(list(range(100, 100 + len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    rows, keys = _col_windows(batch, 2)
+    ref_rows, ref_keys = _doc_bigrams(texts)
+    assert rows.tolist() == ref_rows.tolist()
+    assert keys.tolist() == ref_keys.tolist()
+
+    w = 3
+    got = window_occ_batch(batch, w)
+    exp = []
+    for i, t in enumerate(texts):
+        if not t or sum(1 for x in t.split(" ") if x) < w:
+            continue
+        uk, cnt = np.unique(_as_i64(shingle_hashes(t, w)),
+                            return_counts=True)
+        for k, c in zip(uk, cnt):
+            exp.append((100 + i, int(k), int(c)))
+    got_rows = sorted(zip(got.column("doc_id").to_pylist(),
+                          got.column("skey").to_pylist(),
+                          got.column("occ").to_pylist()))
+    assert got_rows == sorted(exp)
