@@ -1154,19 +1154,34 @@ def events_sessions(sf_dir: str) -> pa.Table:
 
 
 def tpch_q1ish(sf_dir: str) -> pa.Table:
+    """Pricing-summary aggregate. The key cardinality is tiny (|returnflag|
+    x |linestatus| ~ 6), so a sort-based groupby shuffle of every row is
+    the wrong shape — each scan task emits its ~6-row partial via a local
+    Arrow hash aggregate and only the partials (6 x n_blocks rows) leave
+    the tasks; the final combine is a driver-side Arrow groupby over that
+    tiny table. Same map-side-combine pattern the 100-TB story needs for
+    any low-cardinality global aggregate."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice"])
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Count(alias_name="n_rows"))
-    t = _collect(agg).sort_by([("l_returnflag", "ascending"),
-                               ("l_linestatus", "ascending")])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(b, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ([], "count_all")])
+        return agg.rename_columns(["l_returnflag", "l_linestatus",
+                                   "sum_qty", "sum_price", "n_rows"])
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    t = pa.TableGroupBy(parts, ["l_returnflag", "l_linestatus"]).aggregate(
+        [("sum_qty", "sum"), ("sum_price", "sum"), ("n_rows", "sum")])
+    t = t.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                          "sum_price", "n_rows"])
+    t = t.sort_by([("l_returnflag", "ascending"),
+                   ("l_linestatus", "ascending")])
     out = pa.table({
         "l_returnflag": t.column("l_returnflag"),
         "l_linestatus": t.column("l_linestatus"),

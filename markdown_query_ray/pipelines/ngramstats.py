@@ -222,7 +222,8 @@ def bigram_scores(ds, num_buckets: int = 64):
             Min("min_part", alias_name="min_count"))
 
 
-def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64):
+def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64,
+                  checkpoint_dir: str | None = None):
     """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
     2020, public paper): per-document fluency metric = mean corpus
     frequency of the doc's bigrams in fixed-point (sum_count * scale //
@@ -234,16 +235,26 @@ def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64):
 
     Scale shape: the bigram score-by-join is ngramstats.bigram_scores
     (counts ride the join's own exchange); lang attaches with ONE
-    doc_id-keyed shuffle join; the (doc_id, lang, metric) projection is
-    materialized once (~25 B/doc — at 10^11 docs that is ~2.5 TB across
-    the cluster's object stores, 2.5% of corpus bytes; spills if needed)
-    because both the quantile histogram and the assignment pass consume
-    it; tertile thresholds come from the bounded value-domain histogram
-    (quantiles.group_quantiles), never a per-lang sort. Returns a
-    Dataset of (doc_id, lang, metric, bucket)."""
+    doc_id-keyed shuffle join. The (doc_id, lang, metric) projection
+    (~25 B/doc — at 10^11 docs ~2.5 TB) is consumed TWICE (quantile
+    histogram, then bucket assignment), so instead of pinning it in the
+    object store with materialize() it is CHECKPOINTED once to
+    partitioned parquet (``checkpoint_dir``, default a scratch dir under
+    /tmp — on a cluster pass shared storage) and both consumers stream
+    it back block by block: object-store residency stays bounded by the
+    pipeline's working set, not the corpus, and a re-run of either
+    consumer can reuse the checkpoint. Tertile thresholds come from the
+    bounded value-domain histogram (quantiles.group_quantiles), never a
+    per-lang sort. Returns a Dataset of (doc_id, lang, metric, bucket);
+    consume it before deleting the checkpoint dir."""
+    import os
+    import tempfile
+    import uuid
     from fractions import Fraction
 
-    from .equijoin import shuffle_hash_join
+    import ray.data
+
+    from .equijoin import join_output_schema, shuffle_hash_join
     from .quantiles import group_quantiles
 
     def to_metric(b: pa.Table) -> pa.Table:
@@ -273,10 +284,30 @@ def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64):
         to_metric, batch_format="pyarrow")
     langs = ds.map_batches(
         lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow")
-    joined = shuffle_hash_join(
+    join_ds = shuffle_hash_join(
         metric, langs, "doc_id", "doc_id",
         {"metric": pa.int64()}, {"lang": pa.string()},
-        key_out="doc_id", num_buckets=num_buckets).materialize()
+        key_out="doc_id", num_buckets=num_buckets)
+
+    # checkpoint the projection to parquet and stream it back for both
+    # consumers (see docstring); the schema-pinning pass also repairs the
+    # zero-column empty blocks map_groups leaves behind so every written
+    # file carries the full schema
+    schema = join_output_schema("doc_id", {"metric": pa.int64()},
+                                {"lang": pa.string()})
+    names = [f.name for f in schema]
+
+    def pin_schema(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return schema.empty_table()
+        return b.select(names)
+
+    ck = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), "mdq_ray_ccnet",
+        f"ck-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    join_ds.map_batches(pin_schema, batch_format="pyarrow") \
+        .write_parquet(ck)
+    joined = ray.data.read_parquet(ck, columns=names)
 
     thr_t = group_quantiles(joined, "lang", "metric",
                             qs=(Fraction(1, 3), Fraction(2, 3)))

@@ -23,6 +23,9 @@ of params). The domain aggregate pre-counts per batch before the (tiny)
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -105,83 +108,122 @@ def canonical_url_batch(batch: pa.Table,
         out_col, pc.if_else(valid, canon, col))
 
 
-# Two-label public suffixes (a SUBSET of the public-suffix list at
-# publicsuffix.org — the high-traffic ccTLD second-level registries a web
-# crawl actually hits). A host ending in one of these registers at the
-# THIRD label from the right (bbc.co.uk), everything else at the second
-# (example.com). Deliberately excluded: wildcard (*.ck) and 3-label
-# entries — rare, and each exclusion only coarsens grouping, never
-# crashes. Swap in the full list file to widen coverage.
-_PSL2 = (
-    "co.uk org.uk ac.uk gov.uk net.uk me.uk ltd.uk plc.uk sch.uk "
-    "co.jp ne.jp or.jp ac.jp go.jp ad.jp ed.jp gr.jp lg.jp "
-    "com.au net.au org.au edu.au gov.au asn.au id.au "
-    "com.br net.br org.br gov.br edu.br art.br blog.br "
-    "co.in net.in org.in firm.in gen.in ind.in ac.in edu.in gov.in "
-    "co.nz net.nz org.nz govt.nz ac.nz school.nz geek.nz "
-    "com.mx org.mx gob.mx edu.mx net.mx "
-    "com.ar net.ar org.ar edu.ar gob.ar "
-    "com.cn net.cn org.cn gov.cn edu.cn ac.cn "
-    "com.tw org.tw edu.tw gov.tw idv.tw "
-    "com.hk org.hk edu.hk gov.hk net.hk "
-    "com.sg org.sg edu.sg gov.sg net.sg "
-    "com.my org.my edu.my gov.my net.my "
-    "com.tr org.tr edu.tr gov.tr net.tr gen.tr web.tr "
-    "com.sa org.sa edu.sa gov.sa net.sa med.sa "
-    "co.za org.za net.za gov.za edu.za web.za "
-    "co.kr or.kr ne.kr re.kr go.kr ac.kr pe.kr "
-    "com.eg org.eg edu.eg gov.eg net.eg "
-    "com.pk org.pk edu.pk gov.pk net.pk "
-    "com.vn org.vn edu.vn gov.vn net.vn "
-    "co.th or.th ac.th go.th in.th net.th "
-    "co.id or.id ac.id go.id web.id net.id my.id "
-    "com.ua org.ua edu.ua gov.ua net.ua in.ua "
-    "com.pl net.pl org.pl edu.pl gov.pl waw.pl "
-    "co.il org.il net.il gov.il ac.il muni.il "
-    "com.ng org.ng edu.ng gov.ng net.ng "
-    "co.ke or.ke ac.ke go.ke ne.ke info.ke "
-    "com.ph org.ph edu.ph gov.ph net.ph "
-    "com.bd org.bd edu.bd gov.bd net.bd ac.bd "
-    "com.co org.co edu.co gov.co net.co "
-    "com.pe org.pe edu.pe gob.pe net.pe "
-    "com.ve org.ve edu.ve gob.ve net.ve co.ve "
-    "com.ec org.ec edu.ec gob.ec net.ec "
-    "co.ao it.ao og.ao co.mz org.mz co.tz or.tz ac.tz go.tz "
-    "com.uy edu.uy gub.uy org.uy net.uy "
-    "com.py org.py edu.py gov.py net.py "
-    "com.bo org.bo edu.bo gob.bo net.bo "
-    "co.cr or.cr ac.cr go.cr "
-    "com.do org.do edu.do gob.do net.do "
-    "com.gt org.gt edu.gt gob.gt net.gt "
-    "com.sv org.sv edu.sv gob.sv "
-    "com.ni org.ni edu.ni gob.ni "
-    "com.hn org.hn edu.hn gob.hn "
-    "com.pa org.pa edu.pa gob.pa "
-).split()
+# Full public-suffix list (publicsuffix.org, MPL 2.0 data file) vendored at
+# markdown_query_ray/data/public_suffix_list.dat — the Debian `publicsuffix`
+# package's copy. Parsed once per process into per-label-count rule arrays
+# (normal / wildcard `*.base` / exception `!rule`); matching follows the
+# published algorithm: exception rule prevails, else the longest matching
+# rule, else the implicit `*` default (suffix = last label). ICANN section
+# only by default (registrar semantics); pass include_private=True for the
+# PRIVATE section (github.io-style operator suffixes). Unicode rules are
+# kept in their listed (non-punycode) form: unicode hosts match, punycode
+# (`xn--`) spellings of those ~450 IDN rules don't — a documented
+# coarsening for crawls that store punycode hosts.
+_PSL_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "public_suffix_list.dat")
+
+
+@lru_cache(maxsize=2)
+def _psl_rules(include_private: bool = False):
+    """Parse the vendored list -> (normal, wildcard_base, exception), each
+    a dict {label_count: pa.StringArray of rules}. Normal 1-label rules are
+    dropped: the implicit `*` default already yields suffix length 1."""
+    normal: dict[int, list[str]] = {}
+    wild: dict[int, list[str]] = {}
+    exc: dict[int, list[str]] = {}
+    section = None
+    with open(_PSL_PATH, encoding="utf-8") as f:
+        for ln in f:
+            s = ln.strip()
+            if "===BEGIN ICANN DOMAINS===" in s:
+                section = "icann"
+                continue
+            if "===BEGIN PRIVATE DOMAINS===" in s:
+                section = "private"
+                continue
+            if not s or s.startswith("//") or section is None:
+                continue
+            if section == "private" and not include_private:
+                continue
+            if s.startswith("!"):
+                r = s[1:]
+                exc.setdefault(r.count(".") + 1, []).append(r)
+            elif s.startswith("*."):
+                r = s[2:]
+                wild.setdefault(r.count(".") + 1, []).append(r)
+            else:
+                k = s.count(".") + 1
+                if k > 1:
+                    normal.setdefault(k, []).append(s)
+
+    def arr(d: dict[int, list[str]]) -> dict[int, pa.Array]:
+        return {k: pa.array(v, pa.string()) for k, v in sorted(d.items())}
+
+    return arr(normal), arr(wild), arr(exc)
+
+
+
+
+def _last_k_labels(h, k: int):
+    """Arrow array of the last ``k`` dot-separated labels of each host
+    (null where the host has fewer than ``k`` labels)."""
+    pat = r"(?P<d>" + r"[^.]*\." * (k - 1) + r"[^.]+)$"
+    return pc.struct_field(pc.extract_regex(h, pat), "d")
 
 
 def registered_domain_batch(batch: pa.Table,
-                            url_col: str = "canon_url") -> pa.Table:
+                            url_col: str = "canon_url",
+                            include_private: bool = False) -> pa.Table:
     """Append ``domain`` = the REGISTERED domain of the canonical url's
-    host: the last two labels, or the last THREE when the two-label tail
-    is a public suffix (the embedded ``_PSL2`` subset of the public-suffix
-    list — ``bbc.co.uk``, not ``co.uk``). Fully vectorized: one host
-    extract, anchored last-2/last-3 extracts, one ``is_in`` against the
-    suffix set, if_else fallbacks."""
+    host per the full public-suffix list (vendored; see ``_psl_rules``):
+    the public suffix is the prevailing rule's match (exception rule
+    first, else longest of normal/wildcard matches, else the implicit
+    ``*`` = last label) and the registered domain is that suffix plus one
+    label — ``bbc.co.uk``, not ``co.uk``; ``foo.s3.amazonaws.com`` stays
+    2-label under ICANN rules unless ``include_private``. Fully
+    vectorized: one host extract, one anchored last-k extract + ``is_in``
+    per rule width (k <= 4 ICANN), numpy max over the per-width matches,
+    if_else selection. Hosts that ARE a bare public suffix (or don't
+    parse) fall back to the whole host (grouping-safe)."""
     col = batch.column(url_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     hosts = pc.extract_regex(col, r"^[a-z][a-z0-9+.-]*://(?P<h>[^/?#:]*)")
     h = pc.struct_field(hosts, "h")
-    two = pc.struct_field(
-        pc.extract_regex(h, r"(?P<d>[^.]*\.[^.]+)$"), "d")
-    three = pc.struct_field(
-        pc.extract_regex(h, r"(?P<d>[^.]*\.[^.]*\.[^.]+)$"), "d")
-    is_psl = pc.fill_null(
-        pc.is_in(two, value_set=pa.array(_PSL2, pa.string())), False)
-    reg = pc.if_else(pc.and_(is_psl, pc.is_valid(three)), three, two)
-    dom = pc.if_else(pc.is_valid(reg), reg,
-                     pc.if_else(pc.is_valid(h), h, pa.scalar("")))
+    n = len(h)
+    normal, wild, exc = _psl_rules(include_private)
+    reg_max = max([k + 1 for k in normal] + [kb + 2 for kb in wild]
+                  + [k for k in exc] + [2])
+    lastk = {k: _last_k_labels(h, k) for k in range(1, reg_max + 1)}
+
+    def matches(k: int, rules) -> np.ndarray:
+        return pc.fill_null(pc.is_in(lastk[k], value_set=rules),
+                            False).to_numpy(zero_copy_only=False)
+
+    suffix_len = np.ones(n, np.int64)  # implicit `*` default rule
+    for k, rules in normal.items():
+        m = matches(k, rules)
+        np.maximum(suffix_len, np.where(m, k, 0), out=suffix_len)
+    for kb, rules in wild.items():
+        # `*.base` (base = kb labels) => the suffix spans kb+1 labels of
+        # any host that has them; a host equal to the bare base falls
+        # through to the default rule
+        m = matches(kb, rules) & pc.fill_null(
+            pc.is_valid(lastk[kb + 1]), False).to_numpy(
+                zero_copy_only=False)
+        np.maximum(suffix_len, np.where(m, kb + 1, 0), out=suffix_len)
+    reg_len = suffix_len + 1
+    for k, rules in exc.items():
+        # exception rule prevails: the suffix is the rule minus its left
+        # label, so the rule's own match IS the registered domain
+        m = matches(k, rules)
+        reg_len = np.where(m, k, reg_len)
+
+    dom = pc.if_else(pc.is_valid(h), h, pa.scalar(""))  # fallback: host
+    for k in range(1, reg_max + 1):
+        sel = pa.array(reg_len == k)
+        dom = pc.if_else(pc.and_(sel, pc.is_valid(lastk[k])),
+                         lastk[k], dom)
     return batch.append_column("domain", dom.cast(pa.string()))
 
 

@@ -78,3 +78,43 @@ def test_registered_domain_public_suffix():
     got = registered_domain_batch(t).column("domain").to_pylist()
     assert got == ["bbc.co.uk", "example.com", "example.com",
                    "foo.com.au", "co.uk", "localhost"]
+
+
+def test_registered_domain_full_psl_rules():
+    """The vendored full public-suffix list drives the rule engine:
+    wildcard (*.kawasaki.jp, *.ck), exception (!city.kawasaki.jp,
+    !www.ck), 3-label normal rules, and the implicit * default for
+    unknown TLDs."""
+    import pyarrow as pa
+
+    from markdown_query_ray.pipelines.webnorm import registered_domain_batch
+
+    cases = {
+        "https://foo.city.kawasaki.jp/x": "city.kawasaki.jp",  # exception
+        "https://x.y.kawasaki.jp/x": "x.y.kawasaki.jp",        # wildcard
+        "https://www2.www.ck/x": "www.ck",                     # exception
+        "https://shop.foo.ck/x": "shop.foo.ck",                # wildcard
+        "https://ck/": "ck",                    # bare wildcard base
+        "https://pref.aichi.jp/x": "pref.aichi.jp",  # 2-label normal rule
+        "https://unknown.tld.zzz/": "tld.zzz",       # implicit * default
+    }
+    t = pa.table({"canon_url": pa.array(list(cases), pa.string())})
+    got = registered_domain_batch(t).column("domain").to_pylist()
+    assert got == list(cases.values())
+
+
+def test_registered_domain_private_section_opt_in():
+    """ICANN-only by default (github.io registers at github.io); the
+    PRIVATE section promotes operator suffixes when opted in."""
+    import pyarrow as pa
+
+    from markdown_query_ray.pipelines.webnorm import registered_domain_batch
+
+    t = pa.table({"canon_url": pa.array(
+        ["https://user.github.io/x", "https://a.user.github.io/x"],
+        pa.string())})
+    assert registered_domain_batch(t).column("domain").to_pylist() == \
+        ["github.io", "github.io"]
+    assert registered_domain_batch(
+        t, include_private=True).column("domain").to_pylist() == \
+        ["user.github.io", "user.github.io"]
