@@ -797,6 +797,17 @@ def _multimodal_sql(name: str) -> str:
     cols, order_by, casts = specs[name]
     return _values_sql(rows, cols, order_by, casts)
 
+
+def _jpeg_sql() -> str:
+    """Golden VALUES oracle for jpeg_features — rows produced by decoding
+    the fixture bytes with Java ImageIO (tools/gen_goldens.py gen_jpeg)."""
+    with open(_os.path.join(_GOLDEN_DIR, "jpeg.json")) as f:
+        rows = _json.load(f)["jpeg_features"]
+    return _values_sql(
+        rows, ["media_id", "mean_intensity", "std_intensity"], ["media_id"],
+        {"media_id": "BIGINT", "mean_intensity": "DOUBLE",
+         "std_intensity": "DOUBLE"})
+
 _BPE_SQL = (
     "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
     + _BPE_PAT.replace("'", "''")
@@ -932,6 +943,7 @@ _DRIVER_ENTRIES = [
     "composite_quality_dedup_bm25", "crawl_refresh_bm25",
     "warc_extract", "span_dedup",
     "multimodal_features", "video_frame_features", "audio_chunk_features",
+    "jpeg_features",
     # -- text analysis -----------------------------------------------------
     "token_counts", "lang_doc_stats", "quality_features", "langid_both",
     "lang_token_quantiles",
@@ -1072,6 +1084,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "composite_quality_dedup_bm25": lambda sf: d.composite_pipeline(sf),
         "crawl_refresh_bm25": lambda sf: d.crawl_refresh_pipeline(sf),
         "multimodal_features": d.multimodal_features,
+        "jpeg_features": d.jpeg_features,
         "video_frame_features": d.video_frame_feats,
         "audio_chunk_features": d.audio_chunk_feats,
     }
@@ -1465,6 +1478,7 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
             "ORDER BY doc_id, span_idx"),
         "flagship_xapian_search": _flagship_sql(),
         "multimodal_features": _multimodal_sql("multimodal_features"),
+        "jpeg_features": _jpeg_sql(),
         "video_frame_features": _multimodal_sql("video_frame_features"),
         "audio_chunk_features": _multimodal_sql("audio_chunk_features"),
     }

@@ -14,8 +14,12 @@ is stdlib + numpy):
   throughput, the function signature doesn't change).
 - ``audio/wav`` — REAL decoder: stdlib ``wave`` (PCM16, channels averaged
   to mono).
-- jpeg / real video containers still raise ``NotImplementedError`` in
-  ``_decode_real`` — clearly marked; plugging PIL/ffmpeg changes one
+- ``image/jpeg`` — REAL decoder: from-scratch baseline sequential
+  decoder (functions/jpeg_codec, IJG islow IDCT) verified BIT-EXACT
+  against Java ImageIO (libjpeg-6b lineage) over the fixture corpus;
+  grayscale + YCbCr 4:4:4; progressive/subsampled raise loudly.
+- real video containers still raise ``NotImplementedError`` in
+  ``_decode_real`` — clearly marked; plugging ffmpeg changes one
   function, not the pipeline.
 
 Feature extraction (byte histograms, moments) is real numpy — the shape a
@@ -204,16 +208,75 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """REAL baseline JPEG decode (functions/jpeg_codec — from-scratch
+    islow decoder, bit-exact vs the Java ImageIO/libjpeg golden oracle)
+    to (h, w) uint8; color images fold to BT.601 luma with the same
+    round/clip convention as the PNG path."""
+    from ..functions.jpeg_codec import decode_jpeg
+
+    px = decode_jpeg(data)
+    if px.ndim == 2:
+        return px
+    luma = (0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
+def make_jpeg_table(n: int, seed: int = 23) -> pa.Table:
+    """Deterministic REAL-JPEG fixture: alternating grayscale / RGB 4:4:4
+    baseline images across content kinds (noise, gradient, flat, blocky)
+    and the full quality range. Golden features come from decoding THESE
+    BYTES with Java ImageIO (tools/JpegGolden.java) — the fixture-spec
+    recompute used for RAW8/PNG cannot apply here because JPEG is lossy."""
+    from ..functions.jpeg_codec import encode_jpeg_gray, encode_jpeg_rgb
+
+    qualities = (35, 50, 75, 85, 95)
+    rows = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
+        w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        kind = i % 4
+        if kind == 0:
+            px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        elif kind == 1:
+            px = (np.add.outer(np.arange(h), np.arange(w))
+                  * 3 % 256).astype(np.uint8)
+        elif kind == 2:
+            px = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+        else:
+            px = ((np.add.outer(np.arange(h) // 4, np.arange(w) // 4) % 2)
+                  * 255).astype(np.uint8)
+        q = qualities[i % len(qualities)]
+        if i % 2 == 0:
+            data = encode_jpeg_gray(px, quality=q)
+        else:
+            rgb = np.stack([px,
+                            np.roll(px, 1, axis=0),
+                            np.roll(px, 1, axis=1)], axis=-1)
+            data = encode_jpeg_rgb(rgb, quality=q)
+        rows.append((i, data, w, h))
+    return pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "media": pa.array([r[1] for r in rows], pa.binary()),
+        "media_type": pa.array(["image/jpeg"] * n, pa.string()),
+        "width": pa.array([r[2] for r in rows], pa.int32()),
+        "height": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
 def _decode_real(data: bytes, media_type: str):
     if media_type == "image/png":
         return decode_png_gray(data)
+    if media_type == "image/jpeg":
+        return decode_jpeg_gray(data)
     if media_type in ("audio/wav", "audio/x-wav"):
         return decode_wav(data)
-    # remaining stub: jpeg / real video need PIL/ffmpeg (absent here);
-    # plug them in below — the surrounding pipeline is format-agnostic
+    # remaining stub: real video containers need ffmpeg (absent here);
+    # plug it in below — the surrounding pipeline is format-agnostic
     raise NotImplementedError(
         f"decoder for {media_type!r} not available in this environment; "
-        "plug PIL/ffmpeg in here")
+        "plug ffmpeg in here")
 
 
 class MediaFeatureStage:

@@ -105,12 +105,14 @@ def test_audio_chunking():
 
 
 def test_real_codec_stub_raises():
+    """jpeg decodes for real as of round 4 (tests/test_jpeg.py); the
+    remaining container-forced stub is real video."""
     import pyarrow as pa
 
     t = pa.table({
         "media_id": pa.array([0], pa.int64()),
-        "media": pa.array([b"\xff\xd8\xff\xe0jpegdata"], pa.binary()),
-        "media_type": pa.array(["image/jpeg"], pa.string()),
+        "media": pa.array([b"\x00\x00\x00\x18ftypmp42moovdata"], pa.binary()),
+        "media_type": pa.array(["video/mp4"], pa.string()),
     })
     with pytest.raises(NotImplementedError):
         MediaFeatureStage()(t)

@@ -14,9 +14,15 @@ ANSI-SQL-expressible:
   imports nothing from markdown_query_ray for the math — it re-derives
   mean/std/rms/zcr/frame-sampling from the container spec), so the golden
   is a second implementation, not a copy of the pipeline's output.
+- ``jpeg_features``: JPEG is lossy, so its golden pixels come from an
+  INDEPENDENT decoder of the same fixture bytes — the JDK's ImageIO JPEG
+  reader (libjpeg-6b lineage), driven by tools/JpegGolden.java. Records
+  per-image pixel sha256 (bit-exactness test) + luma mean/std (driver
+  oracle).
 
 Run: python tools/gen_goldens.py   (writes golden/*.json)
-Requires the xapian oracle binary (tools/build_xapian_oracle.sh).
+Requires the xapian oracle binary (tools/build_xapian_oracle.sh) and,
+for the jpeg section, a JDK ``java`` on PATH.
 """
 
 from __future__ import annotations
@@ -150,6 +156,54 @@ def gen_audio(n: int = 100, chunk: int = 2048) -> list:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# jpeg: Java ImageIO (libjpeg-6b lineage) as the independent decoder oracle.
+# JPEG is lossy, so the fixture-spec recompute used above cannot produce its
+# goldens — the golden pixels must come from an INDEPENDENT decode of the
+# same bytes. tools/JpegGolden.java dumps ImageIO's raster for every fixture
+# image; this records (a) a sha256 of those raw pixels per image for the
+# bit-exactness pytest against our from-scratch decoder, and (b) the
+# luma-folded mean/std features for the driver entry's SQL-VALUES oracle.
+# ---------------------------------------------------------------------------
+
+def gen_jpeg(n: int = 150) -> list:
+    import hashlib
+
+    from markdown_query_ray.pipelines.multimodal import make_jpeg_table
+
+    t = make_jpeg_table(n)
+    with tempfile.TemporaryDirectory() as d:
+        for mid, data in zip(t.column("media_id").to_pylist(),
+                             t.column("media").to_pylist()):
+            with open(os.path.join(d, f"m{mid:05d}.jpg"), "wb") as f:
+                f.write(data)
+        subprocess.run(
+            ["java", os.path.join(REPO, "tools", "JpegGolden.java"), d],
+            check=True, capture_output=True)
+        rows = []
+        for mid in t.column("media_id").to_pylist():
+            with open(os.path.join(d, f"m{mid:05d}.raw"), "rb") as f:
+                raw = f.read()
+            nc = raw[0]
+            h, w = struct.unpack(">II", raw[1:9])
+            px = np.frombuffer(raw[9:], np.uint8)
+            if nc == 1:
+                gray = px.reshape(h, w).astype(np.float64)
+            else:
+                rgb = px.reshape(h, w, 3)
+                luma = (0.299 * rgb[:, :, 0].astype(np.float64)
+                        + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
+                gray = np.clip(np.round(luma), 0, 255)
+            rows.append({
+                "media_id": int(mid),
+                "mean_intensity": round(float(gray.mean()), 6),
+                "std_intensity": round(float(gray.std()), 6),
+                "pixel_sha256": hashlib.sha256(raw[9:]).hexdigest(),
+                "channels": int(nc),
+            })
+    return rows
+
+
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     with open(os.path.join(GOLDEN_DIR, "multimodal.json"), "w") as f:
@@ -157,6 +211,13 @@ def main():
                    "video_frame_features": gen_video(),
                    "audio_chunk_features": gen_audio()}, f)
     print("multimodal goldens written")
+    try:
+        jpeg_rows = gen_jpeg()
+        with open(os.path.join(GOLDEN_DIR, "jpeg.json"), "w") as f:
+            json.dump({"jpeg_features": jpeg_rows}, f)
+        print("jpeg goldens written (Java ImageIO oracle)")
+    except FileNotFoundError:
+        print("SKIP jpeg goldens: no `java` on PATH (existing golden kept)")
     if not os.path.exists(ORACLE):
         print(f"SKIP flagship golden: {ORACLE} missing "
               "(run tools/build_xapian_oracle.sh)")
