@@ -808,6 +808,19 @@ def _jpeg_sql() -> str:
         {"media_id": "BIGINT", "mean_intensity": "DOUBLE",
          "std_intensity": "DOUBLE"})
 
+
+def _mjpeg_sql() -> str:
+    """Golden VALUES oracle for mjpeg_frame_features — sampled frames of
+    the MJPEG AVI fixture, decoded by Java ImageIO (gen_goldens
+    gen_mjpeg); verifies RIFF extraction + JPEG decode together."""
+    with open(_os.path.join(_GOLDEN_DIR, "jpeg.json")) as f:
+        rows = _json.load(f)["mjpeg_frame_features"]
+    return _values_sql(
+        rows, ["media_id", "frame_idx", "mean_intensity", "std_intensity"],
+        ["media_id", "frame_idx"],
+        {"media_id": "BIGINT", "frame_idx": "BIGINT",
+         "mean_intensity": "DOUBLE", "std_intensity": "DOUBLE"})
+
 _BPE_SQL = (
     "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
     + _BPE_PAT.replace("'", "''")
@@ -1085,6 +1098,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "crawl_refresh_bm25": lambda sf: d.crawl_refresh_pipeline(sf),
         "multimodal_features": d.multimodal_features,
         "jpeg_features": d.jpeg_features,
+        "mjpeg_frame_features": d.mjpeg_frame_feats,
         "video_frame_features": d.video_frame_feats,
         "audio_chunk_features": d.audio_chunk_feats,
     }
@@ -1479,6 +1493,7 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         "flagship_xapian_search": _flagship_sql(),
         "multimodal_features": _multimodal_sql("multimodal_features"),
         "jpeg_features": _jpeg_sql(),
+        "mjpeg_frame_features": _mjpeg_sql(),
         "video_frame_features": _multimodal_sql("video_frame_features"),
         "audio_chunk_features": _multimodal_sql("audio_chunk_features"),
     }

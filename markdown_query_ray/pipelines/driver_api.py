@@ -1570,6 +1570,28 @@ def video_frame_feats(sf_dir: str) -> pa.Table:
     return _round_col(_round_col(t, "mean_intensity"), "std_intensity")
 
 
+def mjpeg_frame_feats(sf_dir: str) -> pa.Table:
+    """Per-sampled-frame features over REAL Motion-JPEG AVI videos: RIFF
+    'movi' extraction + from-scratch JPEG decode per frame, through the
+    same two actor-pool stages as the raw8v entry. Golden oracle = Java
+    ImageIO decoding the identical per-frame JPEG bytes (gen_goldens
+    gen_mjpeg) — it verifies container extraction and codec together."""
+    import ray.data
+
+    from .multimodal import make_mjpeg_video_table, video_frame_features
+
+    ds = ray.data.from_arrow(make_mjpeg_video_table(60))
+    t = _collect(video_frame_features(ds, n_samples=4)) \
+        .sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+    t = pa.table({
+        "media_id": t.column("media_id"),
+        "frame_idx": t.column("frame_idx").cast(pa.int64()),
+        "mean_intensity": t.column("mean_intensity"),
+        "std_intensity": t.column("std_intensity"),
+    })
+    return _round_col(_round_col(t, "mean_intensity"), "std_intensity")
+
+
 def audio_chunk_feats(sf_dir: str) -> pa.Table:
     import ray.data
 

@@ -272,8 +272,11 @@ def _decode_real(data: bytes, media_type: str):
         return decode_jpeg_gray(data)
     if media_type in ("audio/wav", "audio/x-wav"):
         return decode_wav(data)
-    # remaining stub: real video containers need ffmpeg (absent here);
-    # plug it in below — the surrounding pipeline is format-agnostic
+    if media_type == "video/x-msvideo":
+        return decode_avi_mjpeg(data)
+    # remaining stub: inter-frame video codecs (H.264/VP9/...) need
+    # ffmpeg (absent here); plug it in below — the surrounding pipeline
+    # is format-agnostic
     raise NotImplementedError(
         f"decoder for {media_type!r} not available in this environment; "
         "plug ffmpeg in here")
@@ -359,6 +362,88 @@ def _decode_raw8_video(data: bytes) -> np.ndarray:
         raise ValueError("not a RAW8V payload")
     n, w, h = struct.unpack("<III", data[4:16])
     return np.frombuffer(data[16:16 + n * w * h], np.uint8).reshape(n, h, w)
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25,
+                     quality: int = 85) -> bytes:
+    """REAL Motion-JPEG AVI (RIFF container per the public msdn/OpenDML
+    spec): avih/strh('vids'/'MJPG')/strf headers + one '00dc' chunk per
+    frame holding a full baseline JPEG from functions/jpeg_codec."""
+    from ..functions.jpeg_codec import encode_jpeg_gray
+
+    h, w = frames[0].shape
+    jpegs = [encode_jpeg_gray(f, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    max_sz = max(len(j) for j in jpegs)
+    avih = struct.pack("<10I", 1000000 // fps, max_sz * fps, 0, 0x10,
+                       len(frames), 0, 1, max_sz, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames),
+                                            max_sz, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_mjpeg(data: bytes) -> np.ndarray:
+    """REAL MJPEG AVI decode: RIFF walk to the 'movi' LIST, decode every
+    '00dc'/'00db' frame chunk with the from-scratch JPEG decoder. Returns
+    (n, h, w) uint8 (grayscale streams; color folds to luma)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            sz = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            yield fourcc, pos + 8, sz
+            pos += 8 + sz + (sz & 1)
+
+    frames = []
+    for fourcc, off, sz in walk(data, 12, len(data)):
+        if fourcc == b"LIST" and data[off:off + 4] == b"movi":
+            for fc, o, s in walk(data, off + 4, off + sz):
+                if fc[2:4] in (b"dc", b"db") and s:
+                    frames.append(decode_jpeg_gray(data[o:o + s]))
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    return np.stack(frames)
+
+
+def make_mjpeg_video_table(n: int, seed: int = 31) -> pa.Table:
+    """Deterministic REAL-MJPEG-AVI fixture (grayscale frames, mixed
+    content, quality 85). Golden features come from Java-ImageIO-decoding
+    the per-frame JPEG bytes (recomputed from this same spec by
+    tools/gen_goldens.py) — matching them proves both the RIFF extraction
+    and the JPEG decode."""
+    rows = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
+        nf = int(rng.integers(4, 12))
+        w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        frames = [rng.integers(0, 256, (h, w), dtype=np.uint8)
+                  if (i + j) % 2 == 0 else
+                  ((np.add.outer(np.arange(h), np.arange(w)) * (j + 2))
+                   % 256).astype(np.uint8)
+                  for j in range(nf)]
+        rows.append((i, encode_avi_mjpeg(frames), "video/x-msvideo", nf))
+    return pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "media": pa.array([r[1] for r in rows], pa.binary()),
+        "media_type": pa.array([r[2] for r in rows], pa.string()),
+        "n_frames": pa.array([r[3] for r in rows], pa.int32()),
+    })
 
 
 def make_video_table(n: int, seed: int = 9) -> pa.Table:

@@ -112,3 +112,35 @@ def test_media_pipeline_decodes_jpeg(ray_session):
             rows[mid]["mean_intensity"]
         assert round(feats[mid]["std_intensity"], 6) == \
             rows[mid]["std_intensity"]
+
+
+def test_mjpeg_avi_roundtrip_and_golden():
+    """RIFF container walk + per-frame decode, bit-exact against the Java
+    golden for the sampled frames of the fixture."""
+    from markdown_query_ray.pipelines.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        make_mjpeg_video_table,
+    )
+
+    frames = [np.full((8, 8), v, np.uint8) for v in (0, 128, 255)]
+    avi = encode_avi_mjpeg(frames)
+    dec = decode_avi_mjpeg(avi)
+    assert dec.shape == (3, 8, 8)
+    assert int(np.abs(dec[1].astype(int) - 128).max()) <= 1  # flat block
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFFxxxxWAVE")
+    # golden parity for the first fixture videos: decode the AVI, sample
+    # like FrameSampleStage, hash pixels
+    with open(GOLDEN) as f:
+        rows = {(r["media_id"], r["frame_idx"]): r
+                for r in json.load(f)["mjpeg_frame_features"]}
+    t = make_mjpeg_video_table(6)
+    for mid, data in zip(t.column("media_id").to_pylist(),
+                         t.column("media").to_pylist()):
+        fr = decode_avi_mjpeg(data)
+        take = np.unique((np.arange(4) * len(fr)) // 4)
+        for j in take:
+            g = rows[(mid, int(j))]
+            assert hashlib.sha256(fr[j].tobytes()).hexdigest() == \
+                g["pixel_sha256"], (mid, j)

@@ -204,6 +204,57 @@ def gen_jpeg(n: int = 150) -> list:
     return rows
 
 
+def gen_mjpeg(n: int = 60, n_samples: int = 4) -> list:
+    """Golden for mjpeg_frame_features: re-derive each fixture video's
+    per-frame JPEG bytes from the same spec (seed 31; the bytes inside
+    the AVI are these exact bytes), decode the SAMPLED frames with Java
+    ImageIO, and record features + pixel hashes. Matching the pipeline
+    against this proves the RIFF 'movi' extraction AND the from-scratch
+    JPEG decode in one shot."""
+    import hashlib
+
+    from markdown_query_ray.functions.jpeg_codec import encode_jpeg_gray
+
+    seed = 31
+    items = []  # (media_id, frame_idx, jpeg_bytes)
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
+        nf = int(rng.integers(4, 12))
+        w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        frames = [rng.integers(0, 256, (h, w), dtype=np.uint8)
+                  if (i + j) % 2 == 0 else
+                  ((np.add.outer(np.arange(h), np.arange(w)) * (j + 2))
+                   % 256).astype(np.uint8)
+                  for j in range(nf)]
+        take = np.unique((np.arange(n_samples) * nf) // n_samples)
+        for j in take:
+            items.append((i, int(j), encode_jpeg_gray(frames[j],
+                                                      quality=85)))
+    with tempfile.TemporaryDirectory() as d:
+        for mid, j, data in items:
+            with open(os.path.join(d, f"v{mid:05d}_{j:03d}.jpg"),
+                      "wb") as f:
+                f.write(data)
+        subprocess.run(
+            ["java", os.path.join(REPO, "tools", "JpegGolden.java"), d],
+            check=True, capture_output=True)
+        rows = []
+        for mid, j, _ in items:
+            with open(os.path.join(d, f"v{mid:05d}_{j:03d}.raw"),
+                      "rb") as f:
+                raw = f.read()
+            h, w = struct.unpack(">II", raw[1:9])
+            px = np.frombuffer(raw[9:], np.uint8).reshape(h, w) \
+                .astype(np.float64)
+            rows.append({
+                "media_id": mid, "frame_idx": j,
+                "mean_intensity": round(float(px.mean()), 6),
+                "std_intensity": round(float(px.std()), 6),
+                "pixel_sha256": hashlib.sha256(raw[9:]).hexdigest(),
+            })
+    return rows
+
+
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     with open(os.path.join(GOLDEN_DIR, "multimodal.json"), "w") as f:
@@ -213,9 +264,11 @@ def main():
     print("multimodal goldens written")
     try:
         jpeg_rows = gen_jpeg()
+        mjpeg_rows = gen_mjpeg()
         with open(os.path.join(GOLDEN_DIR, "jpeg.json"), "w") as f:
-            json.dump({"jpeg_features": jpeg_rows}, f)
-        print("jpeg goldens written (Java ImageIO oracle)")
+            json.dump({"jpeg_features": jpeg_rows,
+                       "mjpeg_frame_features": mjpeg_rows}, f)
+        print("jpeg + mjpeg goldens written (Java ImageIO oracle)")
     except FileNotFoundError:
         print("SKIP jpeg goldens: no `java` on PATH (existing golden kept)")
     if not os.path.exists(ORACLE):
