@@ -1,7 +1,10 @@
 """From-scratch baseline JPEG codec (ITU-T T.81, public spec).
 
 Decoder (`decode_jpeg`): baseline sequential DCT, 8-bit, grayscale or
-YCbCr 4:4:4 — marker parse (SOI/APP/DQT/SOF0/DHT/SOS/DRI/RST/EOI),
+YCbCr with any 1x1/2x1/1x2/2x2 per-component sampling (so real-world
+4:2:0 and 4:2:2 streams decode, with libjpeg's default "fancy"
+triangle-filter upsampling reproduced exactly) — marker parse
+(SOI/APP/DQT/SOF0/DHT/SOS/DRI/RST/EOI), MCU-interleaved entropy layout,
 canonical Huffman entropy decode with DC prediction and byte unstuffing,
 dequantization, and the IJG libjpeg "islow" fixed-point inverse DCT
 (Loeffler-Ligtenberg-Moshovitz algorithm, CONST_BITS=13/PASS1_BITS=2
@@ -12,9 +15,11 @@ final level shift uses a plain clamp, which equals libjpeg's
 range-limit table on any stream whose descaled samples stay inside the
 table's linear band (always true for streams produced by a real
 encoder). Color output applies libjpeg's fixed-point YCbCr->RGB
-(SCALEBITS=16, round-half-up, clamp). Progressive, arithmetic,
-12-bit, and subsampled (non-1x1) streams raise NotImplementedError
-loudly.
+(SCALEBITS=16, round-half-up, clamp). Progressive, arithmetic, 12-bit,
+and sampling factors beyond 2 raise NotImplementedError loudly.
+Verified bit-exact against Java ImageIO over 160+ streams including
+real 4:2:0 files produced by the JDK's own encoder (tests/test_jpeg.py,
+golden/jpeg.json).
 
 Encoder (`encode_jpeg_gray` / `encode_jpeg_rgb`): fixture source only —
 Annex K example quantization tables (quality-scaled per the public IJG
@@ -528,10 +533,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (only 4:4:4 / grayscale)")
-                comps.append({"id": cid, "tq": tq})
+                        f"sampling factors {hi}x{vi} unsupported "
+                        "(1x1/2x1/1x2/2x2 only)")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             frame = {"h": h, "w": w, "comps": comps}
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
@@ -554,47 +561,139 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     raise ValueError("no SOS marker found")
 
 
+def _h2v1_fancy_upsample(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v1_fancy_upsample (triangle filter, jdsample.c
+    semantics): horizontal x2 of an (H, Wd) uint8-valued plane."""
+    hgt, wd = p.shape
+    p = p.astype(np.int64)
+    if wd == 1:
+        return np.repeat(p, 2, axis=1)
+    out = np.empty((hgt, wd * 2), np.int64)
+    out[:, 0] = p[:, 0]
+    out[:, 1] = (p[:, 0] * 3 + p[:, 1] + 2) >> 2
+    if wd > 2:
+        mid = p[:, 1:-1] * 3
+        out[:, 2:-2:2] = (mid + p[:, :-2] + 1) >> 2
+        out[:, 3:-1:2] = (mid + p[:, 2:] + 2) >> 2
+    out[:, -2] = (p[:, -1] * 3 + p[:, -2] + 1) >> 2
+    out[:, -1] = p[:, -1]
+    return out
+
+
+def _h2v2_fancy_upsample(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v2_fancy_upsample: x2 both axes — a vertical 3:1
+    triangle between the nearer/further input rows, then the horizontal
+    triangle with the 8/7 rounding pair, edges clamped."""
+    hd, wd = p.shape
+    p = p.astype(np.int64)
+    cs_even = p * 3 + np.vstack([p[:1], p[:-1]])   # nearer row above
+    cs_odd = p * 3 + np.vstack([p[1:], p[-1:]])    # nearer row below
+
+    def hpass(cs: np.ndarray) -> np.ndarray:
+        if wd == 1:
+            o = np.empty((hd, 2), np.int64)
+            o[:, 0] = (cs[:, 0] * 4 + 8) >> 4
+            o[:, 1] = (cs[:, 0] * 4 + 7) >> 4
+            return o
+        o = np.empty((hd, wd * 2), np.int64)
+        o[:, 0] = (cs[:, 0] * 4 + 8) >> 4
+        o[:, 1] = (cs[:, 0] * 3 + cs[:, 1] + 7) >> 4
+        if wd > 2:
+            mid = cs[:, 1:-1] * 3
+            o[:, 2:-2:2] = (mid + cs[:, :-2] + 8) >> 4
+            o[:, 3:-1:2] = (mid + cs[:, 2:] + 7) >> 4
+        o[:, -2] = (cs[:, -1] * 3 + cs[:, -2] + 8) >> 4
+        o[:, -1] = (cs[:, -1] * 4 + 7) >> 4
+        return o
+
+    out = np.empty((hd * 2, wd * 2), np.int64)
+    out[0::2] = hpass(cs_even)
+    out[1::2] = hpass(cs_odd)
+    return out
+
+
+def _upsample(plane: np.ndarray, hexp: int, vexp: int, h: int,
+              w: int) -> np.ndarray:
+    """Expand a cropped downsampled component plane to (h, w) with
+    libjpeg's default (do_fancy_upsampling) kernels; the (1, 2) case
+    uses replication, matching jinit_upsampler's int_upsample choice."""
+    if hexp == 2 and vexp == 2:
+        up = _h2v2_fancy_upsample(plane)
+    elif hexp == 2 and vexp == 1:
+        up = _h2v1_fancy_upsample(plane)
+    elif hexp == 1 and vexp == 2:
+        up = np.repeat(plane.astype(np.int64), 2, axis=0)
+    else:
+        up = plane.astype(np.int64)
+    return up[:h, :w].astype(np.uint8)
+
+
 def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     h, w = frame["h"], frame["w"]
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw
     nc = len(scan)
-    coefs = [np.zeros((n_blocks, 8, 8), np.int64) for _ in range(nc)]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if nc == 1:
+        # non-interleaved single-component scan: MCU = one block over the
+        # component's own grid (its frame-level sampling is irrelevant to
+        # its own dimensions when it is the only frame component; for a
+        # multi-component frame this is T.81's per-scan layout)
+        hmax, vmax = scan[0][0]["h"], scan[0][0]["v"]
+    # per-component padded block grids, MCU-aligned
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = []  # (bw_i, bh_i)
+    for comp, _, _ in scan:
+        grids.append((mcux * comp["h"], mcuy * comp["v"]))
+    coefs = [np.zeros((gw * gh, 8, 8), np.int64) for gw, gh in grids]
     br = _BitReader(data, pos)
     preds = [0] * nc
     zz = np.zeros(64, np.int64)
-    for i in range(n_blocks):
-        if restart_interval and i and i % restart_interval == 0:
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
             br.align_restart()
             preds = [0] * nc
+        my, mx = divmod(m, mcux)
         for c, (comp, td, ta) in enumerate(scan):
             dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
-            zz[:] = 0
-            s = _huff_decode(br, dc_tab)
-            diff = _extend(br.get(s), s)
-            preds[c] += diff
-            zz[0] = preds[c]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_tab)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _extend(br.get(s), s)
-                k += 1
-            coefs[c][i].reshape(64)[ZIGZAG] = zz
+            gw = grids[c][0]
+            for v in range(comp["v"]):
+                for hh in range(comp["h"]):
+                    by = my * comp["v"] + v
+                    bx = mx * comp["h"] + hh
+                    zz[:] = 0
+                    s = _huff_decode(br, dc_tab)
+                    diff = _extend(br.get(s), s)
+                    preds[c] += diff
+                    zz[0] = preds[c]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError(
+                                "AC coefficient index out of range")
+                        zz[k] = _extend(br.get(s), s)
+                        k += 1
+                    coefs[c][by * gw + bx].reshape(64)[ZIGZAG] = zz
     planes = []
     for c, (comp, _, _) in enumerate(scan):
+        gw, gh = grids[c]
         px = idct_islow_blocks(coefs[c], qtabs[comp["tq"]])
-        full = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
-            .reshape(bh * 8, bw * 8)
-        planes.append(full[:h, :w])
+        full = px.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(gh * 8, gw * 8)
+        # crop to the component's downsampled dims, then upsample
+        cw = -(-w * comp["h"] // hmax)
+        ch = -(-h * comp["v"] // vmax)
+        planes.append(_upsample(full[:ch, :cw], hmax // comp["h"],
+                                vmax // comp["v"], h, w))
     if nc == 1:
         return planes[0]
     if nc == 3:

@@ -74,18 +74,20 @@ def test_rgb_roundtrip_shape_and_range():
     assert int(np.abs(dec[..., 1].astype(int)).mean()) < 8
 
 
-def test_progressive_and_subsampled_raise():
+def test_progressive_and_exotic_sampling_raise():
     base = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
     # flip SOF0 (0xC0) to SOF2 (progressive)
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
         decode_jpeg(prog)
     rgb = encode_jpeg_rgb(np.zeros((8, 8, 3), np.uint8))
-    # component 1 sampling 0x11 -> 0x22 (subsampled chroma layout)
+    # sampling factors beyond 2 (e.g. 3x1) are out of scope and must be
+    # loud — 1x1/2x1/1x2/2x2 themselves are fully supported (see
+    # test_decode_java_encoded_subsampled_bit_exact)
     i = rgb.index(b"\xff\xc0")
     sub = bytearray(rgb)
     assert sub[i + 11] == 0x11  # comp 1 sampling factors byte
-    sub[i + 11] = 0x22
+    sub[i + 11] = 0x31
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
@@ -144,3 +146,28 @@ def test_mjpeg_avi_roundtrip_and_golden():
             g = rows[(mid, int(j))]
             assert hashlib.sha256(fr[j].tobytes()).hexdigest() == \
                 g["pixel_sha256"], (mid, j)
+
+
+def test_decode_java_encoded_subsampled_bit_exact():
+    """Streams ENCODED by the JDK's ImageIO writer (real 4:2:0 chroma for
+    color; an encoder we did not write) decode bit-exact against the
+    JDK reader's own pixels — fancy upsampling, MCU-interleaved layout,
+    and the color convert all pinned by a doubly independent chain. The
+    base64 fixture bytes live in the golden file, so no JVM is needed
+    at test time."""
+    import base64
+
+    with open(GOLDEN) as f:
+        rows = json.load(f)["jpeg420"]
+    assert len(rows) == 30
+    n_sub = 0
+    for r in rows:
+        data = base64.b64decode(r["jpg_b64"])
+        i = data.index(b"\xff\xc0")
+        if data[i + 11] == 0x22:
+            n_sub += 1
+        px = decode_jpeg(data)
+        assert (px.ndim == 2) == (r["channels"] == 1), r["name"]
+        got = hashlib.sha256(px.tobytes()).hexdigest()
+        assert got == r["pixel_sha256"], r["name"]
+    assert n_sub >= 10  # the color fixtures really are 4:2:0

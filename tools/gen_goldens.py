@@ -255,6 +255,62 @@ def gen_mjpeg(n: int = 60, n_samples: int = 4) -> list:
     return rows
 
 
+def gen_jpeg420() -> list:
+    """Subsampled-JPEG goldens with a DOUBLY independent chain: the JDK's
+    ImageIO writer ENCODES deterministic pixels (emitting real 4:2:0
+    chroma for color, plus 4:4:4 gray), its reader decodes them back, and
+    both the encoded bytes (base64) and the decoded pixel sha256 are
+    recorded — so the pytest needs no JVM and our decoder is tested
+    against streams produced by an encoder we did not write."""
+    import base64
+    import hashlib
+
+    rows = []
+    with tempfile.TemporaryDirectory() as d:
+        rng = np.random.default_rng(11)
+        specs = []
+        for i, (h, w) in enumerate(((16, 16), (23, 17), (40, 32), (8, 9),
+                                    (33, 47))):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            specs.append((f"c{i}", 3, px))
+            g = (np.add.outer(np.arange(h), np.arange(w)) * (i + 3)
+                 % 256).astype(np.uint8)
+            specs.append((f"g{i}", 1, g))
+        for name, nc, px in specs:
+            with open(os.path.join(d, name + ".raw"), "wb") as f:
+                f.write(bytes([nc]) + struct.pack(">II", *px.shape[:2])
+                        + px.tobytes())
+        for q in (40, 70, 90):
+            qd = os.path.join(d, f"q{q}")
+            os.makedirs(qd)
+            for name in os.listdir(d):
+                if name.endswith(".raw"):
+                    os.link(os.path.join(d, name), os.path.join(qd, name))
+            subprocess.run(["java", os.path.join(REPO, "tools",
+                                                 "JpegMake.java"),
+                            str(q), qd], check=True, capture_output=True)
+            for name in os.listdir(qd):
+                if name.endswith(".raw"):
+                    os.unlink(os.path.join(qd, name))
+            subprocess.run(["java", os.path.join(REPO, "tools",
+                                                 "JpegGolden.java"), qd],
+                           check=True, capture_output=True)
+            for name in sorted(os.listdir(qd)):
+                if not name.endswith(".jpg"):
+                    continue
+                with open(os.path.join(qd, name), "rb") as f:
+                    jpg = f.read()
+                with open(os.path.join(qd, name[:-4] + ".raw"), "rb") as f:
+                    raw = f.read()
+                rows.append({
+                    "name": f"q{q}_{name[:-4]}",
+                    "jpg_b64": base64.b64encode(jpg).decode(),
+                    "channels": int(raw[0]),
+                    "pixel_sha256": hashlib.sha256(raw[9:]).hexdigest(),
+                })
+    return rows
+
+
 def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     with open(os.path.join(GOLDEN_DIR, "multimodal.json"), "w") as f:
@@ -265,10 +321,12 @@ def main():
     try:
         jpeg_rows = gen_jpeg()
         mjpeg_rows = gen_mjpeg()
+        sub_rows = gen_jpeg420()
         with open(os.path.join(GOLDEN_DIR, "jpeg.json"), "w") as f:
             json.dump({"jpeg_features": jpeg_rows,
-                       "mjpeg_frame_features": mjpeg_rows}, f)
-        print("jpeg + mjpeg goldens written (Java ImageIO oracle)")
+                       "mjpeg_frame_features": mjpeg_rows,
+                       "jpeg420": sub_rows}, f)
+        print("jpeg + mjpeg + 4:2:0 goldens written (Java ImageIO oracle)")
     except FileNotFoundError:
         print("SKIP jpeg goldens: no `java` on PATH (existing golden kept)")
     if not os.path.exists(ORACLE):
