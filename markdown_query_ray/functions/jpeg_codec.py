@@ -1,12 +1,15 @@
 """From-scratch baseline JPEG codec (ITU-T T.81, public spec).
 
-Decoder (`decode_jpeg`): baseline sequential DCT, 8-bit, grayscale or
-YCbCr with any 1x1/2x1/1x2/2x2 per-component sampling (so real-world
-4:2:0 and 4:2:2 streams decode, with libjpeg's default "fancy"
-triangle-filter upsampling reproduced exactly) — marker parse
-(SOI/APP/DQT/SOF0/DHT/SOS/DRI/RST/EOI), MCU-interleaved entropy layout,
-canonical Huffman entropy decode with DC prediction and byte unstuffing,
-dequantization, and the IJG libjpeg "islow" fixed-point inverse DCT
+Decoder (`decode_jpeg`): baseline/extended sequential (SOF0/SOF1) AND
+progressive Huffman (SOF2 — spectral selection + successive
+approximation, DC/AC first and refinement passes with jdphuff's exact
+EOB-run semantics), 8-bit, grayscale or YCbCr with any 1x1/2x1/1x2/2x2
+per-component sampling (so real-world 4:2:0 and 4:2:2 streams decode,
+with libjpeg's default "fancy" triangle-filter upsampling reproduced
+exactly) — marker parse (SOI/APP/DQT/SOF/DHT/SOS/DRI/RST/EOI),
+MCU-interleaved and non-interleaved entropy layouts, canonical Huffman
+entropy decode with DC prediction and byte unstuffing, dequantization,
+and the IJG libjpeg "islow" fixed-point inverse DCT
 (Loeffler-Ligtenberg-Moshovitz algorithm, CONST_BITS=13/PASS1_BITS=2
 scaling with round-half-up descales) so the output matches what a
 libjpeg-6b-derived decoder (e.g. Java ImageIO, which the golden
@@ -15,11 +18,11 @@ final level shift uses a plain clamp, which equals libjpeg's
 range-limit table on any stream whose descaled samples stay inside the
 table's linear band (always true for streams produced by a real
 encoder). Color output applies libjpeg's fixed-point YCbCr->RGB
-(SCALEBITS=16, round-half-up, clamp). Progressive, arithmetic, 12-bit,
-and sampling factors beyond 2 raise NotImplementedError loudly.
-Verified bit-exact against Java ImageIO over 160+ streams including
-real 4:2:0 files produced by the JDK's own encoder (tests/test_jpeg.py,
-golden/jpeg.json).
+(SCALEBITS=16, round-half-up, clamp). Arithmetic coding, 12-bit,
+hierarchical, and sampling factors beyond 2 raise NotImplementedError
+loudly. Verified bit-exact against Java ImageIO over 180+ streams
+including real 4:2:0 and progressive files produced by the JDK's own
+encoder (tests/test_jpeg.py, golden/jpeg.json).
 
 Encoder (`encode_jpeg_gray` / `encode_jpeg_rgb`): fixture source only —
 Annex K example quantization tables (quality-scaled per the public IJG
@@ -483,14 +486,33 @@ def _ycbcr_to_rgb_libjpeg(y: np.ndarray, cb: np.ndarray,
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+def _scan_end(data: bytes, pos: int) -> int:
+    """First non-stuffed, non-RST marker after ``pos`` (end of one scan's
+    entropy data; 0xFF fill bytes before a marker are allowed)."""
+    i = pos
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(data):
+            return len(data)
+        m = data[j + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            i = j + 2
+        elif m == 0xFF:
+            i = j + 1
+        else:
+            return j
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG. Returns (h, w) uint8 for
-    1-component streams, (h, w, 3) uint8 RGB for 3-component 4:4:4."""
+    """Decode a baseline-sequential (SOF0) or progressive-Huffman (SOF2)
+    JPEG. Returns (h, w) uint8 for 1-component streams, (h, w, 3) uint8
+    RGB for 3-component images (any 1x1/2x1/1x2/2x2 sampling)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
+    state = None
     restart_interval = 0
     p = 2
     while p < len(data):
@@ -526,7 +548,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = tuple(seg[q + 17:q + 17 + nv])
                 htabs[(tc, th)] = _build_huff_decode(bits, vals)
                 q += 17 + nv
-        elif m == 0xC0:
+        elif m in (0xC0, 0xC1, 0xC2):
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
@@ -539,26 +561,200 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"sampling factors {hi}x{vi} unsupported "
                         "(1x1/2x1/1x2/2x2 only)")
                 comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{m:02x})")
+                f"unsupported SOF marker 0x{m:02x} (baseline sequential "
+                "and progressive Huffman only)")
         elif m == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif m == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if state is None:
+                state = _alloc_state(frame)
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(data, p_next, frame, scan, qtabs, htabs,
-                                restart_interval)
+                ci, comp = next(
+                    (i, x) for i, x in enumerate(frame["comps"])
+                    if x["id"] == cs)
+                scan.append((ci, comp, tt >> 4, tt & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _scan_pass(data, p_next, frame, state, scan, htabs,
+                       restart_interval, ss, se, ahal >> 4, ahal & 0xF)
+            p = _scan_end(data, p_next)
+            continue
         p = p_next
-    raise ValueError("no SOS marker found")
+    if state is None:
+        raise ValueError("no SOS marker found")
+    return _finish(frame, state, qtabs)
+
+
+def _alloc_state(frame) -> dict:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids, coefs = [], []
+    for comp in frame["comps"]:
+        gw, gh = mcux * comp["h"], mcuy * comp["v"]
+        grids.append((gw, gh))
+        coefs.append(np.zeros((gw * gh, 64), np.int64))
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            "grids": grids, "coefs": coefs}
+
+
+def _scan_pass(data, pos, frame, state, scan, htabs, ri, ss, se, ah, al):
+    """Decode one scan's entropy data into the persistent coefficient
+    arrays: sequential full-band, or one of the four progressive passes
+    (DC/AC x first/refinement, T.81 Annex G / jdphuff.c semantics)."""
+    br = _BitReader(data, pos)
+    progressive = frame["progressive"]
+    if progressive:
+        if not ((ss == 0 and se == 0)
+                or (0 < ss <= se <= 63 and len(scan) == 1)):
+            raise ValueError(
+                f"invalid progressive scan header Ss={ss} Se={se} "
+                f"ns={len(scan)}")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("invalid sequential scan header")
+    preds = {ci: 0 for ci, *_ in scan}
+    eobrun = 0
+    interleaved = len(scan) > 1
+    hmax, vmax = state["hmax"], state["vmax"]
+    if interleaved:
+        units = state["mcux"] * state["mcuy"]
+    else:
+        ci0, comp0 = scan[0][0], scan[0][1]
+        cw = -(-frame["w"] * comp0["h"] // hmax)
+        ch = -(-frame["h"] * comp0["v"] // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        units = nbx * nby
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            br.align_restart()
+            preds = {ci: 0 for ci, *_ in scan}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, state["mcux"])
+            for ci, comp, td, ta in scan:
+                gw = state["grids"][ci][0]
+                for v in range(comp["v"]):
+                    for hh in range(comp["h"]):
+                        blk = state["coefs"][ci][
+                            (my * comp["v"] + v) * gw
+                            + (mx * comp["h"] + hh)]
+                        eobrun = _decode_block(
+                            br, blk, htabs, td, ta, ss, se, ah, al,
+                            progressive, preds, ci, eobrun)
+        else:
+            ci, comp, td, ta = scan[0]
+            gw = state["grids"][ci][0]
+            by, bx = divmod(u, nbx)
+            blk = state["coefs"][ci][by * gw + bx]
+            eobrun = _decode_block(br, blk, htabs, td, ta, ss, se, ah, al,
+                                   progressive, preds, ci, eobrun)
+
+
+def _decode_block(br, blk, htabs, td, ta, ss, se, ah, al, progressive,
+                  preds, ci, eobrun) -> int:
+    """Decode one block's contribution for this scan; returns the scan's
+    carried EOB run."""
+    if not progressive:
+        dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+        s = _huff_decode(br, dc_tab)
+        preds[ci] += _extend(br.get(s), s)
+        blk[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            blk[ZIGZAG[k]] = _extend(br.get(s), s)
+            k += 1
+        return 0
+    p1 = 1 << al
+    if ss == 0:  # DC pass (se must be 0)
+        if ah == 0:  # first
+            s = _huff_decode(br, htabs[(0, td)])
+            preds[ci] += _extend(br.get(s), s)
+            blk[0] = preds[ci] << al
+        else:  # refinement: one correction bit
+            if br.get(1):
+                blk[0] |= p1
+        return eobrun
+    ac_tab = htabs[(1, ta)]
+    m1 = -p1
+    if ah == 0:  # AC first pass
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC index out of band")
+                blk[ZIGZAG[k]] = _extend(br.get(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    return (1 << r) - 1 + (br.get(r) if r else 0)
+                k += 16
+        return 0
+    # AC refinement pass (jdphuff decode_mcu_AC_refine). NOTE: unlike the
+    # first pass, the EOB run here is set WITHOUT the -1 — the current
+    # block is completed by the correction-bit tail below and the run is
+    # decremented after it, so a run of exactly 1 still refines this
+    # block's remaining nonzero coefficients.
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (br.get(r) if r else 0)
+                    break
+                val = 0  # ZRL: skip 16 zero coefficients
+            else:
+                val = p1 if br.get(1) else m1
+            while k <= se:
+                idx = ZIGZAG[k]
+                if blk[idx] != 0:
+                    if br.get(1) and (blk[idx] & p1) == 0:
+                        blk[idx] += p1 if blk[idx] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            idx = ZIGZAG[k]
+            if blk[idx] != 0:
+                if br.get(1) and (blk[idx] & p1) == 0:
+                    blk[idx] += p1 if blk[idx] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _h2v1_fancy_upsample(p: np.ndarray) -> np.ndarray:
@@ -628,74 +824,24 @@ def _upsample(plane: np.ndarray, hexp: int, vexp: int, h: int,
     return up[:h, :w].astype(np.uint8)
 
 
-def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
+def _finish(frame, state, qtabs) -> np.ndarray:
+    """All scans decoded: IDCT each component's block grid, crop to its
+    downsampled dims, upsample, color-convert."""
     h, w = frame["h"], frame["w"]
-    nc = len(scan)
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    if nc == 1:
-        # non-interleaved single-component scan: MCU = one block over the
-        # component's own grid (its frame-level sampling is irrelevant to
-        # its own dimensions when it is the only frame component; for a
-        # multi-component frame this is T.81's per-scan layout)
-        hmax, vmax = scan[0][0]["h"], scan[0][0]["v"]
-    # per-component padded block grids, MCU-aligned
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    grids = []  # (bw_i, bh_i)
-    for comp, _, _ in scan:
-        grids.append((mcux * comp["h"], mcuy * comp["v"]))
-    coefs = [np.zeros((gw * gh, 8, 8), np.int64) for gw, gh in grids]
-    br = _BitReader(data, pos)
-    preds = [0] * nc
-    zz = np.zeros(64, np.int64)
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            br.align_restart()
-            preds = [0] * nc
-        my, mx = divmod(m, mcux)
-        for c, (comp, td, ta) in enumerate(scan):
-            dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
-            gw = grids[c][0]
-            for v in range(comp["v"]):
-                for hh in range(comp["h"]):
-                    by = my * comp["v"] + v
-                    bx = mx * comp["h"] + hh
-                    zz[:] = 0
-                    s = _huff_decode(br, dc_tab)
-                    diff = _extend(br.get(s), s)
-                    preds[c] += diff
-                    zz[0] = preds[c]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError(
-                                "AC coefficient index out of range")
-                        zz[k] = _extend(br.get(s), s)
-                        k += 1
-                    coefs[c][by * gw + bx].reshape(64)[ZIGZAG] = zz
+    hmax, vmax = state["hmax"], state["vmax"]
     planes = []
-    for c, (comp, _, _) in enumerate(scan):
-        gw, gh = grids[c]
-        px = idct_islow_blocks(coefs[c], qtabs[comp["tq"]])
+    for ci, comp in enumerate(frame["comps"]):
+        gw, gh = state["grids"][ci]
+        px = idct_islow_blocks(state["coefs"][ci].reshape(-1, 8, 8),
+                               qtabs[comp["tq"]])
         full = px.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3) \
             .reshape(gh * 8, gw * 8)
-        # crop to the component's downsampled dims, then upsample
         cw = -(-w * comp["h"] // hmax)
         ch = -(-h * comp["v"] // vmax)
         planes.append(_upsample(full[:ch, :cw], hmax // comp["h"],
                                 vmax // comp["v"], h, w))
-    if nc == 1:
+    if len(planes) == 1:
         return planes[0]
-    if nc == 3:
+    if len(planes) == 3:
         return _ycbcr_to_rgb_libjpeg(*planes)
-    raise NotImplementedError(f"{nc}-component JPEG")
+    raise NotImplementedError(f"{len(planes)}-component JPEG")

@@ -17,8 +17,8 @@ is stdlib + numpy):
 - ``image/jpeg`` — REAL decoder: from-scratch baseline sequential
   decoder (functions/jpeg_codec, IJG islow IDCT + fancy upsampling)
   verified BIT-EXACT against Java ImageIO (libjpeg-6b lineage) over the
-  fixture corpus; grayscale + YCbCr 4:4:4/4:2:2/4:2:0 (incl. streams
-  the JDK's own encoder produced); progressive raises loudly.
+  fixture corpus; grayscale + YCbCr 4:4:4/4:2:2/4:2:0 and progressive
+  (SOF2), incl. streams the JDK's own encoder produced.
 - real video containers still raise ``NotImplementedError`` in
   ``_decode_real`` — clearly marked; plugging ffmpeg changes one
   function, not the pipeline.

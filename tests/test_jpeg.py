@@ -74,12 +74,17 @@ def test_rgb_roundtrip_shape_and_range():
     assert int(np.abs(dec[..., 1].astype(int)).mean()) < 8
 
 
-def test_progressive_and_exotic_sampling_raise():
+def test_out_of_scope_streams_raise():
     base = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
-    # flip SOF0 (0xC0) to SOF2 (progressive)
+    # a baseline stream relabeled SOF2: its full-band scan header is
+    # invalid for progressive and must be loud, not silently misdecoded
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
+    # arithmetic coding (SOF9) is out of scope
+    arith = base.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(arith)
     rgb = encode_jpeg_rgb(np.zeros((8, 8, 3), np.uint8))
     # sampling factors beyond 2 (e.g. 3x1) are out of scope and must be
     # loud — 1x1/2x1/1x2/2x2 themselves are fully supported (see
@@ -92,6 +97,25 @@ def test_progressive_and_exotic_sampling_raise():
         decode_jpeg(bytes(sub))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_progressive_bit_exact():
+    """Progressive-Huffman streams (SOF2, JDK-writer scan script with
+    spectral selection + successive approximation) decode bit-exact
+    against the JDK reader — DC/AC first and refinement passes and
+    EOB-run semantics all pinned."""
+    import base64
+
+    with open(GOLDEN) as f:
+        rows = json.load(f)["jpeg_progressive"]
+    assert len(rows) == 30
+    for r in rows:
+        data = base64.b64decode(r["jpg_b64"])
+        assert b"\xff\xc2" in data[:400], r["name"]
+        px = decode_jpeg(data)
+        assert (px.ndim == 2) == (r["channels"] == 1), r["name"]
+        got = hashlib.sha256(px.tobytes()).hexdigest()
+        assert got == r["pixel_sha256"], r["name"]
 
 
 def test_media_pipeline_decodes_jpeg(ray_session):

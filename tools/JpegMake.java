@@ -8,7 +8,7 @@
 // we did not write (so decoder tests against JpegGolden decodes of
 // these files are doubly independent).
 //
-// Run:  java tools/JpegMake.java <quality> <dir>
+// Run:  java tools/JpegMake.java <quality> <dir> [progressive]
 
 import java.awt.image.BufferedImage;
 import java.io.DataInputStream;
@@ -57,6 +57,9 @@ public class JpegMake {
             ImageWriteParam p = wr.getDefaultWriteParam();
             p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
             p.setCompressionQuality(q);
+            if (args.length > 2 && args[2].equals("progressive")) {
+                p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+            }
             File out = new File(dir, f.getName().replace(".raw", ".jpg"));
             try (ImageOutputStream os = ImageIO
                      .createImageOutputStream(out)) {

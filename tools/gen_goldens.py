@@ -255,7 +255,7 @@ def gen_mjpeg(n: int = 60, n_samples: int = 4) -> list:
     return rows
 
 
-def gen_jpeg420() -> list:
+def gen_jpeg420(progressive: bool = False) -> list:
     """Subsampled-JPEG goldens with a DOUBLY independent chain: the JDK's
     ImageIO writer ENCODES deterministic pixels (emitting real 4:2:0
     chroma for color, plus 4:4:4 gray), its reader decodes them back, and
@@ -286,9 +286,11 @@ def gen_jpeg420() -> list:
             for name in os.listdir(d):
                 if name.endswith(".raw"):
                     os.link(os.path.join(d, name), os.path.join(qd, name))
-            subprocess.run(["java", os.path.join(REPO, "tools",
-                                                 "JpegMake.java"),
-                            str(q), qd], check=True, capture_output=True)
+            cmd = ["java", os.path.join(REPO, "tools", "JpegMake.java"),
+                   str(q), qd]
+            if progressive:
+                cmd.append("progressive")
+            subprocess.run(cmd, check=True, capture_output=True)
             for name in os.listdir(qd):
                 if name.endswith(".raw"):
                     os.unlink(os.path.join(qd, name))
@@ -322,11 +324,14 @@ def main():
         jpeg_rows = gen_jpeg()
         mjpeg_rows = gen_mjpeg()
         sub_rows = gen_jpeg420()
+        prog_rows = gen_jpeg420(progressive=True)
         with open(os.path.join(GOLDEN_DIR, "jpeg.json"), "w") as f:
             json.dump({"jpeg_features": jpeg_rows,
                        "mjpeg_frame_features": mjpeg_rows,
-                       "jpeg420": sub_rows}, f)
-        print("jpeg + mjpeg + 4:2:0 goldens written (Java ImageIO oracle)")
+                       "jpeg420": sub_rows,
+                       "jpeg_progressive": prog_rows}, f)
+        print("jpeg + mjpeg + 4:2:0 + progressive goldens written "
+              "(Java ImageIO oracle)")
     except FileNotFoundError:
         print("SKIP jpeg goldens: no `java` on PATH (existing golden kept)")
     if not os.path.exists(ORACLE):
