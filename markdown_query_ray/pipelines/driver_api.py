@@ -1541,13 +1541,15 @@ def jpeg_features(sf_dir: str) -> pa.Table:
     from-scratch islow decoder (functions/jpeg_codec) — checked against
     a golden produced by decoding the SAME bytes with Java ImageIO
     (libjpeg-6b lineage; tools/JpegGolden.java + tools/gen_goldens.py),
-    the only valid oracle shape for a lossy codec. Per-image pixel
-    bit-exactness vs that oracle is asserted in tests/test_jpeg.py."""
+    the only valid oracle shape for a lossy codec. The fixture appends
+    the Java-ENCODED 4:2:0 + progressive streams (ids 1000+), so this
+    driver row also verifies the subsampled and multi-scan decode paths.
+    Per-image pixel bit-exactness is asserted in tests/test_jpeg.py."""
     import ray.data
 
     from .multimodal import make_jpeg_table, media_features
 
-    ds = ray.data.from_arrow(make_jpeg_table(150))
+    ds = ray.data.from_arrow(make_jpeg_table(150, with_golden=True))
     t = _collect(media_features(ds)).sort_by("media_id")
     t = t.select(["media_id", "mean_intensity", "std_intensity"])
     return _round_col(_round_col(t, "mean_intensity"), "std_intensity")

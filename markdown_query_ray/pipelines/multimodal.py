@@ -224,12 +224,38 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     return np.clip(np.round(luma), 0, 255).astype(np.uint8)
 
 
-def make_jpeg_table(n: int, seed: int = 23) -> pa.Table:
+def _golden_jpeg_streams() -> list[tuple[int, bytes]]:
+    """The Java-ImageIO-ENCODED fixture streams stored (base64) in
+    golden/jpeg.json — real 4:2:0-subsampled and progressive files from
+    an encoder that is not ours. Stable ids 1000+idx, jpeg420 rows first
+    then jpeg_progressive, in stored order."""
+    import base64
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "..", "golden", "jpeg.json")
+    with open(os.path.normpath(path)) as f:
+        g = json.load(f)
+    out = []
+    i = 1000
+    for key in ("jpeg420", "jpeg_progressive"):
+        for r in g.get(key, []):
+            out.append((i, base64.b64decode(r["jpg_b64"])))
+            i += 1
+    return out
+
+
+def make_jpeg_table(n: int, seed: int = 23,
+                    with_golden: bool = False) -> pa.Table:
     """Deterministic REAL-JPEG fixture: alternating grayscale / RGB 4:4:4
     baseline images across content kinds (noise, gradient, flat, blocky)
     and the full quality range. Golden features come from decoding THESE
     BYTES with Java ImageIO (tools/JpegGolden.java) — the fixture-spec
-    recompute used for RAW8/PNG cannot apply here because JPEG is lossy."""
+    recompute used for RAW8/PNG cannot apply here because JPEG is lossy.
+    ``with_golden`` appends the Java-ENCODED 4:2:0 + progressive streams
+    (ids 1000+) so the driver entry also exercises the subsampled and
+    multi-scan decode paths."""
     from ..functions.jpeg_codec import encode_jpeg_gray, encode_jpeg_rgb
 
     qualities = (35, 50, 75, 85, 95)
@@ -257,10 +283,16 @@ def make_jpeg_table(n: int, seed: int = 23) -> pa.Table:
                             np.roll(px, 1, axis=1)], axis=-1)
             data = encode_jpeg_rgb(rgb, quality=q)
         rows.append((i, data, w, h))
+    if with_golden:
+        for mid, data in _golden_jpeg_streams():
+            i = data.index(b"\xff\xc0") if b"\xff\xc0" in data else \
+                data.index(b"\xff\xc2")
+            gh, gw = struct.unpack(">HH", data[i + 5:i + 9])
+            rows.append((mid, data, gw, gh))
     return pa.table({
         "media_id": pa.array([r[0] for r in rows], pa.int64()),
         "media": pa.array([r[1] for r in rows], pa.binary()),
-        "media_type": pa.array(["image/jpeg"] * n, pa.string()),
+        "media_type": pa.array(["image/jpeg"] * len(rows), pa.string()),
         "width": pa.array([r[2] for r in rows], pa.int32()),
         "height": pa.array([r[3] for r in rows], pa.int32()),
     })

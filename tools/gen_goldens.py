@@ -167,11 +167,15 @@ def gen_audio(n: int = 100, chunk: int = 2048) -> list:
 # ---------------------------------------------------------------------------
 
 def gen_jpeg(n: int = 150) -> list:
+    """Requires golden/jpeg.json to already hold the jpeg420 /
+    jpeg_progressive stream sections (main() writes them first): the
+    driver fixture appends those Java-encoded streams, so their feature
+    rows are produced here too."""
     import hashlib
 
     from markdown_query_ray.pipelines.multimodal import make_jpeg_table
 
-    t = make_jpeg_table(n)
+    t = make_jpeg_table(n, with_golden=True)
     with tempfile.TemporaryDirectory() as d:
         for mid, data in zip(t.column("media_id").to_pylist(),
                              t.column("media").to_pylist()):
@@ -321,10 +325,15 @@ def main():
                    "audio_chunk_features": gen_audio()}, f)
     print("multimodal goldens written")
     try:
-        jpeg_rows = gen_jpeg()
-        mjpeg_rows = gen_mjpeg()
         sub_rows = gen_jpeg420()
         prog_rows = gen_jpeg420(progressive=True)
+        # stream sections first: make_jpeg_table(with_golden=True) reads
+        # them back when gen_jpeg builds the driver fixture
+        with open(os.path.join(GOLDEN_DIR, "jpeg.json"), "w") as f:
+            json.dump({"jpeg420": sub_rows,
+                       "jpeg_progressive": prog_rows}, f)
+        jpeg_rows = gen_jpeg()
+        mjpeg_rows = gen_mjpeg()
         with open(os.path.join(GOLDEN_DIR, "jpeg.json"), "w") as f:
             json.dump({"jpeg_features": jpeg_rows,
                        "mjpeg_frame_features": mjpeg_rows,
