@@ -1008,6 +1008,197 @@ static PyObject *repeat_arange64(PyObject *self, PyObject *args) {
     return out;
 }
 
+
+/* ---- baseline-JPEG sequential entropy decode (hot path of the image
+ * pipeline; mirrors jpeg_codec._decode_block sequential semantics
+ * bit-for-bit, including the stuffed-byte/marker/EOF bit-feed rules).
+ * Args:
+ *   data (bytes), pos (n), units_x (n), units_y (n), ri (n),
+ *   ncomp (i), cfg (bytes: int32[ncomp][5] = dcidx, acidx, h, v, gw),
+ *   huff (bytes: 8 tables x (16 counts + 256 vals) uint8),
+ *   outs (list of ncomp writable int32 buffers, nblocks*64 natural order)
+ * Returns None; raises ValueError on an invalid Huffman code. */
+
+static const uint8_t JPEG_ZZ[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+typedef struct {
+    const uint8_t *d;
+    size_t len, p;
+    uint32_t acc;
+    int n;
+} jbitrd;
+
+static void jbr_fill(jbitrd *b) {
+    while (b->n <= 24) {
+        int byte;
+        if (b->p >= b->len) {
+            byte = 0;
+        } else {
+            byte = b->d[b->p];
+            if (byte == 0xFF) {
+                int nxt = (b->p + 1 < b->len) ? b->d[b->p + 1] : 0xD9;
+                if (nxt == 0x00) {
+                    b->p += 2;          /* stuffed 0xFF data byte */
+                } else {
+                    byte = 0;           /* marker (RST or end): feed 0s,
+                                           leave position for align */
+                }
+            } else {
+                b->p += 1;
+            }
+        }
+        b->acc = (b->acc << 8) | (uint32_t)byte;
+        b->n += 8;
+    }
+}
+
+static int jbr_get(jbitrd *b, int k) {
+    if (k == 0) return 0;
+    if (b->n < k) jbr_fill(b);
+    b->n -= k;
+    return (int)((b->acc >> b->n) & ((1u << k) - 1));
+}
+
+static void jbr_align_restart(jbitrd *b) {
+    b->acc = 0;
+    b->n = 0;
+    while (b->p < b->len && b->d[b->p] != 0xFF) b->p++;
+    if (b->p + 1 < b->len && b->d[b->p + 1] >= 0xD0 &&
+        b->d[b->p + 1] <= 0xD7)
+        b->p += 2;
+}
+
+typedef struct {            /* T.81 F.16 canonical decode tables */
+    int mincode[17], maxcode[17], valptr[17];
+    const uint8_t *vals;
+} jhuff;
+
+static void jh_build(jhuff *t, const uint8_t *bits, const uint8_t *vals) {
+    int code = 0, k = 0, l;
+    t->vals = vals;
+    for (l = 1; l <= 16; l++) {
+        if (bits[l - 1]) {
+            t->valptr[l] = k;
+            t->mincode[l] = code;
+            code += bits[l - 1];
+            k += bits[l - 1];
+            t->maxcode[l] = code - 1;
+        } else {
+            t->maxcode[l] = -1;
+        }
+        code <<= 1;
+    }
+}
+
+static int jh_decode(jbitrd *b, const jhuff *t) {
+    int code = jbr_get(b, 1), l = 1;
+    while (l <= 16) {
+        if (t->maxcode[l] >= 0 && code <= t->maxcode[l])
+            return t->vals[t->valptr[l] + code - t->mincode[l]];
+        code = (code << 1) | jbr_get(b, 1);
+        l++;
+    }
+    return -1;
+}
+
+static int jext(int v, int s) {
+    return (s && v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
+static PyObject *jpeg_scan_sequential(PyObject *self, PyObject *args) {
+    Py_buffer data, cfg, huff;
+    Py_ssize_t pos, ux, uy, ri;
+    int ncomp;
+    PyObject *outs;
+    if (!PyArg_ParseTuple(args, "y*nnnniy*y*O", &data, &pos, &ux, &uy,
+                          &ri, &ncomp, &cfg, &huff, &outs))
+        return NULL;
+    Py_buffer ob[4];
+    int nob = 0, c;
+    int32_t *out[4];
+    const int32_t *cf = (const int32_t *)cfg.buf;
+    jhuff tabs[8];
+    const uint8_t *hb = (const uint8_t *)huff.buf;
+    int ok = 1;
+    if (ncomp < 1 || ncomp > 4 ||
+        cfg.len < (Py_ssize_t)(ncomp * 5 * sizeof(int32_t)) ||
+        huff.len < 8 * 272 || !PyList_Check(outs) ||
+        PyList_GET_SIZE(outs) != ncomp) {
+        PyErr_SetString(PyExc_ValueError, "bad jpeg scan args");
+        ok = 0;
+    }
+    for (c = 0; ok && c < ncomp; c++) {
+        if (PyObject_GetBuffer(PyList_GET_ITEM(outs, c), &ob[nob],
+                               PyBUF_WRITABLE) != 0) {
+            ok = 0;
+            break;
+        }
+        out[nob] = (int32_t *)ob[nob].buf;
+        nob++;
+    }
+    if (ok) {
+        int ti;
+        for (ti = 0; ti < 8; ti++)
+            jh_build(&tabs[ti], hb + ti * 272, hb + ti * 272 + 16);
+        jbitrd br = {(const uint8_t *)data.buf, (size_t)data.len,
+                     (size_t)pos, 0, 0};
+        int32_t preds[4] = {0, 0, 0, 0};
+        Py_ssize_t u, n_units = ux * uy;
+        for (u = 0; ok && u < n_units; u++) {
+            if (ri && u && u % ri == 0) {
+                jbr_align_restart(&br);
+                preds[0] = preds[1] = preds[2] = preds[3] = 0;
+            }
+            Py_ssize_t my = u / ux, mx = u % ux;
+            for (c = 0; ok && c < ncomp; c++) {
+                int dcx = cf[c * 5], acx = cf[c * 5 + 1];
+                int ch = cf[c * 5 + 2], cv = cf[c * 5 + 3];
+                int gw = cf[c * 5 + 4];
+                int vv, hh;
+                for (vv = 0; ok && vv < cv; vv++) {
+                    for (hh = 0; ok && hh < ch; hh++) {
+                        Py_ssize_t bi = (my * cv + vv) * (Py_ssize_t)gw
+                                        + (mx * ch + hh);
+                        int32_t *blk = out[c] + bi * 64;
+                        int s = jh_decode(&br, &tabs[dcx]);
+                        if (s < 0) { ok = 0; break; }
+                        preds[c] += jext(jbr_get(&br, s), s);
+                        blk[0] = preds[c];
+                        int k = 1;
+                        while (k < 64) {
+                            int rs = jh_decode(&br, &tabs[8 > acx ? acx : 0]);
+                            if (rs < 0) { ok = 0; break; }
+                            int r = rs >> 4;
+                            s = rs & 15;
+                            if (s == 0) {
+                                if (r == 15) { k += 16; continue; }
+                                break;
+                            }
+                            k += r;
+                            if (k > 63) { ok = 0; break; }
+                            blk[JPEG_ZZ[k]] = jext(jbr_get(&br, s), s);
+                            k++;
+                        }
+                    }
+                }
+            }
+        }
+        if (!ok && !PyErr_Occurred())
+            PyErr_SetString(PyExc_ValueError,
+                            "invalid Huffman code in entropy stream");
+    }
+    for (c = 0; c < nob; c++) PyBuffer_Release(&ob[c]);
+    PyBuffer_Release(&data);
+    PyBuffer_Release(&cfg);
+    PyBuffer_Release(&huff);
+    if (!ok) return NULL;
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef Methods[] = {
     {"repeat_arange64", repeat_arange64, METH_VARARGS,
      "repeat_arange64(counts_i64le) -> int64le bytearray of segment indices"},
@@ -1045,6 +1236,9 @@ static PyMethodDef Methods[] = {
      "(hashes u64le, shingle counts i64le, token counts i64le)"},
     {"rolling_fingerprint64", rolling_fingerprint64, METH_VARARGS,
      "rolling_fingerprint64(text) -> int (order-sensitive doc fingerprint)"},
+    {"jpeg_scan_sequential", jpeg_scan_sequential, METH_VARARGS,
+     "jpeg_scan_sequential(data, pos, ux, uy, ri, ncomp, cfg_i32x5, "
+     "hufftabs_8x272, [int32 out bufs]) -> None (fills coef arrays)"},
     {"count_ascii_terms", count_ascii_terms, METH_VARARGS,
      "count_ascii_terms(text, max_term_bytes=64) -> dict[term, wdf]"},
     {"count_ascii_terms_positions", count_ascii_terms_positions, METH_VARARGS,

@@ -195,3 +195,19 @@ def test_decode_java_encoded_subsampled_bit_exact():
         got = hashlib.sha256(px.tobytes()).hexdigest()
         assert got == r["pixel_sha256"], r["name"]
     assert n_sub >= 10  # the color fixtures really are 4:2:0
+
+
+def test_c_and_python_entropy_paths_agree(monkeypatch):
+    """The C sequential entropy kernel (functions/_ctok.c
+    jpeg_scan_sequential) and the pure-Python loop produce identical
+    pixels; when the C module is unavailable the decode silently falls
+    back (same contract as the tokenizer fast path)."""
+    from markdown_query_ray.functions import ctok
+
+    t = make_jpeg_table(8)
+    datas = t.column("media").to_pylist()
+    with_c = [decode_jpeg(d) for d in datas]
+    monkeypatch.setattr(ctok, "_mod", None)  # force the Python path
+    without_c = [decode_jpeg(d) for d in datas]
+    for a, b in zip(with_c, without_c):
+        assert np.array_equal(a, b)
