@@ -32,15 +32,31 @@ import sys
 _OWNS_SESSION = False
 
 
+def _init_kwargs(num_cpus: int | None,
+                 env_addr: str | None) -> dict:
+    """ray.init kwargs for the CLI. Under `ray job submit` (or any
+    pre-provisioned cluster) RAY_ADDRESS points at the running cluster —
+    we must CONNECT to it, not force a fresh single-node instance; the
+    cluster also owns the CPU count, so --num-cpus is ignored there.
+    Locally (RAY_ADDRESS unset or the literal "local") we start an
+    isolated local instance."""
+    kw: dict = {"include_dashboard": False}
+    if env_addr and env_addr != "local":
+        return {}  # connect to the provided cluster; it owns resources
+    kw["address"] = "local"
+    if num_cpus:
+        kw["num_cpus"] = num_cpus
+    return kw
+
+
 def _ray_up(num_cpus: int | None):
     global _OWNS_SESSION
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kw = {"include_dashboard": False}
-        if num_cpus:
-            kw["num_cpus"] = num_cpus
-        ray.init(address="local", **kw)
+        ray.init(**_init_kwargs(num_cpus, os.environ.get("RAY_ADDRESS")))
         _OWNS_SESSION = True
     import ray.data
 

@@ -141,3 +141,18 @@ def test_build_from_warc_update_from_jsonl(ray_session, tmp_path, capsys):
     assert main(["query", idx, "zzrefreshed", "-k", "30"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 20  # exactly the replaced docs match
+
+
+def test_init_kwargs_cluster_vs_local():
+    """Under `ray job submit` RAY_ADDRESS names the running cluster: the
+    CLI must connect to it (no address/num_cpus override), not force a
+    fresh local instance; locally it isolates with address='local'."""
+    from markdown_query_ray.cli import _init_kwargs
+
+    assert _init_kwargs(8, None) == {"include_dashboard": False,
+                                     "address": "local", "num_cpus": 8}
+    assert _init_kwargs(None, "local") == {"include_dashboard": False,
+                                           "address": "local"}
+    # cluster provided by the job runner: connect, don't override
+    assert _init_kwargs(8, "auto") == {}
+    assert _init_kwargs(None, "ray://head:10001") == {}
