@@ -1158,11 +1158,20 @@ static PyObject *jpeg_scan_sequential(PyObject *self, PyObject *args) {
                 int dcx = cf[c * 5], acx = cf[c * 5 + 1];
                 int ch = cf[c * 5 + 2], cv = cf[c * 5 + 3];
                 int gw = cf[c * 5 + 4];
+                if (dcx < 0 || dcx > 7 || acx < 0 || acx > 7) {
+                    ok = 0;
+                    break;
+                }
                 int vv, hh;
                 for (vv = 0; ok && vv < cv; vv++) {
                     for (hh = 0; ok && hh < ch; hh++) {
                         Py_ssize_t bi = (my * cv + vv) * (Py_ssize_t)gw
                                         + (mx * ch + hh);
+                        if ((bi + 1) * 64 * (Py_ssize_t)sizeof(int32_t)
+                            > ob[c].len) {
+                            ok = 0;
+                            break;
+                        }
                         int32_t *blk = out[c] + bi * 64;
                         int s = jh_decode(&br, &tabs[dcx]);
                         if (s < 0) { ok = 0; break; }
@@ -1170,7 +1179,7 @@ static PyObject *jpeg_scan_sequential(PyObject *self, PyObject *args) {
                         blk[0] = preds[c];
                         int k = 1;
                         while (k < 64) {
-                            int rs = jh_decode(&br, &tabs[8 > acx ? acx : 0]);
+                            int rs = jh_decode(&br, &tabs[acx]);
                             if (rs < 0) { ok = 0; break; }
                             int r = rs >> 4;
                             s = rs & 15;
