@@ -158,6 +158,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.pii_redact(sf_dir)
     with timed("bigram_novelty"):  # corpus-stats score-by-join
         d.bigram_novelty(sf_dir)
+    with timed("media_decode"):  # round 4: REAL jpeg (210 imgs incl.
+        d.jpeg_features(sf_dir)  # 4:2:0+progressive) + mjpeg avi (60
+        d.mjpeg_frame_feats(sf_dir)  # videos), actor-pool decode+features
     with timed("ccnet_buckets"):  # per-lang tertile quality gates
         d.ccnet_quality_buckets(sf_dir)
     with timed("composite_pipeline"):  # quality -> dedup -> index -> BM25
