@@ -37,8 +37,11 @@ def _docs_dataset(sf_dir: str):
                                columns=["doc_id", "text", "lang"])
 
     def add_url(batch: pa.Table) -> pa.Table:
-        urls = [f"doc://{d}" for d in batch.column("doc_id").to_pylist()]
-        return batch.append_column("url", pa.array(urls, pa.string()))
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").cast(pa.string())
+        urls = pc.binary_join_element_wise("doc://", ids, "")
+        return batch.append_column("url", urls)
 
     return ds.map_batches(add_url, batch_format="pyarrow")
 
@@ -1748,7 +1751,6 @@ def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
             return f
 
         base = full.map_batches(half(False), batch_format="pyarrow")
-        new = full.map_batches(half(True), batch_format="pyarrow")
         cfg = IndexConfig(tokenizer="simple", stem=False, num_term_parts=8,
                           num_doc_buckets=1, block_size=128)
         build_index(out, dataset=base, cfg=cfg)
@@ -1757,11 +1759,27 @@ def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
             n = token_count_batch(b).column("n_tokens").to_numpy()
             return b.filter(pa.array(n >= min_tokens))
 
-        gated = new.map_batches(quality_gate, batch_format="pyarrow")
-        pick = lambda b: b.select(["doc_id", "text"])  # noqa: E731
+        # The gated new-crawl batch feeds THREE consumers (signature pass,
+        # verify-text pass, anti-join left side). Checkpoint it to
+        # partitioned parquet ONCE (gate tokenization runs once; on a
+        # cluster, point _CACHE_ROOT at shared storage and the checkpoint
+        # doubles as the resume point) and stream each consumer from a
+        # column-pruned read. The base side's dedup passes likewise read
+        # only (doc_id, text) straight from the source parquet.
+        ckpt = os.path.join(out, "_gated_new")
+        (_docs_dataset(sf_dir)
+         .map_batches(half(True), batch_format="pyarrow")
+         .map_batches(quality_gate, batch_format="pyarrow")
+         .write_parquet(ckpt))
+        gated = ray.data.read_parquet(ckpt)
+        gated_slim = ray.data.read_parquet(
+            ckpt, columns=["doc_id", "text"])
+        slim = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+        base_slim = slim.map_batches(half(False), batch_format="pyarrow")
         pairs = incremental_minhash_pairs(
-            base.map_batches(pick, batch_format="pyarrow"),
-            gated.map_batches(pick, batch_format="pyarrow"),
+            base_slim, gated_slim,
             threshold=0.5, num_hashes=128, bands=64, collect=False)
         flagged = pairs.map_batches(
             lambda b: pa.table(

@@ -89,7 +89,11 @@ def bigram_count_partials(batch: pa.Table) -> pa.Table:
 
 
 def bigram_occurrences_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, bkey) per bigram occurrence (duplicates kept)."""
+    """(doc_id, bkey) per bigram occurrence (duplicates kept). Kept as
+    the reference form for the distinct-pair parity test —
+    ``bigram_scores`` ships :func:`window_occ_batch`'s distinct
+    (doc, bkey, occ) rows through the join instead, which is the same
+    information in strictly fewer shuffle rows."""
     ids = batch.column("doc_id").to_numpy().astype(np.int64)
     rows, keys = _col_windows(batch, 2)
     return pa.table({"doc_id": pa.array(ids[rows]),
@@ -178,8 +182,12 @@ def cross_dup_scores(ds, w: int = 4, num_buckets: int = 64):
         dfs = b.column("df").to_numpy().astype(np.int64)
         dup = np.where(dfs >= 2, occ_n, 0)
         uid, inv = np.unique(ids, return_inverse=True)
-        n_part = np.bincount(inv, weights=occ_n).astype(np.int64)
-        d_part = np.bincount(inv, weights=dup).astype(np.int64)
+        # integer ufunc.at, not bincount's float64 accumulation (exact
+        # past 2^53)
+        n_part = np.zeros(len(uid), np.int64)
+        np.add.at(n_part, inv, occ_n)
+        d_part = np.zeros(len(uid), np.int64)
+        np.add.at(d_part, inv, dup)
         return pa.table({"doc_id": pa.array(uid),
                          "n_part": pa.array(n_part),
                          "dup_part": pa.array(d_part)})
@@ -194,26 +202,47 @@ def bigram_scores(ds, num_buckets: int = 64):
     """Dataset of (doc_id, n_bigrams, sum_count, min_count) for every
     doc that HAS bigrams (callers left-join / pin empties; the driver
     entry does). ``sum_count`` totals the global count of each bigram
-    occurrence; ``min_count`` is the doc's rarest bigram's count."""
+    occurrence; ``min_count`` is the doc's rarest bigram's count.
+
+    Only DISTINCT (doc, bigram) pairs ride the join exchange — each
+    carries its within-doc occurrence count ``occ``, so the per-doc
+    aggregate recovers the exact occurrence-weighted totals
+    (n = sum(occ), sum = sum(occ * cnt)) while the shuffle moves
+    distinct-pair rows instead of one row per window position
+    (repetitive web text compresses severalfold here)."""
     from ray.data.aggregate import Min, Sum
 
     from .equijoin import shuffle_hash_join
 
     partials = ds.map_batches(bigram_count_partials,
                               batch_format="pyarrow")
-    occ = ds.map_batches(bigram_occurrences_batch, batch_format="pyarrow")
+    occ = ds.map_batches(partial(window_occ_batch, w=2),
+                         batch_format="pyarrow")
     joined = shuffle_hash_join(
-        partials, occ, "bkey", "bkey",
-        {"cnt_part": pa.int64()}, {"doc_id": pa.int64()},
+        partials, occ.rename_columns({"skey": "bkey"}), "bkey", "bkey",
+        {"cnt_part": pa.int64()},
+        {"doc_id": pa.int64(), "occ": pa.int64()},
         key_out="bkey", num_buckets=num_buckets,
         left_combine=[("cnt_part", "sum", "cnt")])
 
     def per_doc_partial(b: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(b.select(["doc_id", "cnt"]),
-                              ["doc_id"]).aggregate(
-            [("cnt", "count"), ("cnt", "sum"), ("cnt", "min")])
-        return agg.rename_columns(["doc_id", "n_part", "sum_part",
-                                   "min_part"])
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        cnt = b.column("cnt").to_numpy().astype(np.int64)
+        occ_n = b.column("occ").to_numpy().astype(np.int64)
+        uid, inv = np.unique(ids, return_inverse=True)
+        # integer ufunc.at, NOT bincount(weights=...): bincount sums in
+        # float64, which stops being exact past 2^53 — the whole module's
+        # contract is exact integers
+        n_part = np.zeros(len(uid), np.int64)
+        np.add.at(n_part, inv, occ_n)
+        sum_part = np.zeros(len(uid), np.int64)
+        np.add.at(sum_part, inv, occ_n * cnt)
+        min_part = np.full(len(uid), np.iinfo(np.int64).max)
+        np.minimum.at(min_part, inv, cnt)
+        return pa.table({"doc_id": pa.array(uid),
+                         "n_part": pa.array(n_part),
+                         "sum_part": pa.array(sum_part),
+                         "min_part": pa.array(min_part)})
 
     return joined.map_batches(per_doc_partial, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(
