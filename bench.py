@@ -163,6 +163,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         d.mjpeg_frame_feats(sf_dir)  # videos), actor-pool decode+features
     with timed("ccnet_buckets"):  # per-lang tertile quality gates
         d.ccnet_quality_buckets(sf_dir)
+    with timed("bpe_train_encode"):  # trained byte-BPE: count->merge->encode
+        d.bpe_train_encode(sf_dir)
     with timed("composite_pipeline"):  # quality -> dedup -> index -> BM25
         d.composite_pipeline(sf_dir, fresh=True)  # cold: cache cleared inside
     with timed("crawl_refresh"):  # base build -> gate -> incr dedup -> update

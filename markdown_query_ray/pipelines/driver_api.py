@@ -1905,6 +1905,33 @@ def domain_doc_stats_basic(sf_dir: str) -> pa.Table:
     })
 
 
+def bpe_train_encode(sf_dir: str, n_merges: int = 1024,
+                     top_words: int = 32768) -> pa.Table:
+    """Train a byte-level BPE vocabulary over the documents table, then
+    tokenize the whole corpus with it (pipelines/bpe.py — the trained
+    complement of ``bpe_token_counts``' regex heuristic). Returns only
+    corpus-level aggregates (n_docs, total trained-BPE tokens, learned
+    merge count) — the token lists stay distributed. No SQL oracle (the
+    merge loop is data-dependently iterative); tests/test_bpe.py pins
+    the semantics against a naive-recount reference trainer, byte
+    round-trip, and parallelism invariance."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from .bpe import bpe_encode, bpe_train
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    model = bpe_train(ds, n_merges=n_merges, top_words=top_words)
+    enc = bpe_encode(ds, model, concurrency=(1, 16))
+    agg = enc.aggregate(Count(), Sum("n_tokens", alias_name="total"))
+    return pa.table({
+        "n_docs": pa.array([int(agg["count()"])], pa.int64()),
+        "total_tokens": pa.array([int(agg["total"])], pa.int64()),
+        "n_merges": pa.array([len(model.merges)], pa.int64()),
+    })
+
+
 def _collect(ds) -> pa.Table:
     """Materialize a (small, aggregated) Dataset result to one Table.
 
