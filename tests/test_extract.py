@@ -155,3 +155,90 @@ def test_jsonl_missing_trailing_newline_ids_dont_overlap(ray_session,
                   key=lambda r: r["doc_id"])
     assert [r["doc_id"] for r in rows] == [0, 1, 2]
     assert [r["url"] for r in rows] == ["u0", "u1", "u2"]
+
+
+# ---------------------------------------------------------------------------
+# general boilerplate-stripping extractor (round 4)
+# ---------------------------------------------------------------------------
+
+from markdown_query_ray.stages.extract import (  # noqa: E402
+    extract_batch_general,
+    extract_text_general,
+)
+
+
+def test_general_subsumes_wrapper_byte_identical():
+    """On the synthetic wrapper corpus the general extractor produces
+    byte-identical output to the fast inverter (so it strictly
+    subsumes it)."""
+    t = make_pages_table(0, 200)  # includes every corner-case doc
+    for html, text in zip(t.column("html").to_pylist(),
+                          t.column("text").to_pylist()):
+        assert extract_text_general(html) == text
+
+
+def test_general_drops_boilerplate_subtrees():
+    html = (b"<html><head><title>T</title><script>var x = '<p>no</p>';"
+            b"</script><style>p{}</style></head><body>"
+            b"<nav><ul><li>menu</li></ul></nav>"
+            b"<p>keep me</p>"
+            b"<aside>sidebar junk</aside>"
+            b"<footer>foot</footer></body></html>")
+    assert extract_text_general(html) == "keep me"
+
+
+def test_general_blocks_and_br():
+    html = (b"<div>first\n  block</div><h1>Head  ing</h1>"
+            b"<p>line one<br>line two<br/>line three</p>")
+    assert extract_text_general(html) == \
+        "first block\n\nHead ing\n\nline one\nline two\nline three"
+
+
+def test_general_entities_and_comments():
+    html = (b"<p>Fish &amp; chips &lt;3 &#39;quoted&#39; &copy; &#x41;</p>"
+            b"<!-- <p>commented out</p> --><p>after</p>")
+    assert extract_text_general(html) == \
+        "Fish & chips <3 'quoted' \xa9 A\n\nafter"
+
+
+def test_general_attribute_with_gt_and_malformed():
+    html = (b'<p data-x="a > b">body</p><p>unclosed'
+            b"<p>next</p>")
+    # attribute '>' must not terminate the tag; unclosed <p> flushes at
+    # the next block boundary
+    assert extract_text_general(html) == "body\n\nunclosed\n\nnext"
+
+
+def test_general_pre_verbatim():
+    html = (b"<p>intro</p><pre>  code   line\n   indented  </pre>"
+            b"<p>outro</p>")
+    assert extract_text_general(html) == \
+        "intro\n\n  code   line\n   indented  \n\noutro"
+
+
+def test_general_table_cells_and_lists():
+    html = (b"<table><tr><td>a1</td><td>b1</td></tr>"
+            b"<tr><td>a2</td></tr></table>"
+            b"<ul><li>one</li><li>two</li></ul>")
+    assert extract_text_general(html) == \
+        "a1\n\nb1\n\na2\n\none\n\ntwo"
+
+
+def test_general_utf8_replacement_and_determinism():
+    bad = b"<p>caf\xc3\xa9 ok \xff\xfe broken</p>"
+    out1 = extract_text_general(bad)
+    out2 = extract_text_general(bad)
+    assert out1 == out2
+    assert "caf\xe9 ok" in out1 and "�" in out1
+
+
+def test_general_nested_drop_same_tag():
+    html = b"<nav>outer<nav>inner</nav>still dropped</nav><p>kept</p>"
+    assert extract_text_general(html) == "kept"
+
+
+def test_extract_batch_general_column_lifecycle():
+    t = make_pages_table(0, 8)
+    out = extract_batch_general(t)
+    assert "html" not in out.column_names
+    assert out.column("text").to_pylist() == t.column("text").to_pylist()
