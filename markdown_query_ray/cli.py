@@ -134,6 +134,20 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    _ray_up(args.num_cpus)
+    from .index.update import delete_documents
+
+    urls = list(args.urls or [])
+    if getattr(args, "url_file", None):
+        with open(args.url_file) as f:
+            urls.extend(ln.strip() for ln in f if ln.strip())
+    g = delete_documents(args.index, urls, stats_mode=args.stats_mode)
+    print(json.dumps({"n_docs": g["n_docs"],
+                      "avg_doclen": g["avg_doclen"]}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     _ray_up(args.num_cpus)
     from .index.update import compact
@@ -230,6 +244,15 @@ def make_parser() -> argparse.ArgumentParser:
     u.add_argument("--warc", nargs="+", default=None)
     u.add_argument("--jsonl", nargs="+", default=None)
     u.set_defaults(fn=cmd_update)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("index")
+    dl.add_argument("urls", nargs="*")
+    dl.add_argument("--url-file", default=None,
+                    help="newline-separated urls to delete")
+    dl.add_argument("--stats-mode", default="exact",
+                    choices=["exact", "stale"])
+    dl.set_defaults(fn=cmd_delete)
 
     c = sub.add_parser("compact")
     c.add_argument("index")

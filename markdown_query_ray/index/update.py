@@ -376,6 +376,71 @@ def update_index(index_dir: str,
     return g
 
 
+def delete_documents(index_dir: str, urls: list[str],
+                     stats_mode: str = "exact") -> dict:
+    """Delete-by-url: the reference's delete-by-unique-key-term semantics
+    (xapian WritableDatabase::delete_document(term) — public
+    api/omdatabase.cc) as a tombstone-only generation. No segment is
+    added: the LIVE (url -> doc_id) set resolves through the bucketed
+    url maps (no corpus scan), those ids tombstone, NEGATIVE per-term
+    stat deltas keep termfreq/collfreq exact (``stats_mode="stale"``
+    defers them to compaction, same contract as update_index), and
+    global n_docs/avg_doclen update exactly from the deleted docs'
+    stored doclens. ``segments.json`` stays the atomic commit point:
+    a crash after the tombstone write but before the commit re-runs
+    the SAME generation and recomputes the same set (its own gen's
+    tombstones are excluded from the live lookup). Returns the updated
+    global stats. Deleting urls that don't exist (or were already
+    deleted) is a no-op that still consumes a generation.
+
+    At trillion-doc scale callers batch the url list (the live lookup
+    is bounded by |urls| x touched url-map buckets, never a corpus
+    pass)."""
+    if stats_mode not in ("exact", "stale"):
+        raise ValueError(f"stats_mode must be 'exact' or 'stale', "
+                         f"got {stats_mode!r}")
+    with open(os.path.join(index_dir, "global_stats.json")) as f:
+        g = json.load(f)
+    segs = load_segments(index_dir)
+    g = segs.get("global_stats", g)  # commit-point snapshot authority
+    if not os.path.exists(_segments_path(index_dir)):
+        segs.setdefault("global_stats", g)
+        _write_text_atomic(json.dumps(segs, indent=1),
+                           _segments_path(index_dir))
+    gen = segs["next_gen"]
+
+    old = _live_url_ids(index_dir, segs, list(urls), exclude_gen=gen)
+    old_ids = old.column("doc_id").to_numpy().astype(np.uint64)
+    os.makedirs(os.path.join(index_dir, "tombstones"), exist_ok=True)
+    _write_atomic(pa.table({"doc_id": pa.array(old_ids)}),
+                  os.path.join(index_dir, "tombstones",
+                               f"gen-{gen:04d}.parquet"))
+    deltas = (_empty_deltas() if stats_mode == "stale"
+              else _stats_deltas_for(index_dir, segs, old_ids))
+    os.makedirs(os.path.join(index_dir, "term_stats_deltas"),
+                exist_ok=True)
+    _write_atomic(deltas, os.path.join(index_dir, "term_stats_deltas",
+                                       f"gen-{gen:04d}.parquet"))
+
+    removed_doclen = int(pc.sum(old.column("doclen")).as_py() or 0)
+    n_docs = g["n_docs"] - len(old_ids)
+    total_doclen = g["total_doclen"] - removed_doclen
+    g.update({
+        "n_docs": n_docs,
+        "total_doclen": total_doclen,
+        "avg_doclen": (total_doclen / n_docs) if n_docs else 0.0,
+        # doclen/wdf bounds stay as-is: only ever conservative for WAND,
+        # compaction re-proves them tight
+    })
+    _write_text_atomic(json.dumps(g, indent=1),
+                       os.path.join(index_dir, "global_stats.json"))
+    segs["next_gen"] = gen + 1
+    segs["global_stats"] = g
+    _write_text_atomic(json.dumps(segs, indent=1),
+                       _segments_path(index_dir))
+    return g
+
+
 def compact(index_dir: str, out_dir: str,
             cfg: IndexConfig | None = None) -> dict:
     """Fold all segments minus tombstones into a fresh single-segment build

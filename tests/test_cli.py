@@ -156,3 +156,24 @@ def test_init_kwargs_cluster_vs_local():
     # cluster provided by the job runner: connect, don't override
     assert _init_kwargs(8, "auto") == {}
     assert _init_kwargs(None, "ray://head:10001") == {}
+
+
+def test_delete_cli(corpus, tmp_path, capsys):
+    """`mdq-ray delete <idx> <urls...>`: tombstone-only generation through
+    the CLI, stats reported, deleted docs gone from queries."""
+    import json
+
+    paths, _ = corpus
+    idx = str(tmp_path / "idx_del")
+    main(["build", idx, "--pages", *paths, "--parts", "4"])
+    capsys.readouterr()
+    urls = pq.read_table(paths[0], columns=["url"]) \
+        .column("url").to_pylist()
+    n_total = sum(pq.read_table(p, columns=["url"]).num_rows
+                  for p in paths)
+    ufile = tmp_path / "dead.txt"
+    ufile.write_text("\n".join(urls[:3]) + "\n")
+    rc = main(["delete", idx, urls[3], "--url-file", str(ufile)])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["n_docs"] == n_total - 4

@@ -543,3 +543,125 @@ def test_stats_deltas_distributed_matches_local(base_index, tmp_path,
     ds_ = dist.sort_by("term").to_pylist()
     assert ls == ds_
     assert len(ls) > 0
+
+
+# ---------------------------------------------------------------------------
+# delete_documents (round 4): tombstone-only generations
+# ---------------------------------------------------------------------------
+
+def _scores(idx, terms, k=100):
+    out = qx.search(idx, Or([Term(t) for t in terms]),
+                    QueryConfig(k=k, params=BM25Params.classic()),
+                    distributed=False)
+    return {d: round(s, 9) for d, s in
+            zip(out.column("doc_id").to_pylist(),
+                out.column("score").to_pylist())}
+
+
+def test_delete_documents_basic(base_index, tmp_path):
+    from markdown_query_ray.index.update import delete_documents
+
+    idx, rows = base_index
+    g = delete_documents(idx, ["u3", "u7", "u-nonexistent"])
+    assert g["n_docs"] == 18
+    assert _search_ids(idx, "alpha") == set(range(20)) - {3, 7}
+    assert _search_ids(idx, "doc3") == set()
+
+
+def test_delete_exact_stats_rank_identical_to_fresh_build(
+        base_index, tmp_path):
+    """With stats_mode='exact', BM25 scores over the deleted index match
+    a from-scratch build over the surviving docs bit-for-bit (same
+    doc_ids, same n_docs/avg_doclen/termfreq)."""
+    import ray.data
+
+    from markdown_query_ray.index.update import delete_documents
+
+    idx, rows = base_index
+    dead = {"u0", "u5", "u11"}
+    delete_documents(idx, sorted(dead))
+    live_rows = [(u, t) for u, t in rows if u not in dead]
+    live_ids = [i for i, (u, _) in enumerate(rows) if u not in dead]
+    p = str(tmp_path / "live.parquet")
+    t = pa.table({
+        "url": pa.array([u for u, _ in live_rows], pa.string()),
+        "text": pa.array([x for _, x in live_rows], pa.string()),
+        "doc_id": pa.array(np.asarray(live_ids, np.uint64)),
+    })
+    pq.write_table(t, p)
+    fresh = str(tmp_path / "fresh_idx")
+    build_index(fresh, dataset=ray.data.read_parquet(p), cfg=CFG,
+                total_docs=len(live_rows))
+    assert _scores(idx, ["alpha", "gamma"]) == \
+        _scores(fresh, ["alpha", "gamma"])
+
+
+def test_delete_then_reinsert_same_url(base_index, tmp_path):
+    import ray.data
+
+    from markdown_query_ray.index.update import delete_documents
+
+    idx, rows = base_index
+    delete_documents(idx, ["u4"])
+    assert _search_ids(idx, "doc4") == set()
+    p = str(tmp_path / "re.parquet")
+    _pages([("u4", "alpha reborn doc4")], p, base_id=20)
+    update_index(idx, dataset=ray.data.read_parquet(p))
+    assert _search_ids(idx, "reborn") == {20}
+    assert _search_ids(idx, "doc4") == {20}
+    with open(os.path.join(idx, "global_stats.json")) as f:
+        import json
+        assert json.load(f)["n_docs"] == 20
+
+
+def test_delete_crash_rerun_idempotent(base_index, tmp_path):
+    """A crash after the tombstone write but before the segments.json
+    commit re-runs the same generation and converges to the same state."""
+    import json
+
+    from markdown_query_ray.index.update import (
+        delete_documents,
+        load_segments,
+    )
+
+    idx, rows = base_index
+    segs_before = json.dumps(load_segments(idx), sort_keys=True)
+    # simulate the crashed first attempt: tombstones written, no commit
+    g1 = delete_documents(idx, ["u2", "u9"])
+    # roll the commit back (as if the segments.json write never landed)
+    segs = json.loads(segs_before)
+    with open(os.path.join(idx, "segments.json"), "w") as f:
+        json.dump(segs, f)
+    g2 = delete_documents(idx, ["u2", "u9"])
+    assert g2["n_docs"] == g1["n_docs"] == 18
+    assert _search_ids(idx, "alpha") == set(range(20)) - {2, 9}
+    ts_dir = os.path.join(idx, "tombstones")
+    ids = pq.read_table(os.path.join(
+        ts_dir, "gen-0001.parquet")).column("doc_id").to_pylist()
+    assert sorted(ids) == [2, 9]
+
+
+def test_compact_after_delete(base_index, tmp_path):
+    from markdown_query_ray.index.update import (
+        compact,
+        delete_documents,
+    )
+
+    idx, rows = base_index
+    delete_documents(idx, ["u1", "u18"])
+    out = str(tmp_path / "cidx")
+    compact(idx, out)
+    assert _search_ids(out, "alpha") == set(range(20)) - {1, 18}
+    assert _scores(idx, ["alpha", "gamma"]) == \
+        _scores(out, ["alpha", "gamma"])
+
+
+def test_delete_stale_mode_same_matches(base_index, tmp_path):
+    """stats_mode='stale' returns identical MATCH SETS (tombstones are
+    exact); only idf on touched terms drifts until compaction."""
+    from markdown_query_ray.index.update import delete_documents
+
+    idx, rows = base_index
+    delete_documents(idx, ["u6"], stats_mode="stale")
+    assert _search_ids(idx, "alpha") == set(range(20)) - {6}
+    assert _search_ids(idx, "doc6") == set()
