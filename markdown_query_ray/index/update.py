@@ -252,6 +252,44 @@ def _stats_deltas_for(index_dir: str, segs: dict,
     })
 
 
+def _load_commit_state(index_dir: str) -> tuple[dict, dict]:
+    """(global_stats, segments) with the crash-idempotence preamble
+    shared by update_index and delete_documents: the stats snapshot
+    inside segments.json is authoritative once updates exist
+    (segments.json is the atomic commit point — a crash between the
+    global_stats.json write and the segments.json write must not let a
+    re-run double-count), and a legacy index without a registry gets
+    one persisted (with the still-untainted snapshot) BEFORE any
+    mutation."""
+    with open(os.path.join(index_dir, "global_stats.json")) as f:
+        g = json.load(f)
+    segs = load_segments(index_dir)
+    g = segs.get("global_stats", g)
+    if not os.path.exists(_segments_path(index_dir)):
+        segs.setdefault("global_stats", g)
+        _write_text_atomic(json.dumps(segs, indent=1),
+                           _segments_path(index_dir))
+    return g, segs
+
+
+def _write_gen_tombstones(index_dir: str, segs: dict, gen: int,
+                          old_ids: np.ndarray, stats_mode: str) -> None:
+    """Write generation ``gen``'s tombstone ids + per-term stat deltas
+    (NEGATIVE rows keeping termfreq/collfreq exact, or empty in
+    ``"stale"`` mode — deferred to compaction). Atomic per file; safe
+    to re-run for the same generation."""
+    os.makedirs(os.path.join(index_dir, "tombstones"), exist_ok=True)
+    _write_atomic(pa.table({"doc_id": pa.array(old_ids)}),
+                  os.path.join(index_dir, "tombstones",
+                               f"gen-{gen:04d}.parquet"))
+    deltas = (_empty_deltas() if stats_mode == "stale"
+              else _stats_deltas_for(index_dir, segs, old_ids))
+    os.makedirs(os.path.join(index_dir, "term_stats_deltas"),
+                exist_ok=True)
+    _write_atomic(deltas, os.path.join(index_dir, "term_stats_deltas",
+                                       f"gen-{gen:04d}.parquet"))
+
+
 def update_index(index_dir: str,
                  paths: list[str] | None = None,
                  dataset=None,
@@ -286,14 +324,7 @@ def update_index(index_dir: str,
     if stats_mode not in ("exact", "stale"):
         raise ValueError(f"stats_mode must be 'exact' or 'stale', "
                          f"got {stats_mode!r}")
-    with open(os.path.join(index_dir, "global_stats.json")) as f:
-        g = json.load(f)
-    segs = load_segments(index_dir)
-    # the stats snapshot inside segments.json is authoritative once updates
-    # exist: segments.json is the atomic commit point, so a crash between
-    # the global_stats.json write and the segments.json write must not let
-    # a re-run double-count the uncommitted segment
-    g = segs.get("global_stats", g)
+    g, segs = _load_commit_state(index_dir)
     if cfg is None:
         cfg = IndexConfig(
             block_size=g["block_size"], num_term_parts=g["num_term_parts"],
@@ -301,13 +332,6 @@ def update_index(index_dir: str,
             stem=g["stem"], positions=g.get("positions", False),
             codec=g.get("codec", "varint"),
             docs_per_bucket=g.get("docs_per_bucket", 1 << 32))
-    if not os.path.exists(_segments_path(index_dir)):
-        # legacy index without a registry: persist the synthesized one (with
-        # the still-untainted stats snapshot) BEFORE any mutation, so this
-        # update too gets the crash-idempotence the commit point provides
-        segs.setdefault("global_stats", g)
-        _write_text_atomic(json.dumps(segs, indent=1),
-                           _segments_path(index_dir))
     gen = segs["next_gen"]
     seg_rel = os.path.join("updates", f"gen-{gen:04d}")
     seg_dir = os.path.join(index_dir, seg_rel)
@@ -339,15 +363,7 @@ def update_index(index_dir: str,
     new_urls = new_tok.to_table(columns=["url"]).column("url").to_pylist()
     old = _live_url_ids(index_dir, segs, new_urls, exclude_gen=gen)
     old_ids = old.column("doc_id").to_numpy().astype(np.uint64)
-    os.makedirs(os.path.join(index_dir, "tombstones"), exist_ok=True)
-    _write_atomic(pa.table({"doc_id": pa.array(old_ids)}),
-                  os.path.join(index_dir, "tombstones",
-                               f"gen-{gen:04d}.parquet"))
-    deltas = (_empty_deltas() if stats_mode == "stale"
-              else _stats_deltas_for(index_dir, segs, old_ids))
-    os.makedirs(os.path.join(index_dir, "term_stats_deltas"), exist_ok=True)
-    _write_atomic(deltas, os.path.join(index_dir, "term_stats_deltas",
-                                       f"gen-{gen:04d}.parquet"))
+    _write_gen_tombstones(index_dir, segs, gen, old_ids, stats_mode)
 
     # ---- exact merged global stats -----------------------------------------
     removed_doclen = int(pc.sum(old.column("doclen")).as_py() or 0)
@@ -399,28 +415,12 @@ def delete_documents(index_dir: str, urls: list[str],
     if stats_mode not in ("exact", "stale"):
         raise ValueError(f"stats_mode must be 'exact' or 'stale', "
                          f"got {stats_mode!r}")
-    with open(os.path.join(index_dir, "global_stats.json")) as f:
-        g = json.load(f)
-    segs = load_segments(index_dir)
-    g = segs.get("global_stats", g)  # commit-point snapshot authority
-    if not os.path.exists(_segments_path(index_dir)):
-        segs.setdefault("global_stats", g)
-        _write_text_atomic(json.dumps(segs, indent=1),
-                           _segments_path(index_dir))
+    g, segs = _load_commit_state(index_dir)
     gen = segs["next_gen"]
 
     old = _live_url_ids(index_dir, segs, list(urls), exclude_gen=gen)
     old_ids = old.column("doc_id").to_numpy().astype(np.uint64)
-    os.makedirs(os.path.join(index_dir, "tombstones"), exist_ok=True)
-    _write_atomic(pa.table({"doc_id": pa.array(old_ids)}),
-                  os.path.join(index_dir, "tombstones",
-                               f"gen-{gen:04d}.parquet"))
-    deltas = (_empty_deltas() if stats_mode == "stale"
-              else _stats_deltas_for(index_dir, segs, old_ids))
-    os.makedirs(os.path.join(index_dir, "term_stats_deltas"),
-                exist_ok=True)
-    _write_atomic(deltas, os.path.join(index_dir, "term_stats_deltas",
-                                       f"gen-{gen:04d}.parquet"))
+    _write_gen_tombstones(index_dir, segs, gen, old_ids, stats_mode)
 
     removed_doclen = int(pc.sum(old.column("doclen")).as_py() or 0)
     n_docs = g["n_docs"] - len(old_ids)

@@ -1767,6 +1767,10 @@ def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
         # column-pruned read. The base side's dedup passes likewise read
         # only (doc_id, text) straight from the source parquet.
         ckpt = os.path.join(out, "_gated_new")
+        # write_parquet defaults to APPEND: a crashed earlier attempt
+        # (no _REFRESH_DONE yet) must not leave stale files that would
+        # duplicate rows on the re-run
+        shutil.rmtree(ckpt, ignore_errors=True)
         (_docs_dataset(sf_dir)
          .map_batches(half(True), batch_format="pyarrow")
          .map_batches(quality_gate, batch_format="pyarrow")

@@ -89,11 +89,12 @@ def bigram_count_partials(batch: pa.Table) -> pa.Table:
 
 
 def bigram_occurrences_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, bkey) per bigram occurrence (duplicates kept). Kept as
-    the reference form for the distinct-pair parity test —
-    ``bigram_scores`` ships :func:`window_occ_batch`'s distinct
-    (doc, bkey, occ) rows through the join instead, which is the same
-    information in strictly fewer shuffle rows."""
+    """(doc_id, bkey) per bigram occurrence (duplicates kept) — the
+    occurrence-row REFERENCE form: ``bigram_scores`` ships
+    :func:`window_occ_batch`'s distinct (doc, bkey, occ) rows through
+    the join instead (same information, strictly fewer shuffle rows);
+    tests/test_ngramstats.py::test_distinct_pairs_expand_to_occurrences
+    pins the equivalence."""
     ids = batch.column("doc_id").to_numpy().astype(np.int64)
     rows, keys = _col_windows(batch, 2)
     return pa.table({"doc_id": pa.array(ids[rows]),

@@ -91,9 +91,23 @@ _BLOCK_TAGS = frozenset((
 
 _BR = object()  # intra-block line-break sentinel (cannot occur in data)
 
+# HTML5 void elements: no end tag ever arrives, so a void drop tag
+# (e.g. <embed>) must not open a drop scope it can never close
+_VOID_TAGS = frozenset((
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+))
+
 
 class _TextExtractor(HTMLParser):
     """Single-pass text extraction over the stdlib HTML5-ish tokenizer.
+
+    Dropped subtrees are tracked as a STACK of open drop tags, not a
+    counter: an end tag pops up to and including its nearest matching
+    open tag, which gives implicit-close semantics for misnested markup
+    (``<select><option>A<option>B</select>`` leaves the stack empty —
+    a plain counter would leak and silently drop the rest of the
+    document). Void drop elements never push.
 
     Reusable across documents via :meth:`restart` (HTMLParser.reset plus
     clearing the accumulation state) so the batch stage pays parser
@@ -101,14 +115,14 @@ class _TextExtractor(HTMLParser):
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self._drop = 0
+        self._drop: list[str] = []
         self._pre = 0
         self._parts: list = []
         self._blocks: list[str] = []
 
     def restart(self) -> None:
         self.reset()
-        self._drop = 0
+        self._drop = []
         self._pre = 0
         self._parts = []
         self._blocks = []
@@ -116,7 +130,8 @@ class _TextExtractor(HTMLParser):
     # -- tokenizer callbacks --
     def handle_starttag(self, tag, attrs):
         if tag in _DROP_TAGS:
-            self._drop += 1
+            if tag not in _VOID_TAGS:
+                self._drop.append(tag)
             return
         if self._drop:
             return
@@ -129,8 +144,7 @@ class _TextExtractor(HTMLParser):
                 self._pre += 1
 
     def handle_startendtag(self, tag, attrs):
-        # <br/>, <hr/> — void elements never nest, so a self-closing
-        # drop tag contributes no text and needs no depth bump
+        # <br/>, <hr/>, <embed/> — self-closing never opens a scope
         if tag in _DROP_TAGS or self._drop:
             return
         if tag == "br":
@@ -139,10 +153,12 @@ class _TextExtractor(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag):
-        if tag in _DROP_TAGS:
-            self._drop = max(0, self._drop - 1)
-            return
         if self._drop:
+            if tag in self._drop:
+                # pop up to and including the nearest match: implicit
+                # close of anything the tokenizer saw opened inside it
+                while self._drop and self._drop.pop() != tag:
+                    pass
             return
         if tag in _BLOCK_TAGS:
             self._flush()

@@ -242,3 +242,17 @@ def test_extract_batch_general_column_lifecycle():
     out = extract_batch_general(t)
     assert "html" not in out.column_names
     assert out.column("text").to_pylist() == t.column("text").to_pylist()
+
+
+def test_general_void_and_implicitly_closed_drop_tags():
+    """Void drop elements (<embed>) and implicitly-closed ones
+    (<option> inside <select>) must not leak the drop scope and eat the
+    rest of the document."""
+    assert extract_text_general(
+        b"<p>before</p><embed src=x><p>after</p>") == "before\n\nafter"
+    assert extract_text_general(
+        b"<select><option>A<option>B</select><p>content</p>") == "content"
+    assert extract_text_general(
+        b"<nav>menu<select><option>A</select></nav><p>kept</p>") == "kept"
+    # stray end tag with nothing open is a no-op
+    assert extract_text_general(b"</nav><p>ok</p>") == "ok"

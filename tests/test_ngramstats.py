@@ -311,3 +311,34 @@ def test_col_windows_matches_per_doc_reference():
                           got.column("skey").to_pylist(),
                           got.column("occ").to_pylist()))
     assert got_rows == sorted(exp)
+
+
+def test_distinct_pairs_expand_to_occurrences():
+    """bigram_scores' distinct (doc, bkey, occ) rows are exactly the
+    occurrence-row form of bigram_occurrences_batch: repeating each
+    distinct pair occ times reproduces the occurrence multiset."""
+    import numpy as np
+
+    from markdown_query_ray.pipelines.ngramstats import (
+        bigram_occurrences_batch,
+        window_occ_batch,
+    )
+
+    texts = ["a b a b a", "x y", "", "solo", "a a a a",
+             "the cat the cat the"]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    occ_rows = bigram_occurrences_batch(batch)
+    dist = window_occ_batch(batch, 2)
+    want = np.stack([occ_rows.column("doc_id").to_numpy(),
+                     occ_rows.column("bkey").to_numpy()], axis=1)
+    got = np.stack([
+        np.repeat(dist.column("doc_id").to_numpy(),
+                  dist.column("occ").to_numpy()),
+        np.repeat(dist.column("skey").to_numpy(),
+                  dist.column("occ").to_numpy()),
+    ], axis=1)
+    # multiset equality (order-insensitive)
+    assert np.array_equal(want[np.lexsort(want.T)], got[np.lexsort(got.T)])
