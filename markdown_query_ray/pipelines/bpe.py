@@ -51,10 +51,26 @@ loss; NUL is not meaningful web text).
 
 from __future__ import annotations
 
+import os
+from functools import partial
+
 import numpy as np
 import pyarrow as pa
 
 from .textstats import BPE_PATTERN
+
+
+def _ragged_gather(values: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Concatenate values[starts[k] : starts[k]+lens[k]] for all k —
+    vectorized (no per-row Python; zero-length rows fine)."""
+    cum = np.cumsum(lens)
+    total = int(cum[-1]) if len(cum) else 0
+    if not total:
+        return values[:0]
+    out_idx = np.arange(total, dtype=np.int64)
+    row = np.searchsorted(cum, out_idx, side="right")
+    return values[starts[row] + out_idx - (cum[row] - lens[row])]
 
 _SEP = "\x00"
 
@@ -348,15 +364,8 @@ class BpeEncodeStage:
             flat = (np.concatenate(enc).astype(np.int32) if enc
                     else np.empty(0, np.int32))
             starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            occ_starts = starts[indices]
-            occ_lens = lens[indices]
-            cum = np.cumsum(occ_lens)
-            total = int(cum[-1]) if len(cum) else 0
-            out_idx = np.arange(total, dtype=np.int64)
-            occ = np.searchsorted(cum, out_idx, side="right")
-            ids = flat[occ_starts[occ] + (out_idx - (cum[occ]
-                                                     - occ_lens[occ]))]
-            tok_lens = occ_lens
+            tok_lens = lens[indices]
+            ids = _ragged_gather(flat, starts[indices], tok_lens)
         else:
             ids = np.empty(0, np.int32)
             tok_lens = np.empty(0, np.int64)
@@ -373,6 +382,165 @@ class BpeEncodeStage:
             "token_ids": out_ids,
             "n_tokens": pa.array(n_tok, pa.int64()),
         })
+
+
+def bpe_pack_shards(ds, model: BpeModel, out_dir: str,
+                    seq_len: int = 512, seqs_per_shard: int = 4096,
+                    range_size: int = 1 << 18,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    concurrency=(1, 8)) -> pa.Table:
+    """Corpus -> packed fixed-length training shards: the tokenize step
+    of an LLM data pipeline end to end. Documents are BPE-encoded
+    (actor pool), concatenated in doc_id order, sliced every
+    ``seq_len`` tokens (GPT-2/3-style concat-and-chunk; the final
+    partial sequence is dropped, standard practice), and written as
+    one parquet file per ``seqs_per_shard`` sequences. Returns the
+    shard manifest (shard_id, n_seqs, n_tokens, path), sorted.
+
+    Scale shape — the token stream shuffles exactly twice, both times
+    as contiguous ranges:
+
+    1. a 16-byte/doc (doc_id, n_tokens) projection feeds the same
+       two-level exclusive prefix scan as ``packing.pack_sequences``
+       (driver holds one int64 per ``range_size``-doc bucket);
+    2. ``groupby(doc_id // range_size)`` co-locates each bucket's
+       encoded docs WITH its scan base: inside the group the docs
+       sort by doc_id, their flattened tokens get global positions
+       base + arange, and the group emits (seq_id, start_in_seq,
+       ids-chunk) rows split at sequence boundaries — all numpy, no
+       per-token Python;
+    3. ``groupby(seq_id // seqs_per_shard)`` assembles each shard's
+       contiguous token range, re-slices every ``seq_len``, and writes
+       the shard parquet ATOMICALLY (tmp + rename — deterministic
+       content, so crash re-runs are idempotent and a finished shard
+       is never half-visible).
+
+    ``range_size`` bounds a bucket group's token payload in worker
+    heap (~0.5 GB at 2^18 docs x 500 tokens) while keeping the driver's
+    base array small (8 B/bucket). Offsets are a pure function of
+    (doc_id, n_tokens): output is invariant to partitioning, cluster
+    size, and resume."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .packing import _bucket_partials
+
+    os.makedirs(out_dir, exist_ok=True)
+    enc = bpe_encode(ds, model, text_col=text_col, id_col=id_col,
+                     concurrency=concurrency).materialize()
+
+    counts = enc.map_batches(
+        lambda b: b.select([id_col, "n_tokens"]),
+        batch_format="pyarrow")
+    totals = counts.map_batches(
+        partial(_bucket_partials, range_size=range_size),
+        batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("tok_part", alias_name="toks"))
+    tt = totals.sort("bucket").to_pandas()
+    toks = tt["toks"].to_numpy(np.int64)
+    buckets = tt["bucket"].to_numpy(np.int64)
+    excl = np.concatenate(([0], np.cumsum(toks)[:-1]))
+    total_tokens = int(toks.sum())
+    n_seqs_total = total_tokens // seq_len
+    # dense base array indexed by bucket id (8 B/bucket — ~30 MB at
+    # 10^12 docs with the default range_size), not a python dict
+    bases = np.zeros(int(buckets.max()) + 1 if len(buckets) else 1,
+                     np.int64)
+    bases[buckets] = excl
+    base_ref = ray.put(bases)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = b.column(id_col).to_numpy().astype(np.int64) // range_size
+        return b.append_column("bucket", pa.array(bk))
+
+    def slice_group(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        la = group.column("token_ids").combine_chunks()
+        v = la.values.to_numpy(zero_copy_only=False).astype(np.int32)
+        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # flatten in doc_id order: global position = base + arange
+        flat = _ragged_gather(v, off[:-1][order], np.diff(off)[order])
+        if not len(flat):
+            return pa.table({
+                "seq_id": pa.array([], pa.int64()),
+                "start_in_seq": pa.array([], pa.int64()),
+                "ids": pa.array([], pa.large_list(pa.int32())),
+            })
+        base = int(ray.get(base_ref)[int(ids[0] // range_size)])
+        pos = base + np.arange(len(flat), dtype=np.int64)
+        seq = pos // seq_len
+        cut = np.flatnonzero(seq[1:] != seq[:-1]) + 1
+        offs = np.concatenate(([0], cut, [len(flat)]))
+        heads = offs[:-1]
+        return pa.table({
+            "seq_id": pa.array(seq[heads]),
+            "start_in_seq": pa.array(pos[heads] % seq_len),
+            "ids": pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()), pa.array(flat, pa.int32())),
+        })
+
+    chunks = enc.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(slice_group, batch_format="pyarrow")
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        sh = b.column("seq_id").to_numpy().astype(np.int64) \
+            // seqs_per_shard
+        return b.append_column("shard", pa.array(sh))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if group.num_rows == 0:
+            return pa.table({"shard_id": pa.array([], pa.int64()),
+                             "n_seqs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string())})
+        sid = group.column("seq_id").to_numpy().astype(np.int64)
+        start = group.column("start_in_seq").to_numpy().astype(np.int64)
+        order = np.lexsort((start, sid))
+        la = group.column("ids").combine_chunks()
+        v = la.values.to_numpy(zero_copy_only=False).astype(np.int32)
+        off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = _ragged_gather(v, off[:-1][order], np.diff(off)[order])
+        shard = int(sid[0] // seqs_per_shard)
+        first_seq = shard * seqs_per_shard
+        n_full = len(flat) // seq_len  # chunks are cut at seq
+        # boundaries so a shard's range is contiguous; only the
+        # corpus-final partial sequence can leave a (dropped) tail here
+        body = flat[:n_full * seq_len].reshape(n_full, seq_len)
+        path = os.path.join(out_dir, f"shard-{shard:06d}.parquet")
+        t = pa.table({
+            "seq_id": pa.array(first_seq
+                               + np.arange(n_full, dtype=np.int64)),
+            "token_ids": pa.FixedSizeListArray.from_arrays(
+                pa.array(body.reshape(-1), pa.int32()), seq_len),
+        })
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return pa.table({"shard_id": pa.array([shard], pa.int64()),
+                         "n_seqs": pa.array([n_full], pa.int64()),
+                         "n_tokens": pa.array([n_full * seq_len],
+                                              pa.int64()),
+                         "path": pa.array([path], pa.string())})
+
+    from .equijoin import collect_arrow
+
+    manifest = chunks.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("shard").map_groups(write_shard, batch_format="pyarrow")
+    t = collect_arrow(manifest, pa.schema([
+        ("shard_id", pa.int64()), ("n_seqs", pa.int64()),
+        ("n_tokens", pa.int64()), ("path", pa.string())]))
+    t = t.sort_by("shard_id")
+    import pyarrow.compute as pc
+
+    got = int(pc.sum(t.column("n_seqs")).as_py() or 0)
+    if got != n_seqs_total:
+        raise AssertionError(
+            f"shard assembly lost sequences: {got} != {n_seqs_total}")
+    return t
 
 
 def bpe_encode(ds, model: BpeModel, text_col: str = "text",

@@ -159,3 +159,80 @@ def test_nul_guard():
     col = pa.chunked_array([pa.array(["a\x00b c"])])
     toks = pretoken_lists(col).combine_chunks().to_pylist()[0]
     assert "".join(toks) == "ab c"  # NUL stripped, rest tiled
+
+
+# ---------------------------------------------------------------------------
+# bpe_pack_shards: corpus -> packed fixed-length training shards
+# ---------------------------------------------------------------------------
+
+def _expected_stream(model, texts):
+    import numpy as np
+
+    out = []
+    for t in texts:  # doc_id order == list order in _docs
+        out.extend(model.encode(t))
+    return np.asarray(out, np.int32)
+
+
+def _read_shards(manifest):
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    seqs = []
+    for path in manifest.column("path").to_pylist():
+        t = pq_.read_table(path)
+        for row in t.column("token_ids").to_pylist():
+            seqs.append(np.asarray(row, np.int32))
+    return seqs
+
+
+def test_pack_shards_reconstructs_stream(ray_session, tmp_path):
+    import numpy as np
+
+    from markdown_query_ray.pipelines.bpe import bpe_pack_shards
+
+    texts = CORPUS * 12
+    ds = _docs(texts, parts=5)
+    model = bpe_train(ds, n_merges=64, min_freq=2)
+    L = 37
+    man = bpe_pack_shards(ds, model, str(tmp_path / "shards"),
+                          seq_len=L, seqs_per_shard=7,
+                          range_size=16, concurrency=2)
+    want = _expected_stream(model, texts)
+    n_seqs = len(want) // L
+    assert int(sum(man.column("n_seqs").to_pylist())) == n_seqs
+    seqs = _read_shards(man)
+    assert all(len(s) == L for s in seqs)
+    got = np.concatenate(seqs) if seqs else np.empty(0, np.int32)
+    assert np.array_equal(got, want[:n_seqs * L])  # tail dropped
+
+
+def test_pack_shards_parallelism_invariant(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    from markdown_query_ray.pipelines.bpe import bpe_pack_shards
+
+    texts = CORPUS * 6
+    model = bpe_train(_docs(texts, parts=3), n_merges=48, min_freq=2)
+    m1 = bpe_pack_shards(_docs(texts, parts=2), model,
+                         str(tmp_path / "s1"), seq_len=29,
+                         seqs_per_shard=5, range_size=8, concurrency=2)
+    m2 = bpe_pack_shards(_docs(texts, parts=9), model,
+                         str(tmp_path / "s2"), seq_len=29,
+                         seqs_per_shard=5, range_size=32, concurrency=2)
+    assert m1.column("n_seqs").to_pylist() == m2.column("n_seqs").to_pylist()
+    for p1, p2 in zip(m1.column("path").to_pylist(),
+                      m2.column("path").to_pylist()):
+        assert pq_.read_table(p1).equals(pq_.read_table(p2))
+
+
+def test_pack_shards_empty_and_tiny(ray_session, tmp_path):
+    from markdown_query_ray.pipelines.bpe import bpe_pack_shards
+
+    model = bpe_train(_docs(CORPUS, parts=2), n_merges=16, min_freq=2)
+    # total tokens < seq_len -> zero sequences, empty manifest
+    man = bpe_pack_shards(_docs(["one two", ""], parts=1), model,
+                          str(tmp_path / "tiny"), seq_len=10_000,
+                          concurrency=1)
+    assert man.num_rows == 0 or \
+        sum(man.column("n_seqs").to_pylist()) == 0

@@ -79,11 +79,26 @@ def main() -> None:
     enc = bpe_encode(ds, model, concurrency=(1, args.cpus))
     agg = enc.aggregate(Sum("n_tokens", alias_name="total"))
     t2 = time.perf_counter()
+    import shutil
+    import tempfile
+
+    from markdown_query_ray.pipelines.bpe import bpe_pack_shards
+
+    shard_dir = tempfile.mkdtemp(prefix="bpe_shards_")
+    man = bpe_pack_shards(ds, model, shard_dir, seq_len=1024,
+                          seqs_per_shard=16384,
+                          concurrency=(1, args.cpus))
+    t3 = time.perf_counter()
+    n_seqs = sum(man.column("n_seqs").to_pylist())
+    shutil.rmtree(shard_dir, ignore_errors=True)
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"docs={args.docs} merges_learned={len(model.merges)} "
           f"train={t1-t0:.1f}s encode={t2-t1:.1f}s "
           f"encode_docs_per_s={args.docs/(t2-t1):,.0f} "
-          f"total_tokens={agg['total']:,} driver_maxrss={rss_gb:.2f}GB")
+          f"total_tokens={agg['total']:,} "
+          f"pack={t3-t2:.1f}s shards={man.num_rows} seqs={n_seqs:,} "
+          f"pack_tokens_per_s={int(agg['total'])/(t3-t2):,.0f} "
+          f"driver_maxrss={rss_gb:.2f}GB")
     ray.shutdown()
 
 
