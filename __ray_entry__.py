@@ -1078,6 +1078,8 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "domain_doc_stats": d.domain_doc_stats,
         "domain_topk_docs": d.domain_topk_docs,
         "hash_split_counts": d.hash_split_counts,
+        # -- round 4: mergeable sketches --------------------------------------
+        "hll_user_registers": d.hll_user_registers,
         # -- round 3: curation operators -------------------------------------
         "seq_packing": d.seq_packing,
         "pii_redact": d.pii_redact,
@@ -1460,6 +1462,24 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM h "
             "GROUP BY 1, 2 ORDER BY 1, 2"),
+        # HyperLogLog register table replayed exactly: same FNV-1a64 LE
+        # fold, bucket = top-12 hash bits, rho = 1 + trailing zeros of
+        # the 52-bit suffix via pure-integer bit_count((w & -w) - 1)
+        # (the trailing-zero convention is exact in BOTH engines —
+        # pipelines/sketches.py documents why leading-zero floor(log2)
+        # is not)
+        "hll_user_registers": (
+            "WITH h AS (SELECT "
+            f"({_fnv_u64le_sql('CAST(user_id AS UBIGINT)')}) AS h "
+            "FROM events), "
+            "wb AS (SELECT h >> 52 AS bucket, "
+            "h & CAST(4503599627370495 AS UBIGINT) AS w FROM h), "
+            "r AS (SELECT bucket, CASE WHEN w = 0 THEN 53 ELSE "
+            "1 + bit_count((w & ((~w) + CAST(1 AS UBIGINT))) "
+            "- CAST(1 AS UBIGINT)) END AS rho FROM wb) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(max(rho) AS BIGINT) AS maxrho FROM r "
+            "GROUP BY bucket ORDER BY bucket"),
         # the window-function form of the same domain derivation — the
         # oracle for the two-phase group-wise top-k
         "domain_topk_docs": (

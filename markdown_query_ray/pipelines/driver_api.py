@@ -1936,6 +1936,25 @@ def bpe_train_encode(sf_dir: str, n_merges: int = 1024,
     })
 
 
+def hll_user_registers(sf_dir: str, p: int = 12) -> pa.Table:
+    """HyperLogLog distinct-user sketch over the events table: the
+    (bucket, maxrho) register table, sorted — deterministic data the
+    SQL oracle replays bit-for-bit (pipelines/sketches.py; the float
+    estimate is the driver-side ``hll_estimate`` helper, accuracy
+    pytest-asserted)."""
+    import ray.data
+
+    from .sketches import hll_registers
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    t = _collect(hll_registers(ds, "user_id", p=p)).sort_by("bucket")
+    return pa.table({
+        "bucket": t.column("bucket").cast(pa.int64()),
+        "maxrho": t.column("maxrho").cast(pa.int64()),
+    })
+
+
 def _collect(ds) -> pa.Table:
     """Materialize a (small, aggregated) Dataset result to one Table.
 
