@@ -917,7 +917,8 @@ def _bucket_cross_pair_scan(group: pa.Table) -> pa.Table:
 def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
                               num_hashes: int = 128, bands: int = 16,
                               w: int = 3, sig_mode: str = "classic",
-                              collect: bool = True):
+                              collect: bool = True,
+                              base_sigs_dir: str | None = None):
     """Incremental near-dup: which NEW docs duplicate the EXISTING corpus.
 
     The standard crawl-snapshot operation (dedup each new Common-Crawl
@@ -934,18 +935,70 @@ def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
     corpus was already deduped when it was ingested), and the shared
     Bloom-gated semi-join + vbucket verify scores candidates exactly.
     New-vs-new duplicates are ``minhash_dedup_pairs`` on ``new_ds`` alone;
-    composing both gives full-corpus dedup without re-pairing the base."""
+    composing both gives full-corpus dedup without re-pairing the base.
+
+    ``base_sigs_dir``: optional parquet checkpoint for the BASE side's
+    signatures. On the first refresh the base signatures are computed
+    once and written there (with a params sidecar — a mismatched
+    num_hashes/w/sig_mode re-use raises loudly); every later refresh
+    READS them instead of re-signaturing the whole accumulated corpus —
+    at 10^12 accumulated docs the signature pass over the base is the
+    dominant per-refresh cost and this turns it into a pruned parquet
+    scan. The base TEXTS are still consumed only for Bloom-gated
+    verify candidates, exactly as before."""
+    import json
+    import os
+
     def _tag(side_val):
         def tag(b: pa.Table) -> pa.Table:
             return b.select(["doc_id", "text"]).append_column(
                 "side", pa.array(np.full(b.num_rows, side_val, np.int8)))
         return tag
 
-    tagged = base_ds.map_batches(_tag(0), batch_format="pyarrow").union(
-        new_ds.map_batches(_tag(1), batch_format="pyarrow"))
+    def _add_side(side_val):
+        def f(b: pa.Table) -> pa.Table:
+            return b.select(["doc_id", "minhash"]).append_column(
+                "side", pa.array(np.full(b.num_rows, side_val, np.int8)))
+        return f
+
+    stage = MinHashStage(num_hashes, w, mode=sig_mode)
+    new_sigs = new_ds.map_batches(_tag(1), batch_format="pyarrow") \
+        .map_batches(stage, batch_format="pyarrow", concurrency=None)
+    if base_sigs_dir is not None:
+        import ray.data
+
+        params = {"num_hashes": num_hashes, "w": w, "sig_mode": sig_mode}
+        meta_p = os.path.join(base_sigs_dir, "_SIG_PARAMS.json")
+        if not os.path.exists(meta_p):
+            data_dir = os.path.join(base_sigs_dir, "sigs")
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)  # crashed attempt
+            (base_ds.map_batches(_tag(0), batch_format="pyarrow")
+             .map_batches(stage, batch_format="pyarrow", concurrency=None)
+             .map_batches(lambda b: b.select(["doc_id", "minhash"]),
+                          batch_format="pyarrow")
+             .write_parquet(data_dir))
+            os.makedirs(base_sigs_dir, exist_ok=True)
+            with open(meta_p, "w") as f:  # commit point, written last
+                json.dump(params, f)
+        else:
+            with open(meta_p) as f:
+                have = json.load(f)
+            if have != params:
+                raise ValueError(
+                    f"base signature checkpoint {base_sigs_dir} was built "
+                    f"with {have}, requested {params} — delete the "
+                    "checkpoint or match the parameters")
+        base_sigs = ray.data.read_parquet(
+            os.path.join(base_sigs_dir, "sigs")) \
+            .map_batches(_add_side(0), batch_format="pyarrow")
+        sigs = base_sigs.union(new_sigs)
+    else:
+        base_live = base_ds.map_batches(_tag(0), batch_format="pyarrow") \
+            .map_batches(stage, batch_format="pyarrow", concurrency=None)
+        sigs = base_live.union(new_sigs)
     rows = num_hashes // bands
-    sigs = tagged.map_batches(MinHashStage(num_hashes, w, mode=sig_mode),
-                              batch_format="pyarrow", concurrency=None)
     bands_ds = sigs.map_batches(
         partial(band_explode_batch, bands=bands, rows=rows),
         batch_format="pyarrow")

@@ -1784,7 +1784,8 @@ def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
         base_slim = slim.map_batches(half(False), batch_format="pyarrow")
         pairs = incremental_minhash_pairs(
             base_slim, gated_slim,
-            threshold=0.5, num_hashes=128, bands=64, collect=False)
+            threshold=0.5, num_hashes=128, bands=64, collect=False,
+            base_sigs_dir=os.path.join(out, "_base_sigs"))
         flagged = pairs.map_batches(
             lambda b: pa.table(
                 {"doc_id": b.column("doc_b").cast(pa.int64())}),

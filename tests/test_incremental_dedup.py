@@ -93,3 +93,41 @@ def test_cross_pair_scan_cap_keeps_min_and_nearest(monkeypatch):
         exp.add((0, x))                               # segment-min base
         exp.add((max(b for b in base_ids if b <= x), x))  # nearest base
     assert pairs == exp
+
+
+def test_base_signature_checkpoint_reused(ray_session, tmp_path):
+    """base_sigs_dir: first call computes + checkpoints the base
+    signatures; a second call (same params) reads them back and returns
+    identical pairs; a mismatched-params reuse raises."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from markdown_query_ray.pipelines.dedup import incremental_minhash_pairs
+
+    base_rows = [f"alpha beta gamma delta epsilon doc{i}" for i in range(30)]
+    new_rows = [base_rows[3], base_rows[17], "totally fresh text here"]
+
+    def ds(rows, base_id):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(base_id, base_id + len(rows))),
+            "text": pa.array(rows),
+        })).repartition(3)
+
+    kw = dict(threshold=0.5, num_hashes=64, bands=32, collect=True)
+    ck = str(tmp_path / "sigck")
+    p_live = incremental_minhash_pairs(ds(base_rows, 0), ds(new_rows, 100),
+                                       **kw)
+    p_ck1 = incremental_minhash_pairs(ds(base_rows, 0), ds(new_rows, 100),
+                                      base_sigs_dir=ck, **kw)
+    import os
+    assert os.path.exists(os.path.join(ck, "_SIG_PARAMS.json"))
+    p_ck2 = incremental_minhash_pairs(ds(base_rows, 0), ds(new_rows, 100),
+                                      base_sigs_dir=ck, **kw)
+    assert p_live.equals(p_ck1) and p_ck1.equals(p_ck2)
+    assert p_ck1.num_rows >= 2  # both planted dups found
+    with pytest.raises(ValueError, match="checkpoint"):
+        incremental_minhash_pairs(ds(base_rows, 0), ds(new_rows, 100),
+                                  base_sigs_dir=ck, threshold=0.5,
+                                  num_hashes=128, bands=64, collect=True)
