@@ -947,31 +947,51 @@ def entry() -> Any:
 # novelty+cross-dup) — and queries_extra()/oracle_sql_extra() keep the
 # individual un-fused entries oracle-checked via pytest
 # (tests/test_driver_contract.py runs BOTH registries).
+#
+# WINDOW ROTATION (round 5 on): each round, entries that have never had
+# a driver row rotate INTO the window, displacing long-stable entries
+# (3-4 consecutive green rounds) whose operator family keeps at least
+# one window representative; displaced entries move to queries_extra()
+# and stay oracle-checked by the pytest contract. Over rounds every
+# entry accumulates hard driver signal. Round-5 rotation: IN
+# {bigram_novelty, bpe_word_histogram, cross_dup_coverage,
+# dup_token_spans, hll_user_registers, lang_distinct_tokens,
+# lang_length_quantiles, mjpeg_frame_features} (never driver-checked);
+# OUT {bm25_single_term, facet_lang_counts, knn_cosine_top10,
+# url_canonicalize, simhash_pairs, dedup_exact, events_sessions_30m,
+# audio_chunk_features} (each green r1/r2-r4; families still covered by
+# bm25_or3/bm25_lang_de/flagship + search_snippets + ann_top10/
+# embedding_neardup + domain_doc_stats + minhash/incremental/
+# ngram_jaccard/span dedup entries + composite (exact-dedup stage) +
+# events_windows/asof_range_join + multimodal/video/jpeg/mjpeg).
 _DRIVER_ENTRIES = [
     # -- inverted index + BM25 (engine end to end) ------------------------
-    "bm25_single_term", "search_snippets", "facet_lang_counts",
+    "search_snippets",
     "bm25_or3", "bm25_lang_de", "phrase_merge_sort", "near_merge_sort_w5",
     "bool_ops", "match_counts", "flagship_xapian_search", "term_df_top50",
     # -- flagship composites + sources + multimodal -----------------------
     "composite_quality_dedup_bm25", "crawl_refresh_bm25",
     "warc_extract", "span_dedup",
-    "multimodal_features", "video_frame_features", "audio_chunk_features",
-    "jpeg_features",
+    "multimodal_features", "video_frame_features", "jpeg_features",
+    "mjpeg_frame_features",
     # -- text analysis -----------------------------------------------------
     "token_counts", "lang_doc_stats", "quality_features", "langid_both",
-    "lang_token_quantiles",
+    "lang_token_quantiles", "lang_length_quantiles",
+    "lang_distinct_tokens", "bpe_word_histogram",
     # -- dedup family --------------------------------------------------------
-    "dedup_exact", "decontam_flags", "minhash_dedup_pairs",
+    "decontam_flags", "minhash_dedup_pairs",
     "incremental_dedup_pairs", "ngram_jaccard_pairs", "neardup_dedup_docs",
-    "simhash_pairs", "dup_span_scrub", "ngram_scores", "embedding_neardup",
-    # -- similarity / clustering ------------------------------------------
-    "knn_cosine_top10", "ann_top10", "kmeans_embeddings", "semdedup_pairs",
+    "dup_span_scrub", "dup_token_spans", "ngram_scores",
+    "bigram_novelty", "cross_dup_coverage", "embedding_neardup",
+    # -- similarity / clustering / sketches --------------------------------
+    "ann_top10", "kmeans_embeddings", "semdedup_pairs",
+    "hll_user_registers",
     # -- stream-shaped -------------------------------------------------------
-    "events_windows", "events_sessions_30m", "asof_range_join",
+    "events_windows", "asof_range_join",
     # -- relational ----------------------------------------------------------
     "tpch_q1ish", "tpch_q3ish",
     # -- web curation --------------------------------------------------------
-    "url_canonicalize", "domain_doc_stats", "seq_packing", "pii_redact",
+    "domain_doc_stats", "seq_packing", "pii_redact",
     "ccnet_buckets", "mixture_weighted_repeat", "stratified_sample_docs",
 ]
 
@@ -1034,6 +1054,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         # -- text analysis ---------------------------------------------------
         "doc_token_counts": d.doc_token_counts,
         "bpe_token_counts": d.bpe_token_counts,
+        "bpe_word_histogram": d.bpe_word_histogram,
         "token_counts": d.token_counts_entry,
         "term_df_top50": lambda sf: d.term_df_top(sf, 50),
         "lang_doc_stats": d.lang_doc_stats,
@@ -1186,6 +1207,17 @@ def _oracle_all() -> dict[str, str]:
             "x -> x <> '')) AS BIGINT) AS n_tokens FROM documents "
             "ORDER BY doc_id"),
         "bpe_token_counts": _BPE_SQL,
+        # train-side BPE word histogram (the one corpus-scale exchange
+        # of bpe_train): NUL strip mirrors pretoken_lists' separator
+        # guard; '' residue rows are filtered on both sides
+        "bpe_word_histogram": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all("
+            "replace(text, chr(0), ''), '"
+            + _BPE_PAT.replace("'", "''")
+            + "')) AS word FROM documents) "
+            "SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks "
+            "WHERE word <> '' GROUP BY word "
+            "ORDER BY freq DESC, word ASC LIMIT 200"),
         # whitespace + BPE-ish counts from one corpus pass
         "token_counts": (
             "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "

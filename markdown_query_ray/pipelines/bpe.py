@@ -434,7 +434,7 @@ def bpe_pack_shards(ds, model: BpeModel, out_dir: str,
         lambda b: b.select([id_col, "n_tokens"]),
         batch_format="pyarrow")
     totals = counts.map_batches(
-        partial(_bucket_partials, range_size=range_size),
+        partial(_bucket_partials, range_size=range_size, id_col=id_col),
         batch_format="pyarrow") \
         .groupby("bucket").aggregate(Sum("tok_part", alias_name="toks"))
     tt = totals.sort("bucket").to_pandas()
@@ -443,11 +443,12 @@ def bpe_pack_shards(ds, model: BpeModel, out_dir: str,
     excl = np.concatenate(([0], np.cumsum(toks)[:-1]))
     total_tokens = int(toks.sum())
     n_seqs_total = total_tokens // seq_len
-    # dense base array indexed by bucket id (8 B/bucket — ~30 MB at
-    # 10^12 docs with the default range_size), not a python dict
-    bases = np.zeros(int(buckets.max()) + 1 if len(buckets) else 1,
-                     np.int64)
-    bases[buckets] = excl
+    # dict keyed by PRESENT bucket ids (same scheme as
+    # packing.pack_sequences): size tracks occupied buckets, not
+    # max(doc_id) — a sparse/hashed 64-bit id space stays ~16 B per
+    # occupied bucket instead of a max(id)//range_size dense array,
+    # and negative ids floor-divide to valid (negative) keys
+    bases = {int(b): int(e) for b, e in zip(buckets, excl)}
     base_ref = ray.put(bases)
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -468,7 +469,7 @@ def bpe_pack_shards(ds, model: BpeModel, out_dir: str,
                 "start_in_seq": pa.array([], pa.int64()),
                 "ids": pa.array([], pa.large_list(pa.int32())),
             })
-        base = int(ray.get(base_ref)[int(ids[0] // range_size)])
+        base = int(ray.get(base_ref).get(int(ids[0] // range_size), 0))
         pos = base + np.arange(len(flat), dtype=np.int64)
         seq = pos // seq_len
         cut = np.flatnonzero(seq[1:] != seq[:-1]) + 1

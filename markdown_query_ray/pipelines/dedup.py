@@ -914,6 +914,79 @@ def _bucket_cross_pair_scan(group: pa.Table) -> pa.Table:
     })
 
 
+def _sidecar_load(path: str):
+    """Parse a signature-checkpoint sidecar. A missing, truncated
+    (crash mid-write predating the atomic writer), or legacy file with
+    no corpus fingerprint reads as absent — the checkpoint regenerates
+    instead of being trusted or crashing in ``json.load``."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except (ValueError, OSError):
+        return None
+    if not isinstance(meta, dict) or "n_docs" not in meta \
+            or not isinstance(meta.get("gens"), list):
+        return None
+    return meta
+
+
+def _sidecar_write(path: str, meta: dict) -> None:
+    """tmp + fsync + os.replace — the sidecar either exists complete
+    or not at all (it is the checkpoint's commit point)."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _base_fingerprint(ds, split: int | None = None) -> dict:
+    """Corpus identity over the ``doc_id`` column only — ONE pruned
+    single-column pass, texts never read: (n_docs, max_doc_id,
+    id_sum mod 2^64), plus the same (count, sum) restricted to
+    ``doc_id <= split`` so an append-only grown corpus is
+    distinguishable from an edited one. Catches grown / shrunk /
+    re-id'd corpora; same-id content edits stay outside the checkpoint
+    contract (signatures are keyed by doc_id)."""
+    sp = np.int64(split if split is not None else np.iinfo(np.int64).max)
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        le = ids[ids <= sp]
+        return pa.table({
+            "n": pa.array([len(ids)], pa.int64()),
+            "mx": pa.array(
+                [int(ids.max()) if len(ids) else None], pa.int64()),
+            "s": pa.array([int(ids.astype(np.uint64).sum())],
+                          pa.uint64()),
+            "n_le": pa.array([len(le)], pa.int64()),
+            "s_le": pa.array([int(le.astype(np.uint64).sum())],
+                             pa.uint64()),
+        })
+
+    # one tiny row per block — bounded driver state
+    rows = ds.select_columns(["doc_id"]).map_batches(
+        part, batch_format="pyarrow").take_all()
+    mask = (1 << 64) - 1
+    return {
+        "n_docs": int(sum(r["n"] for r in rows)),
+        "max_doc_id": int(max(
+            (r["mx"] for r in rows if r["mx"] is not None), default=-1)),
+        "id_sum": int(sum(r["s"] for r in rows) & mask),
+        "n_le": int(sum(r["n_le"] for r in rows)),
+        "s_le": int(sum(r["s_le"] for r in rows) & mask),
+    }
+
+
 def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
                               num_hashes: int = 128, bands: int = 16,
                               w: int = 3, sig_mode: str = "classic",
@@ -939,14 +1012,19 @@ def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
 
     ``base_sigs_dir``: optional parquet checkpoint for the BASE side's
     signatures. On the first refresh the base signatures are computed
-    once and written there (with a params sidecar — a mismatched
-    num_hashes/w/sig_mode re-use raises loudly); every later refresh
-    READS them instead of re-signaturing the whole accumulated corpus —
-    at 10^12 accumulated docs the signature pass over the base is the
-    dominant per-refresh cost and this turns it into a pruned parquet
-    scan. The base TEXTS are still consumed only for Bloom-gated
+    once and written there (params + a doc_id-derived corpus
+    fingerprint in an atomically-replaced sidecar, which is the commit
+    point); every later refresh validates the fingerprint with one
+    pruned doc_id-only pass and READS the signatures instead of
+    re-signaturing the whole accumulated corpus — at 10^12 accumulated
+    docs the signature pass over the base is the dominant per-refresh
+    cost and this turns it into a pruned parquet scan. An APPEND-ONLY
+    grown base (new docs with ids above the checkpointed max, old docs
+    untouched — the normal accumulated-corpus shape) signatures only
+    the delta into a new generation directory; a mismatched
+    num_hashes/w/sig_mode or an incompatibly changed corpus raises
+    loudly. The base TEXTS are still consumed only for Bloom-gated
     verify candidates, exactly as before."""
-    import json
     import os
 
     def _tag(side_val):
@@ -965,33 +1043,87 @@ def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
     new_sigs = new_ds.map_batches(_tag(1), batch_format="pyarrow") \
         .map_batches(stage, batch_format="pyarrow", concurrency=None)
     if base_sigs_dir is not None:
+        import shutil
+
+        import pyarrow.compute as pc
         import ray.data
 
         params = {"num_hashes": num_hashes, "w": w, "sig_mode": sig_mode}
         meta_p = os.path.join(base_sigs_dir, "_SIG_PARAMS.json")
-        if not os.path.exists(meta_p):
-            data_dir = os.path.join(base_sigs_dir, "sigs")
-            import shutil
-
-            shutil.rmtree(data_dir, ignore_errors=True)  # crashed attempt
-            (base_ds.map_batches(_tag(0), batch_format="pyarrow")
-             .map_batches(stage, batch_format="pyarrow", concurrency=None)
-             .map_batches(lambda b: b.select(["doc_id", "minhash"]),
-                          batch_format="pyarrow")
-             .write_parquet(data_dir))
-            os.makedirs(base_sigs_dir, exist_ok=True)
-            with open(meta_p, "w") as f:  # commit point, written last
-                json.dump(params, f)
-        else:
-            with open(meta_p) as f:
-                have = json.load(f)
+        meta = _sidecar_load(meta_p)
+        if meta is not None:
+            have = {k: meta.get(k) for k in params}
             if have != params:
                 raise ValueError(
                     f"base signature checkpoint {base_sigs_dir} was built "
                     f"with {have}, requested {params} — delete the "
                     "checkpoint or match the parameters")
-        base_sigs = ray.data.read_parquet(
-            os.path.join(base_sigs_dir, "sigs")) \
+
+        def _sign_to(sub_ds, gen_dir):
+            shutil.rmtree(gen_dir, ignore_errors=True)  # crashed attempt
+            (sub_ds.map_batches(_tag(0), batch_format="pyarrow")
+             .map_batches(stage, batch_format="pyarrow", concurrency=None)
+             .map_batches(lambda b: b.select(["doc_id", "minhash"]),
+                          batch_format="pyarrow")
+             .write_parquet(gen_dir))
+
+        if meta is None:
+            # fresh (or unparseable/legacy — regenerate): generation 0
+            # signatures the whole current base
+            fp = _base_fingerprint(base_ds)
+            gens = ["gen-000000"]
+            shutil.rmtree(os.path.join(base_sigs_dir, "sigs"),
+                          ignore_errors=True)  # pre-fingerprint layout
+            _sign_to(base_ds, os.path.join(base_sigs_dir, gens[0]))
+            os.makedirs(base_sigs_dir, exist_ok=True)
+            meta = {**params, "n_docs": fp["n_docs"],
+                    "max_doc_id": fp["max_doc_id"],
+                    "id_sum": fp["id_sum"], "gens": gens}
+            _sidecar_write(meta_p, meta)  # commit point, written last
+        else:
+            fp = _base_fingerprint(base_ds, split=meta["max_doc_id"])
+            same = (fp["n_docs"] == meta["n_docs"]
+                    and fp["max_doc_id"] == meta["max_doc_id"]
+                    and fp["id_sum"] == meta["id_sum"])
+            if not same:
+                # append-only growth: every doc at or below the
+                # checkpointed max id is untouched, new docs have
+                # strictly larger ids — signature ONLY the delta
+                grown = (fp["n_le"] == meta["n_docs"]
+                         and fp["s_le"] == meta["id_sum"]
+                         and fp["n_docs"] > meta["n_docs"])
+                if not grown:
+                    raise ValueError(
+                        f"base corpus no longer matches signature "
+                        f"checkpoint {base_sigs_dir} (checkpoint: "
+                        f"{meta['n_docs']} docs, max id "
+                        f"{meta['max_doc_id']}; corpus now: "
+                        f"{fp['n_docs']} docs, max id "
+                        f"{fp['max_doc_id']}) and is not an append-only "
+                        "growth of it — delete the checkpoint to "
+                        "rebuild")
+                thr = meta["max_doc_id"]
+
+                def _only_new(b: pa.Table) -> pa.Table:
+                    return b.filter(pc.greater(b.column("doc_id"),
+                                               pa.scalar(thr)))
+
+                gen = f"gen-{len(meta['gens']):06d}"
+                _sign_to(base_ds.map_batches(
+                    _only_new, batch_format="pyarrow"),
+                    os.path.join(base_sigs_dir, gen))
+                meta = {**meta, "n_docs": fp["n_docs"],
+                        "max_doc_id": fp["max_doc_id"],
+                        "id_sum": fp["id_sum"],
+                        "gens": meta["gens"] + [gen]}
+                _sidecar_write(meta_p, meta)  # commit point
+        import glob
+
+        gen_files = sorted(
+            f for g in meta["gens"]
+            for f in glob.glob(os.path.join(base_sigs_dir, g,
+                                            "*.parquet")))
+        base_sigs = ray.data.read_parquet(gen_files) \
             .map_batches(_add_side(0), batch_format="pyarrow")
         sigs = base_sigs.union(new_sigs)
     else:

@@ -335,6 +335,24 @@ def bpe_token_counts(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def bpe_word_histogram(sf_dir: str, n: int = 200) -> pa.Table:
+    """Top-n of the train-side BPE word histogram — the ONE corpus-scale
+    exchange of ``bpe_train`` (map-side ``value_counts`` partials ->
+    ``groupby(word).sum``), which is the SQL-expressible half of the BPE
+    pipeline (the merge loop itself is data-dependently iterative and
+    stays oracle-less, documented in pipelines/bpe.py). Ordered
+    (freq desc, word asc) so the limit boundary is deterministic."""
+    import ray.data
+
+    from .bpe import bpe_word_counts
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    out = bpe_word_counts(ds).sort(["freq", "word"],
+                                   descending=[True, False]).limit(n)
+    return _collect(out).select(["word", "freq"])
+
+
 def term_df_top(sf_dir: str, n: int = 50) -> pa.Table:
     import ray.data
 

@@ -8,10 +8,13 @@ is stdlib + numpy):
   height + grayscale bytes) — trivially real; exercises the Ray-side
   plumbing (schema, actor signature, batch sizing for fat binaries).
 - ``image/png`` — REAL decoder: stdlib zlib + numpy scanline unfiltering
-  (all five PNG filter types, 8-bit gray/RGB/RGBA/gray+alpha), RGB folded
-  to BT.601 luma. Filter-0/2 rows unfilter vectorized; Sub/Average/Paeth
-  rows pay a per-pixel loop (documented perf caveat — plug PIL here for
-  throughput, the function signature doesn't change).
+  (all five PNG filter types; 8-bit gray/RGB/RGBA/gray+alpha, PALETTE at
+  bit 1/2/4/8 via PLTE lookup, 1/2/4-bit grayscale), RGB folded to BT.601
+  luma. Palette/RGB paths are verified bit-exact against the JDK's
+  ImageIO (golden/png.json via tools/PngGolden.java). Filter-0/2 rows
+  unfilter vectorized; Sub/Average/Paeth rows pay a per-pixel loop
+  (documented perf caveat — plug PIL here for throughput, the function
+  signature doesn't change).
 - ``audio/wav`` — REAL decoder: stdlib ``wave`` (PCM16, channels averaged
   to mono).
 - ``image/jpeg`` — REAL decoder: from-scratch baseline sequential
@@ -49,13 +52,24 @@ def make_media_table(n: int, seed: int = 5) -> pa.Table:
     """Deterministic fixture: n small 'images' with metadata. Every third
     row ships as a REAL PNG (same pixels, so the independently recomputed
     goldens hold) — the driver entries exercise the real decoder, not just
-    the RAW8 fast path."""
+    the RAW8 fast path. Every second PNG row is a PALETTE PNG with a
+    permuted gray palette (palette[j] = (p[j],)*3, indices = p^-1[px]):
+    lossless — decoded BT.601 luma of (v,v,v) rounds back to v exactly —
+    so the pixel-spec goldens still hold while the PLTE lookup path is
+    exercised end to end."""
     rows = []
     for i in range(n):
         rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
         w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
-        if i % 3 == 2:
+        if i % 6 == 5:
+            perm = rng.permutation(256).astype(np.uint8)
+            inv = np.empty(256, np.uint8)
+            inv[perm] = np.arange(256, dtype=np.uint8)
+            pal = np.repeat(perm[:, None], 3, axis=1)
+            rows.append((i, encode_png_palette(inv[px], pal),
+                         "image/png", w, h))
+        elif i % 3 == 2:
             rows.append((i, encode_png_gray(px), "image/png", w, h))
         else:
             rows.append((i, encode_raw8(px), "image/raw8", w, h))
@@ -76,8 +90,8 @@ def _decode_raw8(data: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# IHDR color type -> channel count (3 = palette, unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# IHDR color type -> channel count (3 = palette indices, 1/px)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png_gray(px: np.ndarray) -> bytes:
@@ -96,16 +110,101 @@ def encode_png_gray(px: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def encode_png_palette(px: np.ndarray, palette: np.ndarray,
+                       bit: int = 8) -> bytes:
+    """Minimal REAL palette (color type 3) PNG encoder: ``px`` holds
+    palette INDICES (< 2^bit), ``palette`` is (n, 3) uint8 RGB. bit in
+    {1, 2, 4, 8}; sub-byte indices pack MSB-first per scanline (spec
+    7.2), rows use filter 0. Deterministic fixture source; output opens
+    in any PNG viewer."""
+    h, w = px.shape
+    if palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("palette must be (n, 3) uint8")
+    if px.max(initial=0) >= (1 << bit):
+        raise ValueError(f"palette index >= 2^{bit}")
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    lines = []
+    for y in range(h):
+        if bit == 8:
+            lines.append(b"\x00" + px[y].astype(np.uint8).tobytes())
+        else:
+            bits = ((px[y].astype(np.uint8)[:, None]
+                     >> np.arange(bit - 1, -1, -1)) & 1).reshape(-1)
+            lines.append(b"\x00" + np.packbits(bits).tobytes())
+    return (_PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, bit, 3, 0,
+                                         0, 0))
+            + chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def _encode_png_8bit(arr: np.ndarray, color: int) -> bytes:
+    """Filter-0 8-bit PNG for color types 0/2/4/6 from an (h, w, c)
+    (or (h, w) gray) uint8 array — fixture-only sibling of
+    ``encode_png_gray``."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (_PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def make_png_fixture_set(seed: int = 31) -> list:
+    """Deterministic (name, png_bytes) pairs covering every decoder
+    branch — 8-bit gray / gray+alpha / RGB / RGBA, palette at bit
+    1/2/4/8 with random RGB palettes, sub-byte grayscale. Shared by
+    tools/gen_goldens.py (which decodes the SAME bytes with the JDK's
+    ImageIO as the independent oracle) and the pytest golden
+    comparison."""
+    out = []
+    rng = np.random.Generator(np.random.PCG64(seed))
+    for k in range(4):
+        w, h = int(rng.integers(5, 24)), int(rng.integers(5, 24))
+        out.append((f"gray8_{k}", encode_png_gray(
+            rng.integers(0, 256, (h, w), dtype=np.uint8))))
+        out.append((f"rgb8_{k}", _encode_png_8bit(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 2)))
+        out.append((f"rgba8_{k}", _encode_png_8bit(
+            rng.integers(0, 256, (h, w, 4), dtype=np.uint8), 6)))
+        out.append((f"graya8_{k}", _encode_png_8bit(
+            rng.integers(0, 256, (h, w, 2), dtype=np.uint8), 4)))
+        for bit in (1, 2, 4, 8):
+            n = 1 << bit
+            pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+            idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+            out.append((f"pal{bit}_{k}",
+                        encode_png_palette(idx, pal, bit=bit)))
+    return out
+
+
 def decode_png_gray(data: bytes) -> np.ndarray:
     """REAL PNG decode (stdlib zlib + numpy) to an (h, w) uint8 grayscale
-    image: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced, all five
-    scanline filters. RGB folds to BT.601 luma; alpha is dropped. Raises
-    NotImplementedError on palette / 16-bit / interlaced images."""
+    image: gray (bit 1/2/4/8), gray+alpha, RGB, RGBA (8-bit), and PALETTE
+    (bit 1/2/4/8, PLTE lookup), non-interlaced, all five scanline
+    filters. RGB — including palette entries — folds to BT.601 luma;
+    alpha (channel or tRNS) is dropped; sub-byte grayscale rescales to
+    the full 8-bit range (spec 12.5 sample depth scaling). Raises
+    NotImplementedError on 16-bit / interlaced images."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
     idat: list[bytes] = []
-    w = h = channels = None
+    w = h = channels = bit = color = None
+    plte = None
     while pos + 8 <= len(data):
         ln = int.from_bytes(data[pos:pos + 4], "big")
         typ = data[pos + 4:pos + 8]
@@ -115,24 +214,31 @@ def decode_png_gray(data: bytes) -> np.ndarray:
             w, h, bit, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", payload)
             channels = _PNG_CHANNELS.get(color)
-            if bit != 8 or interlace != 0 or channels is None:
+            sub_byte_ok = color in (0, 3) and bit in (1, 2, 4)
+            if channels is None or interlace != 0 or \
+                    not (bit == 8 or sub_byte_ok):
                 raise NotImplementedError(
                     f"PNG bit={bit} color={color} interlace={interlace} "
-                    "unsupported (8-bit non-interlaced gray/RGB[A] only)")
+                    "unsupported (non-interlaced 8-bit gray/RGB[A]/"
+                    "palette or 1/2/4-bit gray/palette only)")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(payload)
         elif typ == b"IEND":
             break
     if w is None or not idat:
         raise ValueError("malformed PNG (missing IHDR/IDAT)")
-    stride = w * channels
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    stride = (w * channels * bit + 7) // 8  # bytes per scanline
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
     rows = raw.reshape(h, stride + 1)
     ftype = rows[:, 0]
     out = np.zeros((h, stride), np.uint8)
-    bpp = channels
+    bpp = max(1, channels * bit // 8)  # filters act on bytes (spec 9.2)
     prev = np.zeros(stride, np.int32)
     for y in range(h):
         cur = rows[y, 1:].astype(np.int32)
@@ -165,9 +271,23 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         rec &= 0xFF
         out[y] = rec
         prev = rec
-    px = out.reshape(h, w, channels)
-    if channels in (1, 2):  # gray / gray+alpha
-        return np.ascontiguousarray(px[:, :, 0])
+    if bit < 8:
+        # MSB-first packing within each byte (spec 7.2): unpack each
+        # scanline to bits, regroup into bit-wide samples
+        bits = np.unpackbits(out, axis=1)[:, :w * bit] \
+            .reshape(h, w, bit).astype(np.uint8)
+        weights = (1 << np.arange(bit - 1, -1, -1)).astype(np.uint8)
+        samples = (bits * weights).sum(axis=2).astype(np.uint8)
+        if color == 0:  # sub-byte gray: rescale to 8-bit range
+            return (samples.astype(np.uint16) * 255
+                    // ((1 << bit) - 1)).astype(np.uint8)
+        px = plte[samples]  # palette indices -> (h, w, 3) RGB
+    else:
+        px = out.reshape(h, w, channels)
+        if color == 3:
+            px = plte[px[:, :, 0]]  # (h, w, 3) RGB via PLTE
+        elif channels in (1, 2):  # gray / gray+alpha
+            return np.ascontiguousarray(px[:, :, 0])
     luma = (0.299 * px[:, :, 0].astype(np.float64)
             + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
     return np.clip(np.round(luma), 0, 255).astype(np.uint8)

@@ -349,16 +349,24 @@ def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64,
 
     def assign(b: pa.Table) -> pa.Table:
         m = b.column("metric").to_numpy().astype(np.int64)
-        langs_b = b.column("lang").to_pylist()
-        t13 = np.array([thr[la][0] for la in langs_b], np.int64)
-        t23 = np.array([thr[la][1] for la in langs_b], np.int64)
-        bucket = np.where(m >= t23, "head",
-                          np.where(m >= t13, "middle", "tail"))
+        # dictionary-encode lang once per batch, then np.take over
+        # |langs|-sized threshold arrays — no per-row Python
+        d = b.column("lang").combine_chunks().dictionary_encode()
+        cats = d.dictionary.to_pylist()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t13 = np.take(np.asarray([thr[la][0] for la in cats], np.int64),
+                      idx)
+        t23 = np.take(np.asarray([thr[la][1] for la in cats], np.int64),
+                      idx)
+        # t13 <= t23 (1/3 vs 2/3 quantile of the same group), so the
+        # comparison sum is the tail/middle/head code directly
+        code = (m >= t13).astype(np.int64) + (m >= t23)
+        names = np.asarray(["tail", "middle", "head"], object)
         return pa.table({
             "doc_id": b.column("doc_id").cast(pa.int64()),
-            "lang": pa.array(langs_b, pa.string()),
+            "lang": b.column("lang"),
             "metric": pa.array(m),
-            "bucket": pa.array(bucket.tolist(), pa.string()),
+            "bucket": pa.array(names[code].tolist(), pa.string()),
         })
 
     def empties(b: pa.Table) -> pa.Table:
@@ -367,12 +375,13 @@ def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64,
         # the "has bigrams" rule must stay bit-identical to the bigram
         # side's token count — share the kernel, don't re-derive it
         n_tok = token_count_batch(b).column("n_tokens").to_numpy()
-        keep = n_tok < 2
-        ids = b.column("doc_id").to_numpy().astype(np.int64)[keep]
-        langs_b = np.asarray(b.column("lang").to_pylist(), object)[keep]
+        keep = pa.array(n_tok < 2)
+        ids = pa.compute.filter(
+            b.column("doc_id").cast(pa.int64()), keep)
+        langs_b = pa.compute.filter(b.column("lang"), keep)
         return pa.table({
-            "doc_id": pa.array(ids),
-            "lang": pa.array(langs_b.tolist(), pa.string()),
+            "doc_id": ids,
+            "lang": langs_b,
             "metric": pa.array(np.full(len(ids), -1, np.int64)),
             "bucket": pa.array(["tail"] * len(ids), pa.string()),
         })

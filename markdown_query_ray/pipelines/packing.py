@@ -40,8 +40,9 @@ DEFAULT_SEQ_LEN = 512
 DEFAULT_RANGE_SIZE = 1 << 20  # docs per scan bucket
 
 
-def _bucket_partials(batch: pa.Table, range_size: int) -> pa.Table:
-    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+def _bucket_partials(batch: pa.Table, range_size: int,
+                     id_col: str = "doc_id") -> pa.Table:
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
     toks = batch.column("n_tokens").to_numpy().astype(np.int64)
     bucket = ids // range_size
     uniq, inv = np.unique(bucket, return_inverse=True)

@@ -236,3 +236,40 @@ def test_pack_shards_empty_and_tiny(ray_session, tmp_path):
                           concurrency=1)
     assert man.num_rows == 0 or \
         sum(man.column("n_seqs").to_pylist()) == 0
+
+
+def test_pack_shards_custom_id_col_and_sparse_ids(ray_session, tmp_path):
+    """id_col != 'doc_id' works end-to-end (the prefix-scan stage is
+    parameterized, not hardcoded), and sparse 48-bit ids don't blow up
+    driver memory (bases are a dict keyed by occupied buckets, not a
+    max(id)-sized dense array)."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from markdown_query_ray.pipelines.bpe import bpe_pack_shards
+
+    texts = CORPUS * 6
+    model = bpe_train(_docs(texts, parts=3), n_merges=48, min_freq=2)
+
+    # sparse ids spread over ~2^48 — a dense bases array would be
+    # petabytes; order matches list order so output must equal the
+    # dense-id run bit-for-bit
+    sparse = (np.arange(len(texts), dtype=np.int64) * (1 << 37)
+              + (1 << 47))
+    t = pa.table({"page_id": pa.array(sparse),
+                  "text": pa.array(texts, pa.string())})
+    ds_sparse = ray.data.from_arrow(t).repartition(4)
+
+    m_dense = bpe_pack_shards(_docs(texts, parts=2), model,
+                              str(tmp_path / "dense"), seq_len=29,
+                              seqs_per_shard=5, range_size=8,
+                              concurrency=2)
+    m_sparse = bpe_pack_shards(ds_sparse, model, str(tmp_path / "sparse"),
+                               seq_len=29, seqs_per_shard=5,
+                               range_size=8, id_col="page_id",
+                               concurrency=2)
+    assert m_dense.column("n_seqs").to_pylist() == \
+        m_sparse.column("n_seqs").to_pylist()
+    for p1, p2 in zip(m_dense.column("path").to_pylist(),
+                      m_sparse.column("path").to_pylist()):
+        assert pq_.read_table(p1).equals(pq_.read_table(p2))

@@ -131,3 +131,86 @@ def test_base_signature_checkpoint_reused(ray_session, tmp_path):
         incremental_minhash_pairs(ds(base_rows, 0), ds(new_rows, 100),
                                   base_sigs_dir=ck, threshold=0.5,
                                   num_hashes=128, bands=64, collect=True)
+
+
+def _mk_ds(rows, base_id):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(base_id, base_id + len(rows))),
+        "text": pa.array(rows),
+    })).repartition(3)
+
+
+def test_base_checkpoint_append_only_growth(ray_session, tmp_path):
+    """An append-only grown base (new ids above the checkpointed max)
+    signatures only the delta into a new generation and returns pairs
+    identical to a live run over the full grown base."""
+    import json
+    import os
+
+    base1 = [f"alpha beta gamma delta epsilon doc{i}" for i in range(20)]
+    grown_tail = ["zeta eta theta iota kappa lambda mu nu",
+                  "the quick brown fox jumps over the lazy dog"]
+    base2 = base1 + grown_tail
+    new_rows = [base1[5], grown_tail[1], "totally fresh text here"]
+
+    kw = dict(threshold=0.5, num_hashes=64, bands=32, collect=True)
+    ck = str(tmp_path / "sigck")
+    p1 = incremental_minhash_pairs(_mk_ds(base1, 0), _mk_ds(new_rows, 100),
+                                   base_sigs_dir=ck, **kw)
+    meta1 = json.load(open(os.path.join(ck, "_SIG_PARAMS.json")))
+    assert meta1["gens"] == ["gen-000000"] and meta1["n_docs"] == 20
+
+    # refresh #2 against the grown base: delta generation, same answer
+    # as a live (no-checkpoint) run
+    p2 = incremental_minhash_pairs(_mk_ds(base2, 0), _mk_ds(new_rows, 100),
+                                   base_sigs_dir=ck, **kw)
+    live = incremental_minhash_pairs(_mk_ds(base2, 0),
+                                     _mk_ds(new_rows, 100), **kw)
+    assert p2.equals(live)
+    meta2 = json.load(open(os.path.join(ck, "_SIG_PARAMS.json")))
+    assert meta2["gens"] == ["gen-000000", "gen-000001"]
+    assert meta2["n_docs"] == 22
+    # the dup against a doc that only exists in the grown tail is found
+    assert 21 in p2.column("doc_a").to_pylist()
+    # reuse again unchanged: no third generation
+    p3 = incremental_minhash_pairs(_mk_ds(base2, 0), _mk_ds(new_rows, 100),
+                                   base_sigs_dir=ck, **kw)
+    assert p3.equals(live)
+    meta3 = json.load(open(os.path.join(ck, "_SIG_PARAMS.json")))
+    assert meta3["gens"] == meta2["gens"]
+
+    # incompatible change (doc removed below the checkpointed max) raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append-only"):
+        incremental_minhash_pairs(_mk_ds(base2[1:], 5000),
+                                  _mk_ds(new_rows, 100),
+                                  base_sigs_dir=ck, **kw)
+
+
+def test_base_checkpoint_truncated_sidecar_regenerates(ray_session,
+                                                       tmp_path):
+    """A crash that left a truncated sidecar must regenerate the
+    checkpoint, not crash in json.load."""
+    import os
+
+    base = [f"alpha beta gamma delta epsilon doc{i}" for i in range(12)]
+    new_rows = [base[2], "totally fresh text here"]
+    kw = dict(threshold=0.5, num_hashes=64, bands=32, collect=True)
+    ck = str(tmp_path / "sigck")
+    p1 = incremental_minhash_pairs(_mk_ds(base, 0), _mk_ds(new_rows, 100),
+                                   base_sigs_dir=ck, **kw)
+    # simulate the crash: truncate the committed sidecar mid-json
+    sp = os.path.join(ck, "_SIG_PARAMS.json")
+    raw = open(sp).read()
+    open(sp, "w").write(raw[: len(raw) // 2])
+    p2 = incremental_minhash_pairs(_mk_ds(base, 0), _mk_ds(new_rows, 100),
+                                   base_sigs_dir=ck, **kw)
+    assert p2.equals(p1)
+    # regenerated sidecar is whole again
+    import json
+
+    meta = json.load(open(sp))
+    assert meta["n_docs"] == 12

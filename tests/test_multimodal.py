@@ -222,14 +222,106 @@ def test_png_rgb_luma_and_rgba():
 
 
 def test_png_unsupported_raises():
+    import struct
+    import zlib
+
     from markdown_query_ray.pipelines.multimodal import decode_png_gray
 
     with pytest.raises(ValueError):
         decode_png_gray(b"not a png")
-    # palette color type (3)
+    # palette without a PLTE chunk is malformed, not unsupported
     rows = [b"\x00" + bytes(4)]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png_gray(_png_manual(4, 1, 1, 3, rows))
+
+    def ihdr_png(bit, color, interlace):
+        def chunk(typ, payload):
+            return (struct.pack(">I", len(payload)) + typ + payload
+                    + struct.pack(">I", zlib.crc32(typ + payload)))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, bit,
+                                             color, 0, 0, interlace))
+                + chunk(b"IDAT", zlib.compress(bytes(5)))
+                + chunk(b"IEND", b""))
+
+    # 16-bit, interlaced, and sub-byte RGB stay clean NotImplementedError
+    for bit, color, inter in ((16, 0, 0), (8, 0, 1), (4, 2, 0)):
+        with pytest.raises(NotImplementedError):
+            decode_png_gray(ihdr_png(bit, color, inter))
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Palette decode at bit 1/2/4/8: a gray (v,v,v) palette makes the
+    decode lossless, so decode(encode(idx, pal)) == pal_values[idx]."""
+    from markdown_query_ray.pipelines.multimodal import (
+        decode_png_gray,
+        encode_png_palette,
+    )
+
+    rng = _rng(23)
+    for bit in (1, 2, 4, 8):
+        n = 1 << bit
+        vals = rng.permutation(256)[:n].astype(np.uint8)
+        pal = np.repeat(vals[:, None], 3, axis=1)
+        # widths that exercise partial trailing bytes in sub-byte packing
+        for w in (1, 7, 8, 9):
+            idx = rng.integers(0, n, (5, w), dtype=np.uint8)
+            got = decode_png_gray(encode_png_palette(idx, pal, bit=bit))
+            assert np.array_equal(got, vals[idx]), (bit, w)
+
+
+def test_png_subbyte_gray_scaling():
+    """1/2/4-bit grayscale rescales samples to the 8-bit range
+    (spec 12.5): v * 255 // (2^bit - 1)."""
+    import struct
+    import zlib
+
+    from markdown_query_ray.pipelines.multimodal import decode_png_gray
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload)))
+
+    for bit in (1, 2, 4):
+        n = 1 << bit
+        w = n  # one row holding every sample value once
+        vals = np.arange(n, dtype=np.uint8)
+        bits = ((vals[:, None] >> np.arange(bit - 1, -1, -1)) & 1) \
+            .reshape(-1)
+        row = b"\x00" + np.packbits(bits).tobytes()
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 1, bit, 0,
+                                            0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(row))
+               + chunk(b"IEND", b""))
+        got = decode_png_gray(png)
+        want = (vals.astype(np.uint16) * 255 // (n - 1)).astype(np.uint8)
+        assert np.array_equal(got[0], want), bit
+
+
+def test_png_palette_rgb_match_jdk_goldens():
+    """Palette (bit 1/2/4/8) and RGB/RGBA decodes match the JDK ImageIO
+    oracle bit-for-bit (golden/png.json, tools/gen_goldens.py gen_png —
+    the PLTE lookup happens inside the JDK there)."""
+    import hashlib
+    import json
+    import os
+
+    from markdown_query_ray.pipelines.multimodal import (
+        decode_png_gray,
+        make_png_fixture_set,
+    )
+
+    gp = os.path.join(os.path.dirname(__file__), "..", "golden",
+                      "png.json")
+    golden = {r["name"]: r for r in json.load(open(gp))["png_luma"]}
+    fixtures = {nm: data for nm, data in make_png_fixture_set()}
+    assert len(golden) == 24
+    for nm, g in golden.items():
+        luma = decode_png_gray(fixtures[nm])
+        assert luma.shape == (g["h"], g["w"]), nm
+        assert hashlib.sha256(luma.tobytes()).hexdigest() == \
+            g["luma_sha256"], nm
 
 
 def test_wav_roundtrip_and_stereo_mono_fold():

@@ -66,3 +66,32 @@ def test_value_domain_guard():
                   "v": pa.array([-1], pa.int64())})
     with pytest.raises(ValueError):
         _hist_partials(t, "g", "v")
+
+
+def test_wide_domain_multiple_coarse_buckets(ray_session):
+    """Values spanning many 2^25-wide coarse buckets: the distributed
+    rank selection must cross bucket boundaries correctly (including a
+    quantile that lands exactly on a bucket's first/last value)."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    groups = [f"g{i % 2}" for i in range(n)]
+    # spread over ~2^39: thousands of occupied coarse buckets
+    values = (rng.integers(0, 1 << 39, n).astype(np.int64)).tolist()
+    # pin some exact-boundary values
+    values[:4] = [0, (1 << 25) - 1, 1 << 25, (1 << 39) - 1]
+    assert _run(groups, values, QS) == _duck(groups, values, QS)
+
+
+def test_driver_state_bounded_by_coarse_buckets(ray_session,
+                                                monkeypatch):
+    """The driver-side collect is the coarse-bucket table, not the
+    distinct-value histogram: with VBUCKET_BITS shrunk to 2, 10k
+    distinct values over domain [0,64) fold to <=16 buckets/group on
+    the driver while answers stay exact."""
+    import markdown_query_ray.pipelines.quantiles as qmod
+
+    monkeypatch.setattr(qmod, "VBUCKET_BITS", 2)
+    rng = np.random.default_rng(3)
+    groups = ["a"] * 5000 + ["b"] * 5000
+    values = rng.integers(0, 64, 10000).astype(np.int64).tolist()
+    assert _run(groups, values, QS) == _duck(groups, values, QS)

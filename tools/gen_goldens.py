@@ -208,6 +208,47 @@ def gen_jpeg(n: int = 150) -> list:
     return rows
 
 
+def gen_png() -> list:
+    """Golden for the PNG decoder's colormodel paths (PALETTE at bit
+    1/2/4/8, RGB, RGBA): decode the deterministic fixture set with the
+    JDK's ImageIO (getRGB applies the PLTE lookup inside the JDK,
+    independently of our decoder), fold to BT.601 luma, and record the
+    luma sha256 per fixture. Gray / gray+alpha fixtures are EXCLUDED
+    from the JDK comparison: ImageIO's getRGB routes PNG gray through a
+    CS_GRAY->sRGB colorspace transform (gamma), while the decoder's
+    contract — like the pixel-spec driver goldens — is the raw gray
+    sample; those paths are pinned by lossless roundtrip tests
+    instead."""
+    import hashlib
+
+    from markdown_query_ray.pipelines.multimodal import make_png_fixture_set
+
+    fixtures = [(nm, data) for nm, data in make_png_fixture_set()
+                if nm.startswith(("pal", "rgb"))]
+    rows = []
+    with tempfile.TemporaryDirectory() as d:
+        for nm, data in fixtures:
+            with open(os.path.join(d, nm + ".png"), "wb") as f:
+                f.write(data)
+        subprocess.run(
+            ["java", os.path.join(REPO, "tools", "PngGolden.java"), d],
+            check=True, capture_output=True)
+        for nm, _ in fixtures:
+            with open(os.path.join(d, nm + ".rgb"), "rb") as f:
+                raw = f.read()
+            h, w = struct.unpack(">II", raw[:8])
+            rgb = np.frombuffer(raw[8:], np.uint8).reshape(h, w, 3)
+            luma = np.clip(np.round(
+                0.299 * rgb[:, :, 0].astype(np.float64)
+                + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]),
+                0, 255).astype(np.uint8)
+            rows.append({
+                "name": nm, "h": int(h), "w": int(w),
+                "luma_sha256": hashlib.sha256(luma.tobytes()).hexdigest(),
+            })
+    return rows
+
+
 def gen_mjpeg(n: int = 60, n_samples: int = 4) -> list:
     """Golden for mjpeg_frame_features: re-derive each fixture video's
     per-frame JPEG bytes from the same spec (seed 31; the bytes inside
@@ -334,6 +375,9 @@ def main():
                        "jpeg_progressive": prog_rows}, f)
         jpeg_rows = gen_jpeg()
         mjpeg_rows = gen_mjpeg()
+        with open(os.path.join(GOLDEN_DIR, "png.json"), "w") as f:
+            json.dump({"png_luma": gen_png()}, f)
+        print("png palette/rgb goldens written (Java ImageIO oracle)")
         with open(os.path.join(GOLDEN_DIR, "jpeg.json"), "w") as f:
             json.dump({"jpeg_features": jpeg_rows,
                        "mjpeg_frame_features": mjpeg_rows,
