@@ -809,6 +809,20 @@ def _jpeg_sql() -> str:
          "std_intensity": "DOUBLE"})
 
 
+def _mpeg1_sql() -> str:
+    """Golden VALUES oracle for mpeg1_frame_features — sampled frames of
+    the MPEG-1 I-frame fixture, recomputed from the mosaic pixel spec
+    (gen_goldens gen_mpeg1; the intra codec is lossless on
+    8x8-constant mosaics, so the spec recompute is decoder-independent)."""
+    with open(_os.path.join(_GOLDEN_DIR, "multimodal.json")) as f:
+        rows = _json.load(f)["mpeg1_frame_features"]
+    return _values_sql(
+        rows, ["media_id", "frame_idx", "mean_intensity", "std_intensity"],
+        ["media_id", "frame_idx"],
+        {"media_id": "BIGINT", "frame_idx": "BIGINT",
+         "mean_intensity": "DOUBLE", "std_intensity": "DOUBLE"})
+
+
 def _mjpeg_sql() -> str:
     """Golden VALUES oracle for mjpeg_frame_features — sampled frames of
     the MJPEG AVI fixture, decoded by Java ImageIO (gen_goldens
@@ -1122,6 +1136,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": d.multimodal_features,
         "jpeg_features": d.jpeg_features,
         "mjpeg_frame_features": d.mjpeg_frame_feats,
+        "mpeg1_frame_features": d.mpeg1_frame_feats,
         "video_frame_features": d.video_frame_feats,
         "audio_chunk_features": d.audio_chunk_feats,
     }
@@ -1546,6 +1561,7 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         "multimodal_features": _multimodal_sql("multimodal_features"),
         "jpeg_features": _jpeg_sql(),
         "mjpeg_frame_features": _mjpeg_sql(),
+        "mpeg1_frame_features": _mpeg1_sql(),
         "video_frame_features": _multimodal_sql("video_frame_features"),
         "audio_chunk_features": _multimodal_sql("audio_chunk_features"),
     }

@@ -1,0 +1,569 @@
+"""From-scratch MPEG-1 video (ISO/IEC 11172-2) INTRA-frame codec.
+
+The tractable next codec after JPEG/MJPEG (round-4 verdict): an MPEG-1
+elementary stream of I-pictures is structurally "JPEG with MPEG entropy
+coding" — 8x8 DCT blocks, zigzag, quantization matrix, DC prediction —
+so the decoder reuses the IJG islow integer IDCT already in
+``functions/jpeg_codec.py`` and adds the MPEG-specific layers: start
+codes, sequence/GOP/picture/slice headers, macroblock addressing, the
+B.1 / B.5a / B.5b / B.5c VLC tables, intra-quantizer reconstruction
+with oddification (mismatch control), and the escape run/level path.
+
+Scope (honest boundaries, all raising loudly):
+
+- I-pictures only. P/B pictures (motion compensation) raise
+  ``NotImplementedError`` — a full inter decoder still needs
+  motion-vector reconstruction and half-pel interpolation, out of scope
+  without an external oracle (container has no ffmpeg, re-verified).
+- dct_coeff VLC: the spec's Table B.5c entries through the 10-bit
+  group are implemented; the rare 12-bit-and-longer tail raises
+  ``NotImplementedError`` naming the offending prefix. The ESCAPE path
+  (6-bit run + 8/16-bit level) is fully implemented, and the ENCODER
+  emits escapes for any (run, level) outside the implemented table, so
+  every stream this module produces round-trips (escape coding is
+  always spec-legal; it costs bits, not correctness).
+- macroblock_address_increment: values 1-15 + macroblock_escape +
+  macroblock_stuffing (all an I-picture encoder can need — skipped
+  macroblocks are not allowed in I-pictures, 11172-2 2.4.4.4).
+- Grayscale pipeline contract (like the MJPEG path): the encoder codes
+  the luma plane with neutral (128) chroma; the decoder returns the Y
+  plane only. 4:2:0 chroma blocks are parsed and reconstructed (their
+  bits must be consumed to stay in sync) but not returned.
+
+Oracle situation: there is no independent MPEG-1 decoder in this
+container (no ffmpeg/cv2/JDK support), so unlike JPEG there is no
+bit-exactness golden against a second implementation. Verification
+instead pins (a) hand-assembled bitstreams — headers and VLC codes
+written bit by bit from the spec tables in the test, decoded by this
+module, (b) lossless round-trips over DC-only (8x8-constant-mosaic)
+frames where quantization is exact by construction, (c) near-lossless
+PSNR bounds on random frames, and (d) determinism/bit-identity of the
+encoder across runs. See tests/test_mpeg1.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg_codec import (
+    CONST_BITS,
+    PASS1_BITS,
+    ZIGZAG,
+    _fdct_blocks,
+    _idct_1d,
+)
+
+
+class _MpegBitWriter:
+    """MSB-first writer, NO byte stuffing (JPEG's writer 0xFF-stuffs);
+    flush zero-pads to the byte boundary (MPEG next_start_code())."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush_bytes(self) -> bytes:
+        if self.n:
+            self.put(0, 8 - self.n)  # stuffing zeros
+        return bytes(self.buf)
+
+# default intra quantizer matrix, 11172-2 2.4.3.3 (raster order)
+DEFAULT_INTRA_Q = np.array([
+    8, 16, 19, 22, 26, 27, 29, 34,
+    16, 16, 22, 24, 27, 29, 34, 37,
+    19, 22, 26, 27, 29, 34, 34, 38,
+    22, 22, 26, 27, 29, 34, 37, 40,
+    22, 26, 27, 29, 32, 35, 40, 48,
+    26, 27, 29, 32, 35, 40, 48, 58,
+    26, 27, 29, 34, 38, 46, 56, 69,
+    27, 29, 35, 38, 46, 56, 69, 83], np.int64).reshape(8, 8)
+
+# ---------------------------------------------------------------------------
+# VLC tables (11172-2 Annex B), as (bits_string, value) pairs
+# ---------------------------------------------------------------------------
+
+# Table B.1 — macroblock_address_increment (values 1..15 + controls)
+MBA_CODES = {
+    1: "1", 2: "011", 3: "010", 4: "0011", 5: "0010",
+    6: "00011", 7: "00010", 8: "0000111", 9: "0000110",
+    10: "00001011", 11: "00001010", 12: "00001001", 13: "00001000",
+    14: "00000111", 15: "00000110",
+}
+MBA_ESCAPE = "00000001000"    # +33, then another code
+MBA_STUFFING = "00000001111"  # discarded
+
+# Table B.5a — dct_dc_size_luminance
+DC_SIZE_LUM = {0: "100", 1: "00", 2: "01", 3: "101", 4: "110",
+               5: "1110", 6: "11110", 7: "111110", 8: "1111110"}
+# Table B.5b — dct_dc_size_chrominance
+DC_SIZE_CHR = {0: "00", 1: "01", 2: "10", 3: "110", 4: "1110",
+               5: "11110", 6: "111110", 7: "1111110", 8: "11111110"}
+
+# Table B.5c — dct_coeff (run, level) codes, sign bit appended when
+# emitted. Implemented through the 10-bit group; the 12-bit-and-longer
+# tail ("00000001..." prefixes shorter than the escape is impossible —
+# escape itself is "000001") raises in the decoder and is never emitted
+# by the encoder (escape instead).
+AC_CODES = {
+    (0, 1): "11",  # "1" as FIRST coefficient of a non-intra block only;
+                   # intra blocks always code DC first, so "11" is right
+    (1, 1): "011",
+    (0, 2): "0100", (2, 1): "0101",
+    (0, 3): "00101", (3, 1): "00111", (4, 1): "00110",
+    (1, 2): "000110", (5, 1): "000111", (6, 1): "000101",
+    (7, 1): "000100",
+    (0, 4): "0000110", (2, 2): "0000100", (8, 1): "0000111",
+    (9, 1): "0000101",
+    (0, 5): "00100110", (0, 6): "00100001", (1, 3): "00100101",
+    (3, 2): "00100100", (10, 1): "00100111", (11, 1): "00100011",
+    (12, 1): "00100010", (13, 1): "00100000",
+    (0, 7): "0000001010", (1, 4): "0000001100", (2, 3): "0000001011",
+    (4, 2): "0000001111", (5, 2): "0000001001", (14, 1): "0000001110",
+    (15, 1): "0000001101", (16, 1): "0000001000",
+}
+EOB = "10"
+AC_ESCAPE = "000001"
+
+_ZZ_FLAT = ZIGZAG.reshape(-1)  # natural index of the i-th zigzag coeff
+
+
+def _vlc_decode_table(codes: dict) -> dict:
+    """{(length, int(bits)): value} for the generic reader."""
+    out = {}
+    for val, bits in codes.items():
+        out[(len(bits), int(bits, 2))] = val
+    return out
+
+
+_MBA_DEC = _vlc_decode_table({v: b for v, b in MBA_CODES.items()})
+_MBA_DEC[(len(MBA_ESCAPE), int(MBA_ESCAPE, 2))] = "escape"
+_MBA_DEC[(len(MBA_STUFFING), int(MBA_STUFFING, 2))] = "stuffing"
+_DC_LUM_DEC = _vlc_decode_table({v: b for v, b in DC_SIZE_LUM.items()})
+_DC_CHR_DEC = _vlc_decode_table({v: b for v, b in DC_SIZE_CHR.items()})
+_AC_DEC = _vlc_decode_table({rl: b for rl, b in AC_CODES.items()})
+_AC_DEC[(len(EOB), int(EOB, 2))] = "eob"
+_AC_DEC[(len(AC_ESCAPE), int(AC_ESCAPE, 2))] = "escape"
+_MAX_VLC_LEN = 11
+
+
+class _MpegBitReader:
+    """Plain MSB-first bit reader (NO byte unstuffing — MPEG start codes
+    delimit instead)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.bitpos = pos * 8
+
+    def get(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            byte = self.d[self.bitpos >> 3] if (self.bitpos >> 3) < \
+                len(self.d) else 0
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def peek(self, k: int) -> int:
+        save = self.bitpos
+        v = self.get(k)
+        self.bitpos = save
+        return v
+
+    def byte_align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def at_start_code(self) -> bool:
+        """True if the (byte-aligned) position sits on 0x000001."""
+        p = self.bitpos >> 3
+        return (self.bitpos & 7) == 0 and p + 2 < len(self.d) and \
+            self.d[p] == 0 and self.d[p + 1] == 0 and self.d[p + 2] == 1
+
+
+def _read_vlc(br: _MpegBitReader, table: dict, what: str):
+    code = 0
+    for length in range(1, _MAX_VLC_LEN + 1):
+        code = (code << 1) | br.get(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise NotImplementedError(
+        f"MPEG-1 {what} VLC prefix {code:0{_MAX_VLC_LEN}b} is beyond the "
+        "implemented table (12-bit-and-longer B.5c tail)")
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _dc_size(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _put_bits_str(bw: _MpegBitWriter, bits: str) -> None:
+    bw.put(int(bits, 2) if bits else 0, len(bits))
+
+
+def _encode_block(bw: _MpegBitWriter, coefs_zz: np.ndarray, dc_pred: int,
+                  chroma: bool) -> int:
+    """Entropy-encode one intra block (zigzag-ordered quantized levels);
+    returns the new DC predictor."""
+    dc = int(coefs_zz[0])
+    diff = dc - dc_pred
+    size = _dc_size(diff)
+    if size > 8:
+        raise ValueError(f"DC differential {diff} out of MPEG-1 range")
+    _put_bits_str(bw, (DC_SIZE_CHR if chroma else DC_SIZE_LUM)[size])
+    if size:
+        code = diff if diff > 0 else diff + (1 << size) - 1
+        bw.put(code, size)
+    run = 0
+    for i in range(1, 64):
+        lv = int(coefs_zz[i])
+        if lv == 0:
+            run += 1
+            continue
+        key = (run, abs(lv))
+        bits = AC_CODES.get(key)
+        if bits is not None:
+            _put_bits_str(bw, bits)
+            bw.put(1 if lv < 0 else 0, 1)
+        else:  # escape — always legal, any run 0..63, |level| <= 255
+            if not (-255 <= lv <= 255) or lv == 0:
+                raise ValueError(f"AC level {lv} out of MPEG-1 range")
+            _put_bits_str(bw, AC_ESCAPE)
+            bw.put(run, 6)
+            if -127 <= lv <= 127:
+                bw.put(lv & 0xFF, 8)
+            elif lv > 0:  # 128..255: 00000000 then level
+                bw.put(0, 8)
+                bw.put(lv, 8)
+            else:  # -255..-128: 10000000 then 256+level
+                bw.put(0x80, 8)
+                bw.put(lv + 256, 8)
+        run = 0
+    _put_bits_str(bw, EOB)
+    return dc
+
+
+def _pad16(px: np.ndarray) -> np.ndarray:
+    h, w = px.shape
+    H, W = -(-h // 16) * 16, -(-w // 16) * 16
+    return np.pad(px, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _quantize_intra(blocks: np.ndarray, qmat: np.ndarray,
+                    qscale: int) -> np.ndarray:
+    """(n, 8, 8) float DCT coefficients -> integer levels (natural
+    order): DC = round(F/8); AC = round(16F / (2*qscale*Q)), clamped to
+    the escape-codable range."""
+    lev = np.round(16.0 * blocks / (2.0 * qscale * qmat)).astype(np.int64)
+    lev = np.clip(lev, -255, 255)
+    dc = np.clip(np.round(blocks[:, 0, 0] / 8.0), 0, 255).astype(np.int64)
+    lev[:, 0, 0] = dc
+    return lev
+
+
+def encode_mpeg1_iframes(frames, qscale: int = 8, fps_code: int = 3,
+                         qmat: np.ndarray | None = None) -> bytes:
+    """Minimal conforming MPEG-1 video elementary stream of I-pictures
+    from (h, w) uint8 grayscale frames (list or (n, h, w) array): one
+    slice per picture, all-intra macroblocks, neutral (128) chroma,
+    default intra quantizer matrix unless ``qmat`` overrides it
+    (raster order). Deterministic: pure function of the inputs."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all frames must share one shape")
+    qmat = DEFAULT_INTRA_Q if qmat is None else \
+        np.asarray(qmat, np.int64).reshape(8, 8)
+    custom_q = not np.array_equal(qmat, DEFAULT_INTRA_Q)
+
+    out = bytearray()
+    # sequence header
+    bw = _MpegBitWriter()
+    bw.put(w, 12)
+    bw.put(h, 12)
+    bw.put(1, 4)           # pel_aspect_ratio: square
+    bw.put(fps_code, 4)    # picture_rate (3 = 25 fps)
+    bw.put(0x3FFFF, 18)    # bit_rate: variable
+    bw.put(1, 1)           # marker
+    bw.put(0, 10)          # vbv_buffer_size
+    bw.put(0, 1)           # constrained_parameters_flag
+    bw.put(1 if custom_q else 0, 1)  # load_intra_quant_matrix
+    if custom_q:
+        for v in qmat.reshape(-1)[_ZZ_FLAT]:
+            bw.put(int(v), 8)  # zigzag transmission order
+    bw.put(0, 1)           # load_non_intra_quant_matrix
+    out += b"\x00\x00\x01\xb3" + bw.flush_bytes()
+
+    # GOP header
+    bw = _MpegBitWriter()
+    bw.put(0, 25)          # time_code
+    bw.put(1, 1)           # closed_gop
+    bw.put(0, 1)           # broken_link
+    out += b"\x00\x00\x01\xb8" + bw.flush_bytes()
+
+    mb_w, mb_h = -(-w // 16), -(-h // 16)
+    for idx, f in enumerate(frames):
+        # picture header
+        bw = _MpegBitWriter()
+        bw.put(idx % 1024, 10)  # temporal_reference
+        bw.put(1, 3)            # picture_coding_type: I
+        bw.put(0xFFFF, 16)      # vbv_delay
+        bw.put(0, 1)            # extra_bit_picture
+        out += b"\x00\x00\x01\x00" + bw.flush_bytes()
+
+        padded = _pad16(f).astype(np.float64)
+        # one slice covering the whole picture (vertical position 1)
+        bw = _MpegBitWriter()
+        bw.put(qscale, 5)
+        bw.put(0, 1)  # extra_bit_slice
+        dc_y = dc_cb = dc_cr = 128  # predictors reset at slice start
+        chroma_lev = _quantize_intra(
+            _fdct_blocks(np.full((1, 8, 8), 128.0)), qmat, qscale)[0]
+        chroma_zz = chroma_lev.reshape(-1)[_ZZ_FLAT]
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                _put_bits_str(bw, MBA_CODES[1])  # address increment 1
+                bw.put(1, 1)                     # macroblock_type: intra
+                y0, x0 = my * 16, mx * 16
+                blocks = np.stack([
+                    padded[y0:y0 + 8, x0:x0 + 8],
+                    padded[y0:y0 + 8, x0 + 8:x0 + 16],
+                    padded[y0 + 8:y0 + 16, x0:x0 + 8],
+                    padded[y0 + 8:y0 + 16, x0 + 8:x0 + 16]])
+                lev = _quantize_intra(_fdct_blocks(blocks), qmat, qscale)
+                for b in range(4):
+                    zz = lev[b].reshape(-1)[_ZZ_FLAT]
+                    dc_y = _encode_block(bw, zz, dc_y, chroma=False)
+                dc_cb = _encode_block(bw, chroma_zz, dc_cb, chroma=True)
+                dc_cr = _encode_block(bw, chroma_zz, dc_cr, chroma=True)
+        out += b"\x00\x00\x01\x01" + bw.flush_bytes()
+    out += b"\x00\x00\x01\xb7"  # sequence_end
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _idct_blocks_int(recon: np.ndarray) -> np.ndarray:
+    """IJG islow IDCT over (n, 8, 8) RECONSTRUCTED (already dequantized)
+    coefficients — same butterflies as the JPEG path but without the
+    +128 level shift (MPEG intra codes the unshifted signal)."""
+    x = recon.astype(np.int64)
+    cols = [x[:, k, :] for k in range(8)]
+    r = _idct_1d(*cols, CONST_BITS - PASS1_BITS)
+    ws = np.stack(r, axis=1)
+    rows = [ws[:, :, k] for k in range(8)]
+    r = _idct_1d(*rows, CONST_BITS + PASS1_BITS + 3)
+    return np.clip(np.stack(r, axis=2), 0, 255).astype(np.uint8)
+
+
+def _read_dc(br: _MpegBitReader, chroma: bool) -> int:
+    size = _read_vlc(br, _DC_CHR_DEC if chroma else _DC_LUM_DEC,
+                     "dct_dc_size")
+    if size == 0:
+        return 0
+    v = br.get(size)
+    if v < (1 << (size - 1)):  # negative branch
+        v = v - (1 << size) + 1
+    return v
+
+
+def _read_block(br: _MpegBitReader, qmat_zz: np.ndarray, qscale: int,
+                dc_pred: int, chroma: bool) -> tuple[np.ndarray, int]:
+    """One intra block: returns (natural-order reconstructed
+    coefficients, new DC predictor)."""
+    rec = np.zeros(64, np.int64)
+    dc = dc_pred + _read_dc(br, chroma)
+    rec[0] = dc * 8  # DC quantizer is fixed 8, no oddification
+    i = 0
+    while True:
+        v = _read_vlc(br, _AC_DEC, "dct_coeff")
+        if v == "eob":
+            break
+        if v == "escape":
+            run = br.get(6)
+            b = br.get(8)
+            if b == 0:
+                level = br.get(8)
+            elif b == 0x80:
+                level = br.get(8) - 256
+            else:
+                level = b - 256 if b > 128 else b
+        else:
+            run, level = v
+            if br.get(1):
+                level = -level
+        i += run + 1
+        if i > 63:
+            raise ValueError("dct_coeff run past block end")
+        # intra AC reconstruction, 11172-2 2.4.4.2: truncate toward
+        # zero, oddify (mismatch control), clamp
+        mag = (2 * abs(level) * qscale * int(qmat_zz[i])) // 16
+        r = mag if level > 0 else -mag
+        if r and (r & 1) == 0:
+            r -= 1 if r > 0 else -1
+        rec[i] = max(-2048, min(2047, r))
+    out = np.zeros(64, np.int64)
+    out[_ZZ_FLAT] = rec  # zigzag -> natural
+    return out.reshape(8, 8), dc
+
+
+def decode_mpeg1_iframes(data: bytes) -> np.ndarray:
+    """Decode an MPEG-1 video elementary stream of I-pictures to
+    (n_frames, h, w) uint8 luma. P/B pictures and B.5c tail codes raise
+    NotImplementedError; malformed streams raise ValueError."""
+    if len(data) < 12 or data[:3] != b"\x00\x00\x01":
+        raise ValueError("not an MPEG start-code stream")
+    qmat = DEFAULT_INTRA_Q.copy()
+    w = h = None
+    frames: list[np.ndarray] = []
+    plane = None
+    mb_w = mb_h = 0
+    qscale = 8
+
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos:pos + 3] != b"\x00\x00\x01":
+            pos += 1  # stuffing zeros between start codes
+            continue
+        code = data[pos + 3]
+        pos += 4
+        if code == 0xB3:  # sequence header
+            br = _MpegBitReader(data, pos)
+            w = br.get(12)
+            h = br.get(12)
+            br.get(4)   # pel aspect
+            br.get(4)   # picture rate
+            br.get(18)  # bit rate
+            br.get(1)   # marker
+            br.get(10)  # vbv
+            br.get(1)   # constrained
+            if br.get(1):  # load_intra_quant_matrix (zigzag order)
+                zz = np.array([br.get(8) for _ in range(64)], np.int64)
+                nat = np.zeros(64, np.int64)
+                nat[_ZZ_FLAT] = zz
+                qmat = nat.reshape(8, 8)
+            if br.get(1):  # load_non_intra (irrelevant for I, but skip)
+                for _ in range(64):
+                    br.get(8)
+            mb_w, mb_h = -(-w // 16), -(-h // 16)
+            pos = (br.bitpos + 7) // 8
+        elif code == 0xB8:  # GOP header: fixed 27 bits
+            pos += 4
+        elif code == 0x00:  # picture header
+            br = _MpegBitReader(data, pos)
+            br.get(10)  # temporal reference
+            ptype = br.get(3)
+            if ptype != 1:
+                raise NotImplementedError(
+                    f"MPEG-1 picture_coding_type {ptype} (P/B/D) needs "
+                    "motion compensation — I-pictures only")
+            br.get(16)  # vbv_delay
+            while br.get(1):  # extra_information_picture
+                br.get(8)
+            pos = (br.bitpos + 7) // 8
+            plane = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+        elif 0x01 <= code <= 0xAF:  # slice
+            if plane is None or w is None:
+                raise ValueError("slice before picture/sequence header")
+            br = _MpegBitReader(data, pos)
+            qscale = br.get(5)
+            while br.get(1):  # extra_information_slice
+                br.get(8)
+            qmat_zz = qmat.reshape(-1)[_ZZ_FLAT]
+            mb_addr = (code - 1) * mb_w - 1
+            dc_y = dc_cb = dc_cr = 128
+            while True:
+                while _peek_bits(br, len(MBA_STUFFING)) == \
+                        int(MBA_STUFFING, 2):
+                    br.get(len(MBA_STUFFING))
+                inc = 0
+                v = _read_vlc(br, _MBA_DEC, "macroblock_address_increment")
+                while v == "escape":
+                    inc += 33
+                    v = _read_vlc(br, _MBA_DEC,
+                                  "macroblock_address_increment")
+                inc += v
+                if inc != 1:
+                    raise ValueError(
+                        "skipped macroblocks are not allowed in "
+                        "I-pictures (11172-2 2.4.4.4)")
+                mb_addr += inc
+                if br.get(1) != 1:  # macroblock_type, B.2a: '1' intra,
+                    if br.get(1) != 1:  # '01' intra + quant
+                        raise ValueError("bad I-picture macroblock_type")
+                    qscale = br.get(5)
+                my, mx = divmod(mb_addr, mb_w)
+                recon = []
+                for blk in range(4):
+                    r, dc_y = _read_block(br, qmat_zz, qscale, dc_y,
+                                          chroma=False)
+                    recon.append(r)
+                px = _idct_blocks_int(np.stack(recon))
+                y0, x0 = my * 16, mx * 16
+                plane[y0:y0 + 8, x0:x0 + 8] = px[0]
+                plane[y0:y0 + 8, x0 + 8:x0 + 16] = px[1]
+                plane[y0 + 8:y0 + 16, x0:x0 + 8] = px[2]
+                plane[y0 + 8:y0 + 16, x0 + 8:x0 + 16] = px[3]
+                # chroma blocks: consume and discard
+                _, dc_cb = _read_block(br, qmat_zz, qscale, dc_cb,
+                                       chroma=True)
+                _, dc_cr = _read_block(br, qmat_zz, qscale, dc_cr,
+                                       chroma=True)
+                # slice ends when the remaining bits to the next start
+                # code are all zero (stuffing)
+                if _slice_done(br):
+                    break
+            pos = (br.bitpos + 7) // 8
+            if mb_addr == mb_w * mb_h - 1:
+                frames.append(plane[:h, :w].copy())
+        elif code == 0xB7:  # sequence end
+            break
+        else:  # unknown/system codes: skip to next start code
+            continue
+    if not frames:
+        raise ValueError("no decodable I-pictures in stream")
+    return np.stack(frames)
+
+
+def _peek_bits(br: _MpegBitReader, k: int) -> int:
+    return br.peek(k)
+
+
+def _slice_done(br: _MpegBitReader) -> bool:
+    """After a macroblock: slice ends if everything up to the next
+    byte-aligned 0x000001 is zero bits (<= 23 of them, 2.4.2.7)."""
+    save = br.bitpos
+    # remaining bits in the current byte
+    rem = (-br.bitpos) % 8
+    if br.get(rem) != 0:
+        br.bitpos = save
+        return False
+    for _ in range(3):  # up to two stuffing bytes then start code
+        if br.at_start_code():
+            br.bitpos = save
+            return True
+        if br.get(8) != 0:
+            br.bitpos = save
+            return False
+    br.bitpos = save
+    return False

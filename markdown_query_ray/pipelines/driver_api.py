@@ -1593,6 +1593,30 @@ def video_frame_feats(sf_dir: str) -> pa.Table:
     return _round_col(_round_col(t, "mean_intensity"), "std_intensity")
 
 
+def mpeg1_frame_feats(sf_dir: str) -> pa.Table:
+    """Per-sampled-frame features over REAL MPEG-1 I-frame elementary
+    streams (from-scratch ISO 11172-2 intra decoder), through the same
+    two actor-pool stages as the raw8v/MJPEG entries. The fixture
+    frames are 8x8-constant mosaics, which the intra codec reproduces
+    losslessly — the oracle recomputes features from the pixel spec
+    alone, independent of both encoder and decoder (gen_goldens
+    gen_mpeg1)."""
+    import ray.data
+
+    from .multimodal import make_mpeg1_video_table, video_frame_features
+
+    ds = ray.data.from_arrow(make_mpeg1_video_table(60))
+    t = _collect(video_frame_features(ds, n_samples=4)) \
+        .sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+    t = pa.table({
+        "media_id": t.column("media_id"),
+        "frame_idx": t.column("frame_idx").cast(pa.int64()),
+        "mean_intensity": t.column("mean_intensity"),
+        "std_intensity": t.column("std_intensity"),
+    })
+    return _round_col(_round_col(t, "mean_intensity"), "std_intensity")
+
+
 def mjpeg_frame_feats(sf_dir: str) -> pa.Table:
     """Per-sampled-frame features over REAL Motion-JPEG AVI videos: RIFF
     'movi' extraction + from-scratch JPEG decode per frame, through the

@@ -427,9 +427,14 @@ def _decode_real(data: bytes, media_type: str):
         return decode_wav(data)
     if media_type == "video/x-msvideo":
         return decode_avi_mjpeg(data)
-    # remaining stub: inter-frame video codecs (H.264/VP9/...) need
-    # ffmpeg (absent here); plug it in below — the surrounding pipeline
-    # is format-agnostic
+    if media_type == "video/mpeg":
+        from ..functions.mpeg1_codec import decode_mpeg1_iframes
+
+        return decode_mpeg1_iframes(data)
+    # remaining stub: inter-frame video codecs (H.264/VP9/... and
+    # MPEG-1 P/B pictures) need motion compensation — ffmpeg (absent
+    # here) or a from-scratch inter decoder; plug in below — the
+    # surrounding pipeline is format-agnostic
     raise NotImplementedError(
         f"decoder for {media_type!r} not available in this environment; "
         "plug ffmpeg in here")
@@ -591,6 +596,33 @@ def make_mjpeg_video_table(n: int, seed: int = 31) -> pa.Table:
                    % 256).astype(np.uint8)
                   for j in range(nf)]
         rows.append((i, encode_avi_mjpeg(frames), "video/x-msvideo", nf))
+    return pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "media": pa.array([r[1] for r in rows], pa.binary()),
+        "media_type": pa.array([r[2] for r in rows], pa.string()),
+        "n_frames": pa.array([r[3] for r in rows], pa.int32()),
+    })
+
+
+def make_mpeg1_video_table(n: int, seed: int = 47) -> pa.Table:
+    """Deterministic REAL-MPEG-1 fixture: every frame is an 8x8-constant
+    mosaic, which the intra codec reproduces LOSSLESSLY (DC-only blocks:
+    dc_level = round(8v/8) = v exactly, zero AC) — so golden features
+    recompute from this pixel spec alone, independent of the decoder,
+    the same pattern as the RAW8/PNG fixtures. Exercises sequence/GOP/
+    picture/slice parsing, macroblock addressing, B.5a/B.5b DC
+    prediction chains and the islow IDCT end to end."""
+    from ..functions.mpeg1_codec import encode_mpeg1_iframes
+
+    rows = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
+        nf = int(rng.integers(3, 9))
+        mw, mh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        frames = [np.repeat(np.repeat(
+            rng.integers(0, 256, (mh * 2, mw * 2), dtype=np.uint8),
+            8, axis=0), 8, axis=1) for _ in range(nf)]
+        rows.append((i, encode_mpeg1_iframes(frames), "video/mpeg", nf))
     return pa.table({
         "media_id": pa.array([r[0] for r in rows], pa.int64()),
         "media": pa.array([r[1] for r in rows], pa.binary()),

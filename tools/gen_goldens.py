@@ -208,6 +208,31 @@ def gen_jpeg(n: int = 150) -> list:
     return rows
 
 
+def gen_mpeg1(n: int = 60, n_samples: int = 4) -> list:
+    """Golden for mpeg1_frame_features: re-derive the fixture's mosaic
+    frames from the same spec (seed 47, multimodal.make_mpeg1_video_table)
+    — the MPEG-1 intra codec reproduces 8x8-constant mosaics LOSSLESSLY
+    (DC-only blocks, dc_level = v exactly) — and record sampled-frame
+    features from the PIXELS alone, independent of encoder and decoder
+    (the container has no second MPEG implementation)."""
+    seed = 47
+    rows = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 100003 + i))
+        nf = int(rng.integers(3, 9))
+        mw, mh = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        frames = [np.repeat(np.repeat(
+            rng.integers(0, 256, (mh * 2, mw * 2), dtype=np.uint8),
+            8, axis=0), 8, axis=1) for _ in range(nf)]
+        take = np.unique((np.arange(n_samples) * nf) // n_samples)
+        for j in take:
+            a = frames[j].astype(np.float64)
+            rows.append({"media_id": i, "frame_idx": int(j),
+                         "mean_intensity": round(float(a.mean()), 6),
+                         "std_intensity": round(float(a.std()), 6)})
+    return rows
+
+
 def gen_png() -> list:
     """Golden for the PNG decoder's colormodel paths (PALETTE at bit
     1/2/4/8, RGB, RGBA): decode the deterministic fixture set with the
@@ -363,7 +388,8 @@ def main():
     with open(os.path.join(GOLDEN_DIR, "multimodal.json"), "w") as f:
         json.dump({"multimodal_features": gen_multimodal(),
                    "video_frame_features": gen_video(),
-                   "audio_chunk_features": gen_audio()}, f)
+                   "audio_chunk_features": gen_audio(),
+                   "mpeg1_frame_features": gen_mpeg1()}, f)
     print("multimodal goldens written")
     try:
         sub_rows = gen_jpeg420()

@@ -72,17 +72,98 @@ class GenStage:
                          "text": pa.array(texts, pa.string())})
 
 
+def refresh_stress(base_docs: int, new_docs: int) -> None:
+    """Multi-generation refresh measurement (round-5 verdict item 7):
+    with the base-signature checkpoint, refresh #2's wall time must be
+    dominated by the NEW batch (+ the appended delta), not the
+    accumulated base size — the checkpoint turns the base-side
+    signature pass into a pruned parquet scan and the append path
+    signatures only the growth. Reported side by side with a no-
+    checkpoint control refresh #2 that re-signatures the whole base."""
+    import shutil
+    import tempfile
+
+    import ray
+    import ray.data
+
+    from markdown_query_ray.pipelines.dedup import incremental_minhash_pairs
+
+    B, K = base_docs, new_docs
+    total = B + 2 * K
+    ds = ray.data.range(total, override_num_blocks=64).map_batches(
+        GenStage, fn_constructor_args=(B,), batch_format="pyarrow",
+        concurrency=(1, 8)).materialize()
+
+    def rng_filter(lo, hi):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            return b.filter(pa.array((ids >= lo) & (ids < hi)))
+        return f
+
+    base1 = ds.map_batches(rng_filter(0, B), batch_format="pyarrow")
+    new1 = ds.map_batches(rng_filter(B, B + K), batch_format="pyarrow")
+    base2 = ds.map_batches(rng_filter(0, B + K), batch_format="pyarrow")
+    new2 = ds.map_batches(rng_filter(B + K, total),
+                          batch_format="pyarrow")
+
+    ck = tempfile.mkdtemp(prefix="refresh-sigck-")
+    # classic signature mode: the expensive-signature regime the
+    # checkpoint targets (OPH signatures are so cheap that fixed
+    # pipeline costs dominate at stress scale and mask the effect)
+    kw = dict(threshold=0.5, num_hashes=128, bands=16,
+              sig_mode="classic", collect=False)
+
+    t0 = time.time()
+    p1 = incremental_minhash_pairs(base1, new1, base_sigs_dir=ck, **kw)
+    n1 = p1.count()
+    t1 = time.time() - t0
+
+    t0 = time.time()
+    p2 = incremental_minhash_pairs(base2, new2, base_sigs_dir=ck, **kw)
+    n2 = p2.count()
+    t2 = time.time() - t0
+
+    t0 = time.time()
+    p2c = incremental_minhash_pairs(base2, new2, **kw)  # control: live
+    n2c = p2c.count()
+    t2c = time.time() - t0
+    shutil.rmtree(ck, ignore_errors=True)
+
+    print(f"refresh #1 (base {B:,}, new {K:,}, cold checkpoint): "
+          f"{t1:.1f}s, pairs {n1}")
+    print(f"refresh #2 (base {B + K:,} grown, new {K:,}, checkpoint + "
+          f"append): {t2:.1f}s, pairs {n2}")
+    print(f"refresh #2 control (no checkpoint, full re-signature): "
+          f"{t2c:.1f}s, pairs {n2c}")
+    print(f"checkpoint speedup on refresh #2: {t2c / t2:.2f}x; "
+          f"refresh#2/refresh#1 = {t2 / t1:.2f} "
+          f"(new+delta = {2 * K:,} of {B + 2 * K:,} docs signatured)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--new-frac", type=float, default=0.2)
+    ap.add_argument("--refresh", action="store_true",
+                    help="multi-generation refresh measurement")
+    ap.add_argument("--base-docs", type=int, default=200_000)
+    ap.add_argument("--new-docs", type=int, default=25_000)
+    ap.add_argument("--body-tokens", type=int, default=None,
+                    help="override BODY_TOKENS (web pages are ~300-800 tokens; the default 48 keeps the legacy RSS stress cheap)")
     args = ap.parse_args()
+    if args.body_tokens:
+        global BODY_TOKENS
+        BODY_TOKENS = args.body_tokens
 
     import ray
     import ray.data
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False)
+    if args.refresh:
+        refresh_stress(args.base_docs, args.new_docs)
+        ray.shutdown()
+        return
     from markdown_query_ray.pipelines.dedup import (
         dup_span_scrub,
         incremental_minhash_pairs,
