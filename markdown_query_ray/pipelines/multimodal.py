@@ -8,13 +8,14 @@ is stdlib + numpy):
   height + grayscale bytes) — trivially real; exercises the Ray-side
   plumbing (schema, actor signature, batch sizing for fat binaries).
 - ``image/png`` — REAL decoder: stdlib zlib + numpy scanline unfiltering
-  (all five PNG filter types; 8-bit gray/RGB/RGBA/gray+alpha, PALETTE at
-  bit 1/2/4/8 via PLTE lookup, 1/2/4-bit grayscale), RGB folded to BT.601
-  luma. Palette/RGB paths are verified bit-exact against the JDK's
-  ImageIO (golden/png.json via tools/PngGolden.java). Filter-0/2 rows
-  unfilter vectorized; Sub/Average/Paeth rows pay a per-pixel loop
-  (documented perf caveat — plug PIL here for throughput, the function
-  signature doesn't change).
+  (all five PNG filter types; gray at bit 1/2/4/8/16, gray+alpha,
+  RGB/RGBA at 8/16 bit, PALETTE at bit 1/2/4/8 via PLTE lookup, Adam7
+  INTERLACED or progressive-scan), RGB folded to BT.601 luma, 16-bit
+  reduced by the exact round(v/257). Palette/RGB/interlaced/16-bit paths
+  are verified bit-exact against the JDK's ImageIO (golden/png.json via
+  tools/PngGolden.java). Filter-0/2 rows unfilter vectorized;
+  Sub/Average/Paeth rows pay a per-pixel loop (documented perf caveat —
+  plug PIL here for throughput, the function signature doesn't change).
 - ``audio/wav`` — REAL decoder: stdlib ``wave`` (PCM16, channels averaged
   to mono).
 - ``image/jpeg`` — REAL decoder: from-scratch baseline sequential
@@ -163,6 +164,52 @@ def _encode_png_8bit(arr: np.ndarray, color: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload)))
+
+
+def _encode_png_adam7(arr: np.ndarray, color: int,
+                      palette: np.ndarray | None = None) -> bytes:
+    """Adam7-INTERLACED 8-bit PNG (filter-0 rows per pass) from (h, w)
+    indices/gray or (h, w, c) samples — fixture source for the
+    interlaced decode path."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    passes = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            passes.append(b"\x00" + sub[y].astype(np.uint8).tobytes())
+    out = (_PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)))
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(b"".join(passes))) \
+        + _png_chunk(b"IEND", b"")
+
+
+def _encode_png_16bit(arr16: np.ndarray, color: int) -> bytes:
+    """16-bit big-endian PNG (filter-0 rows) from (h, w[, c]) uint16."""
+    if arr16.ndim == 2:
+        arr16 = arr16[:, :, None]
+    h, w, c = arr16.shape
+    raw = b"".join(b"\x00" + arr16[y].astype(">u2").tobytes()
+                   for y in range(h))
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16,
+                                              color, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
 def make_png_fixture_set(seed: int = 31) -> list:
     """Deterministic (name, png_bytes) pairs covering every decoder
     branch — 8-bit gray / gray+alpha / RGB / RGBA, palette at bit
@@ -188,6 +235,16 @@ def make_png_fixture_set(seed: int = 31) -> list:
             idx = rng.integers(0, n, (h, w), dtype=np.uint8)
             out.append((f"pal{bit}_{k}",
                         encode_png_palette(idx, pal, bit=bit)))
+        # Adam7 interlaced RGB + palette, and 16-bit RGB (random low
+        # bytes prove the high-byte reduction) — all JDK-checked
+        out.append((f"rgb8i_{k}", _encode_png_adam7(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 2)))
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        out.append((f"pal8i_{k}", _encode_png_adam7(
+            rng.integers(0, 256, (h, w), dtype=np.uint8), 3,
+            palette=pal)))
+        out.append((f"rgb16_{k}", _encode_png_16bit(
+            rng.integers(0, 1 << 16, (h, w, 3)).astype(np.uint16), 2)))
     return out
 
 
@@ -214,13 +271,13 @@ def decode_png_gray(data: bytes) -> np.ndarray:
             w, h, bit, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", payload)
             channels = _PNG_CHANNELS.get(color)
-            sub_byte_ok = color in (0, 3) and bit in (1, 2, 4)
-            if channels is None or interlace != 0 or \
-                    not (bit == 8 or sub_byte_ok):
+            bit_ok = (bit == 8
+                      or (color in (0, 3) and bit in (1, 2, 4))
+                      or (bit == 16 and color in (0, 2, 4, 6)))
+            if channels is None or interlace not in (0, 1) or not bit_ok:
                 raise NotImplementedError(
                     f"PNG bit={bit} color={color} interlace={interlace} "
-                    "unsupported (non-interlaced 8-bit gray/RGB[A]/"
-                    "palette or 1/2/4-bit gray/palette only)")
+                    "unsupported")
         elif typ == b"PLTE":
             plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
@@ -231,16 +288,79 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         raise ValueError("malformed PNG (missing IHDR/IDAT)")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    stride = (w * channels * bit + 7) // 8  # bytes per scanline
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    rows = raw.reshape(h, stride + 1)
-    ftype = rows[:, 0]
-    out = np.zeros((h, stride), np.uint8)
     bpp = max(1, channels * bit // 8)  # filters act on bytes (spec 9.2)
+
+    def extract(rows_bytes: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """(ph, stride) unfiltered bytes -> (ph, pw, channels) uint8
+        samples. 16-bit samples scale by round(v / 257) — the exact
+        16->8 inverse (65535/255 == 257), matching the JDK's ImageIO
+        reduction bit for bit; sub-byte samples unpack MSB-first
+        (spec 7.2)."""
+        if bit == 8:
+            return rows_bytes[:, :pw * channels] \
+                .reshape(ph, pw, channels)
+        if bit == 16:
+            v = rows_bytes[:, :pw * channels * 2] \
+                .reshape(ph, pw, channels, 2).astype(np.uint32)
+            v16 = (v[:, :, :, 0] << 8) | v[:, :, :, 1]
+            return ((v16 + 128) // 257).astype(np.uint8)
+        bits = np.unpackbits(rows_bytes, axis=1)[:, :pw * bit] \
+            .reshape(ph, pw, bit).astype(np.uint8)
+        weights = (1 << np.arange(bit - 1, -1, -1)).astype(np.uint8)
+        return (bits * weights).sum(axis=2).astype(np.uint8)[:, :, None]
+
+    if interlace == 0:
+        stride = (w * channels * bit + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        samples = extract(_png_unfilter(raw.reshape(h, stride + 1),
+                                        bpp), h, w)
+    else:  # Adam7: 7 sub-images, each filtered independently
+        samples = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * channels * bit + 7) // 8
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise ValueError("PNG data length mismatch (interlace)")
+            block = raw[off:off + need].reshape(ph, stride + 1)
+            off += need
+            samples[y0::dy, x0::dx, :] = extract(
+                _png_unfilter(block, bpp), ph, pw)
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch (interlace)")
+
+    if color == 3:
+        px = plte[samples[:, :, 0]]  # palette indices -> (h, w, 3) RGB
+    elif color == 0 and bit in (1, 2, 4):
+        # sub-byte gray: rescale to the 8-bit range (spec 12.5)
+        return (samples[:, :, 0].astype(np.uint16) * 255
+                // ((1 << bit) - 1)).astype(np.uint8)
+    elif channels in (1, 2):  # gray / gray+alpha
+        return np.ascontiguousarray(samples[:, :, 0])
+    else:
+        px = samples
+    luma = (0.299 * px[:, :, 0].astype(np.float64)
+            + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
+    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
+def _png_unfilter(rows: np.ndarray, bpp: int) -> np.ndarray:
+    """Undo the five PNG scanline filters over (n, stride+1) bytes
+    (leading filter-type byte per row); returns (n, stride) uint8."""
+    n, s1 = rows.shape
+    stride = s1 - 1
+    ftype = rows[:, 0]
+    out = np.zeros((n, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
-    for y in range(h):
+    for y in range(n):
         cur = rows[y, 1:].astype(np.int32)
         f = int(ftype[y])
         if f == 0:
@@ -271,26 +391,7 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         rec &= 0xFF
         out[y] = rec
         prev = rec
-    if bit < 8:
-        # MSB-first packing within each byte (spec 7.2): unpack each
-        # scanline to bits, regroup into bit-wide samples
-        bits = np.unpackbits(out, axis=1)[:, :w * bit] \
-            .reshape(h, w, bit).astype(np.uint8)
-        weights = (1 << np.arange(bit - 1, -1, -1)).astype(np.uint8)
-        samples = (bits * weights).sum(axis=2).astype(np.uint8)
-        if color == 0:  # sub-byte gray: rescale to 8-bit range
-            return (samples.astype(np.uint16) * 255
-                    // ((1 << bit) - 1)).astype(np.uint8)
-        px = plte[samples]  # palette indices -> (h, w, 3) RGB
-    else:
-        px = out.reshape(h, w, channels)
-        if color == 3:
-            px = plte[px[:, :, 0]]  # (h, w, 3) RGB via PLTE
-        elif channels in (1, 2):  # gray / gray+alpha
-            return np.ascontiguousarray(px[:, :, 0])
-    luma = (0.299 * px[:, :, 0].astype(np.float64)
-            + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2])
-    return np.clip(np.round(luma), 0, 255).astype(np.uint8)
+    return out
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:

@@ -244,8 +244,9 @@ def test_png_unsupported_raises():
                 + chunk(b"IDAT", zlib.compress(bytes(5)))
                 + chunk(b"IEND", b""))
 
-    # 16-bit, interlaced, and sub-byte RGB stay clean NotImplementedError
-    for bit, color, inter in ((16, 0, 0), (8, 0, 1), (4, 2, 0)):
+    # sub-byte RGB, 16-bit palette, and invalid color types stay clean
+    # NotImplementedError (16-bit gray/RGB[A] and Adam7 are supported now)
+    for bit, color, inter in ((4, 2, 0), (16, 3, 0), (8, 5, 0)):
         with pytest.raises(NotImplementedError):
             decode_png_gray(ihdr_png(bit, color, inter))
 
@@ -300,9 +301,11 @@ def test_png_subbyte_gray_scaling():
 
 
 def test_png_palette_rgb_match_jdk_goldens():
-    """Palette (bit 1/2/4/8) and RGB/RGBA decodes match the JDK ImageIO
-    oracle bit-for-bit (golden/png.json, tools/gen_goldens.py gen_png —
-    the PLTE lookup happens inside the JDK there)."""
+    """Palette (bit 1/2/4/8), RGB/RGBA, Adam7-INTERLACED rgb/palette and
+    16-bit RGB decodes match the JDK ImageIO oracle bit-for-bit
+    (golden/png.json, tools/gen_goldens.py gen_png — the PLTE lookup,
+    interlace reassembly and 16->8 reduction happen inside the JDK
+    there)."""
     import hashlib
     import json
     import os
@@ -316,7 +319,7 @@ def test_png_palette_rgb_match_jdk_goldens():
                       "png.json")
     golden = {r["name"]: r for r in json.load(open(gp))["png_luma"]}
     fixtures = {nm: data for nm, data in make_png_fixture_set()}
-    assert len(golden) == 24
+    assert len(golden) == 36
     for nm, g in golden.items():
         luma = decode_png_gray(fixtures[nm])
         assert luma.shape == (g["h"], g["w"]), nm
@@ -389,3 +392,18 @@ def test_png_and_wav_flow_through_stages():
     assert a.column("rms").to_pylist() == b.column("rms").to_pylist()
     assert a.column("zero_crossing_rate").to_pylist() == \
         b.column("zero_crossing_rate").to_pylist()
+
+
+def test_png_16bit_gray_scaling():
+    """16-bit grayscale reduces by round(v/257) — the exact 16->8
+    inverse (the JDK-checked convention on the RGB fixtures)."""
+    from markdown_query_ray.pipelines.multimodal import (
+        _encode_png_16bit,
+        decode_png_gray,
+    )
+
+    v = np.array([[0, 1, 128, 257, 385, 386, 32767, 65535,
+                   0xAB00, 0xABFF, 0x00FF, 0xFF00]], np.uint16)
+    got = decode_png_gray(_encode_png_16bit(v, 0))
+    want = ((v.astype(np.uint32) + 128) // 257).astype(np.uint8)
+    assert np.array_equal(got, want)

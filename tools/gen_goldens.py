@@ -235,7 +235,8 @@ def gen_mpeg1(n: int = 60, n_samples: int = 4) -> list:
 
 def gen_png() -> list:
     """Golden for the PNG decoder's colormodel paths (PALETTE at bit
-    1/2/4/8, RGB, RGBA): decode the deterministic fixture set with the
+    1/2/4/8, RGB, RGBA, Adam7-interlaced RGB/palette, 16-bit RGB):
+    decode the deterministic fixture set with the
     JDK's ImageIO (getRGB applies the PLTE lookup inside the JDK,
     independently of our decoder), fold to BT.601 luma, and record the
     luma sha256 per fixture. Gray / gray+alpha fixtures are EXCLUDED
