@@ -12,8 +12,12 @@ corpus:
    one ``np.unique`` pass, already deduplicated within the batch;
 2. one small ``groupby(group, value).sum`` shuffle (at most
    |groups| x |distinct values| rows total, independent of row count);
-3. DISTRIBUTED rank selection over the histogram — the driver never
-   sees the (group, value) rows themselves:
+3. rank selection. Below ``SMALL_HIST_ROWS`` distinct (group, value)
+   pairs the histogram is a driver-trivial table and is collected
+   directly (one bounded collect beats two more distributed passes —
+   the explicit, logged resolution threshold); above it, DISTRIBUTED
+   rank selection keeps the histogram in the object store and the
+   driver never sees the (group, value) rows themselves:
 
    a. a second tiny ``groupby(group, value >> 25).sum`` folds the
       histogram into coarse buckets; the driver collects at most
@@ -52,6 +56,7 @@ DEFAULT_QS = (Fraction(1, 4), Fraction(1, 2), Fraction(3, 4),
               Fraction(9, 10), Fraction(99, 100))
 
 VBUCKET_BITS = 25  # coarse buckets of 2^25 values -> <=2^15 per group
+SMALL_HIST_ROWS = 200_000  # driver-collect threshold (~5 MB table)
 
 
 def _hist_partials(batch: pa.Table, group_col: str,
@@ -88,6 +93,29 @@ def group_quantiles(ds, group_col: str, value_col: str,
         .groupby([group_col, value_col]) \
         .aggregate(Sum("cnt_part", alias_name="cnt")) \
         .materialize()  # bounded by value domain; consumed twice below
+
+    # explicit small-histogram fast path: below SMALL_HIST_ROWS the
+    # whole (group, value) histogram is a driver-trivial table and one
+    # collect beats two more distributed passes (count() on the
+    # materialized histogram is metadata-only). The bound is what makes
+    # this scale-safe: above it, the distributed selection keeps driver
+    # state at the coarse-bucket table regardless of distinct values.
+    if hist.count() <= SMALL_HIST_ROWS:
+        t = hist.sort([group_col, value_col]).to_pandas()
+        rows = []
+        for grp, sub in t.groupby(group_col, sort=True):
+            vals = sub[value_col].to_numpy(np.int64)
+            cum = np.cumsum(sub["cnt"].to_numpy(np.int64))
+            n = int(cum[-1])
+            for q in qs:
+                rank = max(1, -((-q.numerator * n) // q.denominator))
+                i = int(np.searchsorted(cum, rank, side="left"))
+                rows.append((str(grp), float(q), int(vals[i])))
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows], pa.string()),
+            "q": pa.array([r[1] for r in rows], pa.float64()),
+            "quantile": pa.array([r[2] for r in rows], pa.int64()),
+        })
 
     def coarse_part(b: pa.Table) -> pa.Table:
         v = b.column(value_col).to_numpy().astype(np.int64)

@@ -68,10 +68,15 @@ def test_value_domain_guard():
         _hist_partials(t, "g", "v")
 
 
-def test_wide_domain_multiple_coarse_buckets(ray_session):
+def test_wide_domain_multiple_coarse_buckets(ray_session, monkeypatch):
     """Values spanning many 2^25-wide coarse buckets: the distributed
     rank selection must cross bucket boundaries correctly (including a
-    quantile that lands exactly on a bucket's first/last value)."""
+    quantile that lands exactly on a bucket's first/last value).
+    SMALL_HIST_ROWS is forced to 0 so the distributed path runs even at
+    test size."""
+    import markdown_query_ray.pipelines.quantiles as qmod
+
+    monkeypatch.setattr(qmod, "SMALL_HIST_ROWS", 0)
     rng = np.random.default_rng(7)
     n = 4000
     groups = [f"g{i % 2}" for i in range(n)]
@@ -91,6 +96,7 @@ def test_driver_state_bounded_by_coarse_buckets(ray_session,
     import markdown_query_ray.pipelines.quantiles as qmod
 
     monkeypatch.setattr(qmod, "VBUCKET_BITS", 2)
+    monkeypatch.setattr(qmod, "SMALL_HIST_ROWS", 0)
     rng = np.random.default_rng(3)
     groups = ["a"] * 5000 + ["b"] * 5000
     values = rng.integers(0, 64, 10000).astype(np.int64).tolist()
