@@ -1115,6 +1115,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "hash_split_counts": d.hash_split_counts,
         # -- round 4: mergeable sketches --------------------------------------
         "hll_user_registers": d.hll_user_registers,
+        "cms_token_registers": d.cms_token_registers,
         # -- round 3: curation operators -------------------------------------
         "seq_packing": d.seq_packing,
         "pii_redact": d.pii_redact,
@@ -1515,6 +1516,21 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         # (the trailing-zero convention is exact in BOTH engines —
         # pipelines/sketches.py documents why leading-zero floor(log2)
         # is not)
+        # Count-Min frequency sketch over whitespace tokens: cell (r, c)
+        # counts tokens with FNV(FNV(token) XOR r) % 2048 == c — both
+        # FNV folds have verified DuckDB replays; cells are
+        # order-independent sums so the replay is exact
+        "cms_token_registers": (
+            "WITH toks AS (SELECT unnest(list_filter(string_split("
+            "text, ' '), x -> x <> '')) AS word FROM documents), "
+            f"h0 AS (SELECT ({_fnv_str_sql('word')}) AS base FROM toks), "
+            "hr AS (SELECT g.r, "
+            f"({_fnv_u64le_sql('xor(base, CAST(g.r AS UBIGINT))')}) AS h "
+            "FROM h0, generate_series(0, 3) AS g(r)) "
+            "SELECT CAST(r AS BIGINT) AS row, "
+            "CAST(h % 2048 AS BIGINT) AS cell, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM hr "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
         "hll_user_registers": (
             "WITH h AS (SELECT "
             f"({_fnv_u64le_sql('CAST(user_id AS UBIGINT)')}) AS h "

@@ -166,6 +166,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     with timed("media_decode"):  # round 4: REAL jpeg (210 imgs incl.
         d.jpeg_features(sf_dir)  # 4:2:0+progressive) + mjpeg avi (60
         d.mjpeg_frame_feats(sf_dir)  # videos), actor-pool decode+features
+        d.mpeg1_frame_feats(sf_dir)  # round 5: MPEG-1 I-frame streams
     with timed("ccnet_buckets"):  # per-lang tertile quality gates
         d.ccnet_quality_buckets(sf_dir)
     with timed("bpe_train_encode"):  # trained byte-BPE: count->merge->encode

@@ -1998,6 +1998,30 @@ def hll_user_registers(sf_dir: str, p: int = 12) -> pa.Table:
     })
 
 
+def cms_token_registers(sf_dir: str, depth: int = 4,
+                        width: int = 2048) -> pa.Table:
+    """Count-Min frequency sketch over the documents' whitespace
+    tokens: the (row, cell, cnt) counter table, sorted — deterministic
+    data the SQL oracle replays bit-for-bit (pipelines/sketches.py;
+    every cell is an order-independent sum, so the sketch merges by
+    addition in one <= depth*width-row exchange). The point-estimate
+    helper ``cms_estimate`` is accuracy-pytest-asserted against exact
+    counts."""
+    import ray.data
+
+    from .sketches import cms_registers
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    t = _collect(cms_registers(ds, "text", depth=depth, width=width)) \
+        .sort_by([("row", "ascending"), ("cell", "ascending")])
+    return pa.table({
+        "row": t.column("row").cast(pa.int64()),
+        "cell": t.column("cell").cast(pa.int64()),
+        "cnt": t.column("cnt").cast(pa.int64()),
+    })
+
+
 def _collect(ds) -> pa.Table:
     """Materialize a (small, aggregated) Dataset result to one Table.
 

@@ -1,5 +1,5 @@
-"""Mergeable cardinality sketches: HyperLogLog with SQL-replayable
-registers.
+"""Mergeable sketches with SQL-replayable registers: HyperLogLog
+(cardinality) and Count-Min (frequency).
 
 COUNT DISTINCT at 10^12 rows is the canonical sketch use case (Flajolet,
 Fusy, Gandouet & Meunier 2007, "HyperLogLog: the analysis of a
@@ -103,3 +103,88 @@ def hll_estimate(registers: pa.Table, p: int = 12) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications" — public
+# literature): depth x width counter matrix, cell (r, c) = number of
+# stream items whose r-th hash lands on c. Every cell is an
+# ORDER-INDEPENDENT SUM, so the sketch is mergeable by element-wise
+# addition — exactly a map-side-combined ``groupby(row, cell).sum()``
+# in Ray Data, with depth*width counters of state total regardless of
+# corpus size. Point estimate = min over rows (one-sided overestimate,
+# error <= e/width * N with prob 1 - e^-depth).
+#
+# Like the HLL above, the DETERMINISTIC register table is the pipeline
+# output, replayable bit-for-bit by SQL: the r-th hash is
+# FNV-1a64(FNV-1a64(token_utf8) XOR r) over the 8 LE bytes — both
+# folds already have verified DuckDB replays (_fnv_str_sql /
+# _fnv_u64le_sql), and XOR + modulo are exact in both engines.
+# ---------------------------------------------------------------------------
+
+def cms_hash_cells(tokens, depth: int, width: int) -> np.ndarray:
+    """(depth, n) cell indices for a pyarrow string array of tokens:
+    row r uses FNV-1a64(base XOR r) % width with base =
+    FNV-1a64(token bytes)."""
+    from ..functions.hashing import fnv1a64_strings
+    from .dedup import _fnv1a_u64_rows
+
+    base = fnv1a64_strings(tokens)
+    cells = np.empty((depth, len(base)), np.int64)
+    for r in range(depth):
+        hr = _fnv1a_u64_rows((base ^ np.uint64(r))[:, None])
+        cells[r] = (hr % np.uint64(width)).astype(np.int64)
+    return cells
+
+
+def cms_partial_batch(batch: pa.Table, col: str, depth: int,
+                      width: int) -> pa.Table:
+    """Map-side combine over the batch's whitespace tokens: non-zero
+    cells (row, cell, cnt_part). At most depth*width rows leave the
+    task however large the batch."""
+    import pyarrow.compute as pc
+
+    # single-space split, matching the term_df/oracle convention
+    # (string_split(text, ' ') with empties filtered)
+    toks = pc.list_flatten(pc.split_pattern(
+        pc.fill_null(batch.column(col), ""), " "))
+    toks = toks.filter(pc.not_equal(toks, ""))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    cells = cms_hash_cells(toks, depth, width)
+    regs = np.zeros((depth, width), np.int64)
+    ones = np.ones(cells.shape[1], np.int64)
+    for r in range(depth):
+        np.add.at(regs[r], cells[r], ones)
+    rr, cc = np.nonzero(regs)
+    return pa.table({"row": pa.array(rr.astype(np.int64)),
+                     "cell": pa.array(cc.astype(np.int64)),
+                     "cnt_part": pa.array(regs[rr, cc])})
+
+
+def cms_registers(ds, col: str = "text", depth: int = 4,
+                  width: int = 2048):
+    """Dataset of the sketch's non-zero counters (row, cell, cnt) —
+    one tiny exchange of <= depth*width rows per block."""
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(
+        partial(cms_partial_batch, col=col, depth=depth, width=width),
+        batch_format="pyarrow") \
+        .groupby(["row", "cell"]).aggregate(Sum("cnt_part",
+                                                alias_name="cnt"))
+
+
+def cms_estimate(registers: pa.Table, tokens: list[str],
+                 depth: int = 4, width: int = 2048) -> dict[str, int]:
+    """Point-estimate counts for ``tokens`` from a (row, cell, cnt)
+    register table: min over rows (the CMS guarantee: >= true count,
+    <= true + N*e/width w.h.p.)."""
+    regs = np.zeros((depth, width), np.int64)
+    rr = registers.column("row").to_numpy().astype(np.int64)
+    cc = registers.column("cell").to_numpy().astype(np.int64)
+    regs[rr, cc] = registers.column("cnt").to_numpy().astype(np.int64)
+    cells = cms_hash_cells(pa.array(tokens, pa.string()), depth, width)
+    return {t: int(regs[np.arange(depth), cells[:, i]].min())
+            for i, t in enumerate(tokens)}
