@@ -1836,7 +1836,15 @@ def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
             gated, flagged, "doc_id",
             pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
                        ("lang", pa.string()), ("url", pa.string())]))
-        update_index(out, dataset=survivors, cfg=cfg)
+        # update_index consumes its input dataset more than once;
+        # checkpoint the survivors so the verify/anti-join chain (the
+        # two heaviest stages of the refresh) executes ONCE instead of
+        # per consumer — same crash-safe parquet pattern as _gated_new
+        surv_ck = os.path.join(out, "_survivors")
+        shutil.rmtree(surv_ck, ignore_errors=True)
+        survivors.write_parquet(surv_ck)
+        update_index(out, dataset=ray.data.read_parquet(surv_ck),
+                     cfg=cfg)
         with open(done, "w") as f:
             f.write("ok")
     node = _or_node(terms)
