@@ -1116,6 +1116,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         # -- round 4: mergeable sketches --------------------------------------
         "hll_user_registers": d.hll_user_registers,
         "cms_token_registers": d.cms_token_registers,
+        "event_value_quantiles": d.event_value_quantiles,
         # -- round 3: curation operators -------------------------------------
         "seq_packing": d.seq_packing,
         "pii_redact": d.pii_redact,
@@ -1516,6 +1517,13 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         # (the trailing-zero convention is exact in BOTH engines —
         # pipelines/sketches.py documents why leading-zero floor(log2)
         # is not)
+        # float64 quantile_disc via the IEEE-754 order-isomorphic key
+        "event_value_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+                f"quantile_disc(value, {q}) AS quantile "
+                "FROM events GROUP BY event_type" for q in
+                (0.25, 0.5, 0.75, 0.9, 0.99))),
         # Count-Min frequency sketch over whitespace tokens: cell (r, c)
         # counts tokens with FNV(FNV(token) XOR r) % 2048 == c — both
         # FNV folds have verified DuckDB replays; cells are

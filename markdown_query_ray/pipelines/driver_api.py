@@ -2006,6 +2006,20 @@ def hll_user_registers(sf_dir: str, p: int = 12) -> pa.Table:
     })
 
 
+def event_value_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-event-type discrete quantiles of the FLOAT64 value
+    column — the float path of the distributed quantile machinery
+    (IEEE-754 order-isomorphic keys, pipelines/quantiles.py), matched
+    bit-for-bit by DuckDB quantile_disc."""
+    import ray.data
+
+    from .quantiles import group_quantiles_float
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return group_quantiles_float(ds, "event_type", "value")
+
+
 def cms_token_registers(sf_dir: str, depth: int = 4,
                         width: int = 2048) -> pa.Table:
     """Count-Min frequency sketch over the documents' whitespace

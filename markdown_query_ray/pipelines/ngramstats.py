@@ -293,18 +293,13 @@ def ccnet_buckets(ds, scale: int = 1024, num_buckets: int = 64,
         if len(sc):
             # two hard bounds, both loud: the fixed-point product must
             # fit int64 for THIS scale, and the resulting metric must fit
-            # the quantile histogram's value domain (< 2^40,
-            # quantiles._hist_partials) — corpora whose mean bigram count
-            # exceeds 2^40/scale need a smaller `scale`
+            # one hard bound, loud: the fixed-point product must fit
+            # int64 for THIS scale (the quantile histogram itself now
+            # spans the full int64 domain — round 5)
             if int(sc.max()) >= 2 ** 63 // scale:
                 raise ValueError(
                     f"sum_count x scale={scale} overflows int64; "
                     "reduce scale")
-            m_max = int((sc * scale // np.maximum(nb, 1)).max())
-            if m_max >= 1 << 40:
-                raise ValueError(
-                    f"ccnet metric {m_max} exceeds the 2^40 quantile "
-                    f"histogram domain; reduce scale={scale}")
         return pa.table({
             "doc_id": b.column("doc_id").cast(pa.int64()),
             "metric": pa.array(sc * scale // np.maximum(nb, 1)),

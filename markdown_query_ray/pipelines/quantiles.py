@@ -1,16 +1,18 @@
-"""Exact per-group discrete quantiles of an integer column, by histogram.
+"""Exact per-group discrete quantiles of int64 / float64 columns, by
+histogram.
 
 Percentile gates (drop the shortest 5% of docs per language, cap at the
 99th length percentile, report p50/p90 dashboards) need quantiles over
 corpus-scale groups. Sorting each group (``map_groups`` over a whole
 language) would pull a corpus-scale group into one worker; instead,
-integer-valued columns (lengths, token counts) admit an EXACT quantile
-via value histograms whose size is bounded by the VALUE DOMAIN, not the
-corpus:
+columns with countable value sets (lengths, token counts, fixed-point
+metrics — and float64 via the IEEE-754 order isomorphism below) admit
+an EXACT quantile via value histograms whose size is bounded by the
+number of DISTINCT VALUES, not the corpus:
 
 1. map-side combine: each batch emits (group, value, count) partials —
-   one ``np.unique`` pass, already deduplicated within the batch;
-2. one small ``groupby(group, value).sum`` shuffle (at most
+   one lexicographic sort pass, already deduplicated within the batch;
+2. one ``groupby(group, value).sum`` shuffle (at most
    |groups| x |distinct values| rows total, independent of row count);
 3. rank selection. Below ``SMALL_HIST_ROWS`` distinct (group, value)
    pairs the histogram is a driver-trivial table and is collected
@@ -19,29 +21,39 @@ corpus:
    rank selection keeps the histogram in the object store and the
    driver never sees the (group, value) rows themselves:
 
-   a. a second tiny ``groupby(group, value >> 25).sum`` folds the
-      histogram into coarse buckets; the driver collects at most
-      |groups| x 2^15 bucket totals (the 2^40 value domain / 2^25-wide
-      buckets) REGARDLESS of how many distinct values exist, computes
+   a. an ADAPTIVE coarse bucketing — bucket = (value - min) >> shift
+      with shift chosen from the observed [min, max] span so at most
+      ~2^15 buckets exist — folds the histogram into per-(group,
+      bucket) totals; the driver collects those (<= |groups| x 2^16
+      rows REGARDLESS of how many distinct values exist), computes
       each group's exclusive prefix over buckets, and locates for
       every quantile the bucket holding its rank plus the residual
       rank within that bucket;
    b. one filtered pass over the histogram keeps only targeted
       (group, bucket) rows; a per-(group, bucket) ``map_groups`` sorts
-      that bucket's values (<= 2^25 distinct, on a worker) and reads
-      the answers off the local cumulative sum. Only |groups| x |qs|
-      result rows reach the driver.
+      that bucket's values on a worker and reads the answers off the
+      local cumulative sum. Only |groups| x |qs| result rows reach the
+      driver.
 
    The discrete quantile is ``q_disc(q) = smallest v with cum_count >=
    max(1, ceil(q * n))`` — bit-identical to DuckDB's ``quantile_disc``
    (verified: n=10 gives q.25->3rd, q.5->5th, q.75->8th, q.9->9th
    element; q=0 -> 1st, q=1 -> nth).
 
-At 100 TB the only driver state is the coarse-bucket table (e.g.
-5 langs x <=32k buckets) plus the |groups| x |qs| answers — independent
-of both corpus size and distinct-value count (the round-4 watch item:
-a high-resolution metric at 10^12 docs could push the distinct-value
-histogram toward ~10^8 rows, which now stays in the object store).
+Value domain: the FULL int64 range (negatives included — arithmetic
+order is preserved through an XOR-2^63 unsigned view for the bucket
+math). ``group_quantiles_float`` extends the same machinery to float64
+EXACTLY: finite IEEE-754 doubles map to int64 keys that preserve
+ordering (positive floats are their own bit patterns; negative floats
+flip the magnitude bits), -0.0 normalizes to +0.0 so SQL comparison
+semantics match, and NaNs raise (DuckDB's quantile ignores NULLs but
+orders NaN last — callers filter them explicitly).
+
+At 100 TB the only driver state is the coarse-bucket table plus the
+|groups| x |qs| answers — independent of both corpus size and
+distinct-value count (the round-4 watch item: a high-resolution metric
+at 10^12 docs could push the distinct-value histogram toward ~10^8
+rows, which now stays in the object store).
 """
 
 from __future__ import annotations
@@ -55,25 +67,33 @@ import pyarrow as pa
 DEFAULT_QS = (Fraction(1, 4), Fraction(1, 2), Fraction(3, 4),
               Fraction(9, 10), Fraction(99, 100))
 
-VBUCKET_BITS = 25  # coarse buckets of 2^25 values -> <=2^15 per group
+MAX_COARSE_BITS = 15  # target <= ~2^15 coarse buckets over the span
 SMALL_HIST_ROWS = 200_000  # driver-collect threshold (~5 MB table)
+
+_SIGN = np.uint64(1 << 63)
+
+
+def _to_u(v: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 -> uint64 view (x + 2^63 mod 2^64)."""
+    return v.astype(np.uint64) + _SIGN
 
 
 def _hist_partials(batch: pa.Table, group_col: str,
                    value_col: str) -> pa.Table:
     g = batch.column(group_col).to_pylist()
     v = batch.column(value_col).to_numpy().astype(np.int64)
-    if len(v) and (v.min() < 0 or v.max() >= (1 << 40)):
-        raise ValueError("histogram quantiles need values in [0, 2^40)")
-    # one lexicographic unique over (group code, value)
     codes, ginv = np.unique(np.asarray(g, object), return_inverse=True)
-    key = ginv.astype(np.int64) * (np.int64(1) << 40) + v
-    uk, inv = np.unique(key, return_inverse=True)
-    cnt = np.zeros(len(uk), np.int64)
-    np.add.at(cnt, inv, 1)
+    order = np.lexsort((v, ginv))
+    gs, vs = ginv[order], v[order]
+    new = np.empty(len(vs), bool)
+    if len(vs):
+        new[0] = True
+        new[1:] = (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(vs)))
     return pa.table({
-        group_col: pa.array(codes[(uk >> 40)].tolist(), pa.string()),
-        value_col: pa.array(uk & ((np.int64(1) << 40) - 1)),
+        group_col: pa.array(codes[gs[starts]].tolist(), pa.string()),
+        value_col: pa.array(vs[starts]),
         "cnt_part": pa.array(cnt),
     })
 
@@ -81,10 +101,11 @@ def _hist_partials(batch: pa.Table, group_col: str,
 def group_quantiles(ds, group_col: str, value_col: str,
                     qs=DEFAULT_QS) -> pa.Table:
     """pa.Table of (group, q, quantile) — exact ``quantile_disc``
-    semantics per group. ``qs`` are Fractions so the rank computation
-    ``max(1, ceil(q*n))`` is exact integer arithmetic."""
+    semantics per group over an int64 column (full range). ``qs`` are
+    Fractions so the rank computation ``max(1, ceil(q*n))`` is exact
+    integer arithmetic."""
     import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     qs = list(qs)
     hist = ds.map_batches(
@@ -92,7 +113,7 @@ def group_quantiles(ds, group_col: str, value_col: str,
         batch_format="pyarrow") \
         .groupby([group_col, value_col]) \
         .aggregate(Sum("cnt_part", alias_name="cnt")) \
-        .materialize()  # bounded by value domain; consumed twice below
+        .materialize()  # bounded by distinct values; consumed below
 
     # explicit small-histogram fast path: below SMALL_HIST_ROWS the
     # whole (group, value) histogram is a driver-trivial table and one
@@ -117,11 +138,24 @@ def group_quantiles(ds, group_col: str, value_col: str,
             "quantile": pa.array([r[2] for r in rows], pa.int64()),
         })
 
+    # adaptive coarse granularity from the observed span: shift such
+    # that (max - min) >> shift < 2^MAX_COARSE_BITS
+    mm = hist.aggregate(Min(value_col), Max(value_col))
+    vmin = np.int64(mm[f"min({value_col})"])
+    span = int(_to_u(np.asarray([mm[f"max({value_col})"]],
+                                np.int64))[0]) \
+        - int(_to_u(np.asarray([vmin], np.int64))[0])
+    shift = np.uint64(max(0, span.bit_length() - MAX_COARSE_BITS))
+    uvmin = _to_u(np.asarray([vmin], np.int64))[0]
+
+    def vbucket_of(v: np.ndarray) -> np.ndarray:
+        return ((_to_u(v) - uvmin) >> shift).astype(np.int64)
+
     def coarse_part(b: pa.Table) -> pa.Table:
         v = b.column(value_col).to_numpy().astype(np.int64)
         return pa.table({
             group_col: b.column(group_col),
-            "vbucket": pa.array(v >> VBUCKET_BITS),
+            "vbucket": pa.array(vbucket_of(v)),
             "cnt_part": b.column("cnt"),
         })
 
@@ -130,7 +164,7 @@ def group_quantiles(ds, group_col: str, value_col: str,
         .aggregate(Sum("cnt_part", alias_name="cnt")) \
         .sort([group_col, "vbucket"]).to_pandas()
 
-    # driver: per group, exclusive prefix over <=2^15 coarse buckets;
+    # driver: per group, exclusive prefix over <=2^16 coarse buckets;
     # locate each quantile's bucket + residual in-bucket rank
     targets: dict[tuple[str, int], list[tuple[float, int]]] = {}
     for grp, sub in ct.groupby(group_col, sort=True):
@@ -155,7 +189,7 @@ def group_quantiles(ds, group_col: str, value_col: str,
         _, by_group = ray.get(targets_ref)
         g = np.asarray(b.column(group_col).to_pylist(), object)
         v = b.column(value_col).to_numpy().astype(np.int64)
-        vb = v >> VBUCKET_BITS
+        vb = vbucket_of(v)
         keep = np.zeros(len(v), bool)
         codes, inv = np.unique(g, return_inverse=True)
         for ci, gg in enumerate(codes):
@@ -165,7 +199,7 @@ def group_quantiles(ds, group_col: str, value_col: str,
                 keep[sel] = np.isin(vb[sel], tb)
         out = b.filter(pa.array(keep))
         ov = out.column(value_col).to_numpy().astype(np.int64)
-        return out.append_column("vbucket", pa.array(ov >> VBUCKET_BITS))
+        return out.append_column("vbucket", pa.array(vbucket_of(ov)))
 
     empty = pa.schema([(group_col, pa.string()), ("q", pa.float64()),
                        ("quantile", pa.int64())]).empty_table()
@@ -181,7 +215,7 @@ def group_quantiles(ds, group_col: str, value_col: str,
             return empty
         v = group.column(value_col).to_numpy().astype(np.int64)
         c = group.column("cnt").to_numpy().astype(np.int64)
-        order = np.argsort(v)
+        order = np.argsort(_to_u(v))  # unsigned == value order
         v, c = v[order], c[order]
         cum = np.cumsum(c)
         ranks = np.asarray([r for _, r in wanted], np.int64)
@@ -208,4 +242,58 @@ def group_quantiles(ds, group_col: str, value_col: str,
         group_col: pa.array([r[0] for r in rows], pa.string()),
         "q": pa.array([r[1] for r in rows], pa.float64()),
         "quantile": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# float64 quantiles via the IEEE-754 order isomorphism
+# ---------------------------------------------------------------------------
+
+_MAG = np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def float_order_key(x: np.ndarray) -> np.ndarray:
+    """Finite float64 -> int64 key, strictly order-preserving: positive
+    floats (and +0.0) keep their bit pattern; negative floats flip the
+    magnitude bits so larger-magnitude negatives sort lower. -0.0
+    normalizes to +0.0 first (SQL comparison treats them equal). NaNs
+    raise — filter them before asking for quantiles."""
+    x = np.asarray(x, np.float64)
+    if np.isnan(x).any():
+        raise ValueError("NaN values have no quantile order; filter "
+                         "them first")
+    x = x + 0.0  # -0.0 -> +0.0
+    b = x.view(np.int64)
+    return np.where(b >= 0, b, b ^ _MAG)
+
+
+def float_from_key(k: np.ndarray) -> np.ndarray:
+    """Inverse of ``float_order_key``."""
+    k = np.asarray(k, np.int64)
+    b = np.where(k >= 0, k, k ^ _MAG)
+    return b.view(np.float64)
+
+
+def group_quantiles_float(ds, group_col: str, value_col: str,
+                          qs=DEFAULT_QS) -> pa.Table:
+    """Exact per-group ``quantile_disc`` over a float64 column: maps
+    values to order-isomorphic int64 keys, runs the integer machinery,
+    and maps the answers back — bit-exact vs DuckDB on finite inputs
+    (every returned quantile is an element of the input)."""
+
+    def to_key(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            group_col: b.column(group_col),
+            "__qkey": pa.array(float_order_key(v)),
+        })
+
+    keyed = ds.map_batches(to_key, batch_format="pyarrow")
+    t = group_quantiles(keyed, group_col, "__qkey", qs=qs)
+    return pa.table({
+        group_col: t.column(group_col),
+        "q": t.column("q"),
+        "quantile": pa.array(float_from_key(
+            t.column("quantile").to_numpy().astype(np.int64))),
     })

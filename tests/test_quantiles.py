@@ -59,13 +59,14 @@ def test_duplicate_heavy_values(ray_session):
     assert _run(groups, values, QS) == _duck(groups, values, QS)
 
 
-def test_value_domain_guard():
-    from markdown_query_ray.pipelines.quantiles import _hist_partials
-
-    t = pa.table({"g": pa.array(["a"], pa.string()),
-                  "v": pa.array([-1], pa.int64())})
-    with pytest.raises(ValueError):
-        _hist_partials(t, "g", "v")
+def test_negative_and_full_domain_values(ray_session):
+    """The full int64 domain is supported (round 5): negatives and
+    extreme magnitudes order correctly through the unsigned view."""
+    rng = np.random.default_rng(19)
+    groups = [f"g{i % 2}" for i in range(600)]
+    values = rng.integers(-(1 << 62), 1 << 62, 600).tolist()
+    values[:4] = [-(1 << 62), (1 << 62) - 1, -1, 0]
+    assert _run(groups, values, QS) == _duck(groups, values, QS)
 
 
 def test_wide_domain_multiple_coarse_buckets(ray_session, monkeypatch):
@@ -95,9 +96,65 @@ def test_driver_state_bounded_by_coarse_buckets(ray_session,
     the driver while answers stay exact."""
     import markdown_query_ray.pipelines.quantiles as qmod
 
-    monkeypatch.setattr(qmod, "VBUCKET_BITS", 2)
+    monkeypatch.setattr(qmod, "MAX_COARSE_BITS", 2)
     monkeypatch.setattr(qmod, "SMALL_HIST_ROWS", 0)
     rng = np.random.default_rng(3)
     groups = ["a"] * 5000 + ["b"] * 5000
     values = rng.integers(0, 64, 10000).astype(np.int64).tolist()
     assert _run(groups, values, QS) == _duck(groups, values, QS)
+
+
+def test_float_quantiles_match_duckdb(ray_session, monkeypatch):
+    """group_quantiles_float: exact quantile_disc over float64 via the
+    IEEE-754 order-isomorphic key (both the fast and distributed
+    paths)."""
+    import duckdb as _duckdb
+
+    import markdown_query_ray.pipelines.quantiles as qmod
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    for force_dist in (False, True):
+        if force_dist:
+            monkeypatch.setattr(qmod, "SMALL_HIST_ROWS", 0)
+        vals = np.concatenate([
+            rng.standard_normal(500) * 1e6,
+            rng.standard_normal(500) * 1e-6,
+            [0.0, -0.0, 1.5, -1.5, np.inf, -np.inf],
+        ])
+        groups = [f"g{i % 3}" for i in range(len(vals))]
+        t = pa.table({"g": pa.array(groups, pa.string()),
+                      "v": pa.array(vals, pa.float64())})
+        ds = ray.data.from_arrow(t).repartition(4)
+        out = qmod.group_quantiles_float(ds, "g", "v", qs=QS)
+        got = {(r["g"], round(r["q"], 6)): r["quantile"]
+               for r in out.to_pylist()}
+        con = _duckdb.connect()
+        con.register("t", t)
+        for q in QS:
+            for g, val in con.execute(
+                    "SELECT g, quantile_disc(v, ?) FROM t GROUP BY g",
+                    [float(q)]).fetchall():
+                assert got[(g, round(float(q), 6))] == val,                     (force_dist, g, q)
+
+
+def test_float_nan_raises():
+    from markdown_query_ray.pipelines.quantiles import float_order_key
+
+    with pytest.raises(ValueError, match="NaN"):
+        float_order_key(np.array([1.0, np.nan]))
+
+
+def test_float_key_isomorphism():
+    from markdown_query_ray.pipelines.quantiles import (
+        float_from_key,
+        float_order_key,
+    )
+
+    xs = np.array([-np.inf, -1e300, -2.5, -1e-308, -0.0, 0.0, 5e-324,
+                   1.0, 1e300, np.inf])
+    ks = float_order_key(xs)
+    assert np.all(np.diff(ks) >= 0)  # order-preserving (ties: +-0.0)
+    back = float_from_key(ks)
+    norm = xs + 0.0  # -0.0 normalization is part of the contract
+    assert np.array_equal(back, norm)
