@@ -1117,6 +1117,7 @@ def _queries_all() -> dict[str, Callable[[str], Any]]:
         "hll_user_registers": d.hll_user_registers,
         "cms_token_registers": d.cms_token_registers,
         "event_value_quantiles": d.event_value_quantiles,
+        "domain_capped_docs": d.domain_capped_docs,
         # -- round 3: curation operators -------------------------------------
         "seq_packing": d.seq_packing,
         "pii_redact": d.pii_redact,
@@ -1517,6 +1518,15 @@ SELECT u AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY u ORDER BY doc_id
         # (the trailing-zero convention is exact in BOTH engines —
         # pipelines/sketches.py documents why leading-zero floor(log2)
         # is not)
+        # per-domain crawl quota: first 25 docs by doc_id per registered
+        # domain — SQL row_number replay over the same domain derivation
+        "domain_capped_docs": (
+            f"WITH dd AS (SELECT 'example' || (doc_id % 11) || {_TLD_SQL} "
+            "AS domain, doc_id FROM documents), "
+            "r AS (SELECT domain, doc_id, row_number() OVER ("
+            "PARTITION BY domain ORDER BY doc_id) AS rn FROM dd) "
+            "SELECT domain, doc_id FROM r WHERE rn <= 25 "
+            "ORDER BY domain, doc_id"),
         # float64 quantile_disc via the IEEE-754 order-isomorphic key
         "event_value_quantiles": (
             " UNION ALL ".join(

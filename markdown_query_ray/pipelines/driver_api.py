@@ -2006,6 +2006,60 @@ def hll_user_registers(sf_dir: str, p: int = 12) -> pa.Table:
     })
 
 
+def domain_capped_docs(sf_dir: str, cap: int = 25) -> pa.Table:
+    """Per-registered-domain crawl quota: keep each domain's first
+    ``cap`` docs by doc_id — the standard per-domain cap of web-corpus
+    curation, composed from existing distributed pieces with NO
+    per-domain sort and no corpus on the driver:
+
+    1. PSL registered domain per doc (webnorm, vectorized);
+    2. the cap THRESHOLD per domain = the cap-th smallest doc_id, via
+       the quantile machinery's order-statistic mode
+       (``group_quantiles(..., k=cap)`` — coarse-bucket rank selection,
+       driver holds one threshold per domain);
+    3. broadcast thresholds, zero-shuffle filter ``doc_id <= thr``.
+
+    doc_ids are unique, so exactly min(cap, n_domain) docs survive per
+    domain — bit-identical to SQL row_number() <= cap."""
+    import ray
+    import ray.data
+
+    from .quantiles import group_quantiles
+    from .webnorm import (
+        canonical_url_batch,
+        registered_domain_batch,
+        synth_messy_urls_batch,
+    )
+
+    def to_domain_rows(batch: pa.Table) -> pa.Table:
+        b = synth_messy_urls_batch(batch)
+        b = canonical_url_batch(b)
+        b = registered_domain_batch(b)
+        return pa.table({
+            "domain": b.column("domain"),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"]) \
+        .map_batches(to_domain_rows, batch_format="pyarrow")
+    thr_t = group_quantiles(ds, "domain", "doc_id", k=cap)
+    thr = {d: int(v) for d, v in
+           zip(thr_t.column("domain").to_pylist(),
+               thr_t.column("quantile").to_pylist())}
+    thr_ref = ray.put(thr)
+
+    def keep_capped(b: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        dom = b.column("domain").to_pylist()
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        lim = np.asarray([th[d] for d in dom], np.int64)
+        return b.filter(pa.array(ids <= lim))
+
+    t = _collect(ds.map_batches(keep_capped, batch_format="pyarrow"))
+    return t.sort_by([("domain", "ascending"), ("doc_id", "ascending")])
+
+
 def event_value_quantiles(sf_dir: str) -> pa.Table:
     """Exact per-event-type discrete quantiles of the FLOAT64 value
     column — the float path of the distributed quantile machinery

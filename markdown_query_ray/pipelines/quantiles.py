@@ -98,12 +98,26 @@ def _hist_partials(batch: pa.Table, group_col: str,
     })
 
 
+def _ranks_for(n: int, qs, k: int | None) -> list:
+    """[(label, 1-based rank)] to select for a group of size n: the
+    quantile_disc ranks of ``qs``, or — when ``k`` is given — the
+    single k-th-smallest rank clamped to n (the per-group cap / order
+    statistic used by domain quota selection)."""
+    if k is not None:
+        return [(float(k), min(k, n))]
+    return [(float(q), max(1, -((-q.numerator * n) // q.denominator)))
+            for q in qs]
+
+
 def group_quantiles(ds, group_col: str, value_col: str,
-                    qs=DEFAULT_QS) -> pa.Table:
+                    qs=DEFAULT_QS, k: int | None = None) -> pa.Table:
     """pa.Table of (group, q, quantile) — exact ``quantile_disc``
     semantics per group over an int64 column (full range). ``qs`` are
     Fractions so the rank computation ``max(1, ceil(q*n))`` is exact
-    integer arithmetic."""
+    integer arithmetic. ``k`` switches to ORDER-STATISTIC mode: one row
+    per group holding the k-th smallest value (clamped to the group
+    size; the q column carries float(k)) — same machinery, rank fixed
+    instead of quantile-derived."""
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
@@ -128,10 +142,9 @@ def group_quantiles(ds, group_col: str, value_col: str,
             vals = sub[value_col].to_numpy(np.int64)
             cum = np.cumsum(sub["cnt"].to_numpy(np.int64))
             n = int(cum[-1])
-            for q in qs:
-                rank = max(1, -((-q.numerator * n) // q.denominator))
+            for lbl, rank in _ranks_for(n, qs, k):
                 i = int(np.searchsorted(cum, rank, side="left"))
-                rows.append((str(grp), float(q), int(vals[i])))
+                rows.append((str(grp), lbl, int(vals[i])))
         return pa.table({
             group_col: pa.array([r[0] for r in rows], pa.string()),
             "q": pa.array([r[1] for r in rows], pa.float64()),
@@ -173,11 +186,10 @@ def group_quantiles(ds, group_col: str, value_col: str,
         cum = np.cumsum(c)
         below = cum - c
         n = int(cum[-1])
-        for q in qs:
-            rank = max(1, -((-q.numerator * n) // q.denominator))
+        for lbl, rank in _ranks_for(n, qs, k):
             i = int(np.searchsorted(cum, rank, side="left"))
             targets.setdefault((str(grp), int(vb[i])), []).append(
-                (float(q), int(rank - below[i])))
+                (lbl, int(rank - below[i])))
     buckets_by_group = {}
     for (grp, vb) in targets:
         buckets_by_group.setdefault(grp, []).append(vb)

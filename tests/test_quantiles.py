@@ -158,3 +158,33 @@ def test_float_key_isomorphism():
     back = float_from_key(ks)
     norm = xs + 0.0  # -0.0 normalization is part of the contract
     assert np.array_equal(back, norm)
+
+
+def test_rank_select_mode(ray_session, monkeypatch):
+    """k-th-smallest order-statistic mode (group_quantiles(..., k=N)):
+    matches SQL row_number semantics on both paths, clamping to the
+    group size."""
+    import duckdb as _duckdb
+
+    import markdown_query_ray.pipelines.quantiles as qmod
+    import ray.data
+
+    rng = np.random.default_rng(31)
+    groups = ["a"] * 500 + ["b"] * 30 + ["c"] * 3
+    values = rng.permutation(len(groups)).astype(np.int64).tolist()
+    t = pa.table({"g": pa.array(groups, pa.string()),
+                  "v": pa.array(values, pa.int64())})
+    con = _duckdb.connect()
+    con.register("t", t)
+    for force_dist in (False, True):
+        if force_dist:
+            monkeypatch.setattr(qmod, "SMALL_HIST_ROWS", 0)
+        for k in (1, 5, 100):
+            out = qmod.group_quantiles(
+                ray.data.from_arrow(t).repartition(4), "g", "v", k=k)
+            got = {r["g"]: r["quantile"] for r in out.to_pylist()}
+            want = dict(con.execute(
+                "SELECT g, max(v) FROM (SELECT g, v, row_number() "
+                "OVER (PARTITION BY g ORDER BY v) rn FROM t) "
+                "WHERE rn <= ? GROUP BY g", [k]).fetchall())
+            assert got == want, (force_dist, k)
