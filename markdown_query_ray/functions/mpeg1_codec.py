@@ -286,6 +286,9 @@ def encode_mpeg1_iframes(frames, qscale: int = 8, fps_code: int = 3,
     frames = [np.asarray(f, np.uint8) for f in frames]
     if not frames:
         raise ValueError("no frames")
+    if not 1 <= qscale <= 31:
+        raise ValueError(f"quantizer_scale {qscale} outside the 5-bit "
+                         "MPEG-1 range [1, 31]")
     h, w = frames[0].shape
     if any(f.shape != (h, w) for f in frames):
         raise ValueError("all frames must share one shape")

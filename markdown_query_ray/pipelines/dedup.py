@@ -930,6 +930,7 @@ def _sidecar_load(path: str):
     except (ValueError, OSError):
         return None
     if not isinstance(meta, dict) or "n_docs" not in meta \
+            or "idh_sum" not in meta \
             or not isinstance(meta.get("gens"), list):
         return None
     return meta
@@ -952,25 +953,27 @@ def _sidecar_write(path: str, meta: dict) -> None:
 def _base_fingerprint(ds, split: int | None = None) -> dict:
     """Corpus identity over the ``doc_id`` column only — ONE pruned
     single-column pass, texts never read: (n_docs, max_doc_id,
-    id_sum mod 2^64), plus the same (count, sum) restricted to
-    ``doc_id <= split`` so an append-only grown corpus is
-    distinguishable from an edited one. Catches grown / shrunk /
-    re-id'd corpora; same-id content edits stay outside the checkpoint
-    contract (signatures are keyed by doc_id)."""
+    sum of FNV-1a64(doc_id) mod 2^64), plus the same (count, hash-sum)
+    restricted to ``doc_id <= split`` so an append-only grown corpus is
+    distinguishable from an edited one. HASHED ids, not raw ids: a raw
+    id sum is trivially preserved by compensating edits (delete {1, 4},
+    add {2, 3}), while a hash sum makes any id-set change collide only
+    with ~2^-64 probability. Catches grown / shrunk / re-id'd corpora;
+    same-id content edits stay outside the checkpoint contract
+    (signatures are keyed by doc_id)."""
     sp = np.int64(split if split is not None else np.iinfo(np.int64).max)
 
     def part(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy().astype(np.int64)
-        le = ids[ids <= sp]
+        le = ids <= sp
+        h = _fnv1a_u64_rows(ids.astype(np.uint64)[:, None])
         return pa.table({
             "n": pa.array([len(ids)], pa.int64()),
             "mx": pa.array(
                 [int(ids.max()) if len(ids) else None], pa.int64()),
-            "s": pa.array([int(ids.astype(np.uint64).sum())],
-                          pa.uint64()),
-            "n_le": pa.array([len(le)], pa.int64()),
-            "s_le": pa.array([int(le.astype(np.uint64).sum())],
-                             pa.uint64()),
+            "s": pa.array([int(h.sum())], pa.uint64()),
+            "n_le": pa.array([int(le.sum())], pa.int64()),
+            "s_le": pa.array([int(h[le].sum())], pa.uint64()),
         })
 
     # one tiny row per block — bounded driver state
@@ -981,7 +984,7 @@ def _base_fingerprint(ds, split: int | None = None) -> dict:
         "n_docs": int(sum(r["n"] for r in rows)),
         "max_doc_id": int(max(
             (r["mx"] for r in rows if r["mx"] is not None), default=-1)),
-        "id_sum": int(sum(r["s"] for r in rows) & mask),
+        "idh_sum": int(sum(r["s"] for r in rows) & mask),
         "n_le": int(sum(r["n_le"] for r in rows)),
         "s_le": int(sum(r["s_le"] for r in rows) & mask),
     }
@@ -1078,19 +1081,19 @@ def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
             os.makedirs(base_sigs_dir, exist_ok=True)
             meta = {**params, "n_docs": fp["n_docs"],
                     "max_doc_id": fp["max_doc_id"],
-                    "id_sum": fp["id_sum"], "gens": gens}
+                    "idh_sum": fp["idh_sum"], "gens": gens}
             _sidecar_write(meta_p, meta)  # commit point, written last
         else:
             fp = _base_fingerprint(base_ds, split=meta["max_doc_id"])
             same = (fp["n_docs"] == meta["n_docs"]
                     and fp["max_doc_id"] == meta["max_doc_id"]
-                    and fp["id_sum"] == meta["id_sum"])
+                    and fp["idh_sum"] == meta["idh_sum"])
             if not same:
                 # append-only growth: every doc at or below the
                 # checkpointed max id is untouched, new docs have
                 # strictly larger ids — signature ONLY the delta
                 grown = (fp["n_le"] == meta["n_docs"]
-                         and fp["s_le"] == meta["id_sum"]
+                         and fp["s_le"] == meta["idh_sum"]
                          and fp["n_docs"] > meta["n_docs"])
                 if not grown:
                     raise ValueError(
@@ -1114,7 +1117,7 @@ def incremental_minhash_pairs(base_ds, new_ds, threshold: float = 0.7,
                     os.path.join(base_sigs_dir, gen))
                 meta = {**meta, "n_docs": fp["n_docs"],
                         "max_doc_id": fp["max_doc_id"],
-                        "id_sum": fp["id_sum"],
+                        "idh_sum": fp["idh_sum"],
                         "gens": meta["gens"] + [gen]}
                 _sidecar_write(meta_p, meta)  # commit point
         import glob

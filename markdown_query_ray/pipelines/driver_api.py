@@ -1750,6 +1750,21 @@ def composite_pipeline(sf_dir: str, min_tokens: int = 30,
     return _round_col(res, "score")
 
 
+def _ensure_nonempty_parquet(dir_path: str, schema: pa.Schema) -> None:
+    """Ray's write_parquet on an EMPTY dataset creates no files (and
+    possibly no directory); pin the schema with an explicit empty file
+    so the immediate read_parquet — and everything downstream — sees a
+    valid 0-row table instead of FileNotFoundError."""
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(dir_path, "*.parquet")):
+        import pyarrow.parquet as _pq
+
+        os.makedirs(dir_path, exist_ok=True)
+        _pq.write_table(schema.empty_table(),
+                        os.path.join(dir_path, "empty.parquet"))
+
+
 def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
                            terms: list[str] | None = None,
                            k: int = 10, fresh: bool = False) -> pa.Table:
@@ -1817,6 +1832,9 @@ def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
          .map_batches(half(True), batch_format="pyarrow")
          .map_batches(quality_gate, batch_format="pyarrow")
          .write_parquet(ckpt))
+        _ensure_nonempty_parquet(ckpt, pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("lang", pa.string()), ("url", pa.string())]))
         gated = ray.data.read_parquet(ckpt)
         gated_slim = ray.data.read_parquet(
             ckpt, columns=["doc_id", "text"])
@@ -1843,8 +1861,17 @@ def crawl_refresh_pipeline(sf_dir: str, min_tokens: int = 30,
         surv_ck = os.path.join(out, "_survivors")
         shutil.rmtree(surv_ck, ignore_errors=True)
         survivors.write_parquet(surv_ck)
-        update_index(out, dataset=ray.data.read_parquet(surv_ck),
-                     cfg=cfg)
+        # an all-duplicates (or all-gated-out) refresh leaves ZERO
+        # survivors: pin the checkpoint schema, and skip the update
+        # entirely — inserting nothing is a no-op and the search serves
+        # from the base index (update_index with a 0-row dataset would
+        # otherwise die inside its own empty write_parquet)
+        _ensure_nonempty_parquet(surv_ck, pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("lang", pa.string()), ("url", pa.string())]))
+        surv_ds = ray.data.read_parquet(surv_ck)
+        if surv_ds.count() > 0:
+            update_index(out, dataset=surv_ds, cfg=cfg)
         with open(done, "w") as f:
             f.write("ok")
     node = _or_node(terms)
@@ -2041,7 +2068,7 @@ def domain_capped_docs(sf_dir: str, cap: int = 25) -> pa.Table:
         })
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "n_chars"]) \
+                               columns=["doc_id"]) \
         .map_batches(to_domain_rows, batch_format="pyarrow")
     thr_t = group_quantiles(ds, "domain", "doc_id", k=cap)
     thr = {d: int(v) for d, v in

@@ -99,11 +99,7 @@ def encode_png_gray(px: np.ndarray) -> bytes:
     """Minimal REAL PNG encoder for 8-bit grayscale (filter 0 rows) —
     deterministic fixture source; output opens in any PNG viewer."""
     h, w = px.shape
-
-    def chunk(typ: bytes, payload: bytes) -> bytes:
-        return (struct.pack(">I", len(payload)) + typ + payload
-                + struct.pack(">I", zlib.crc32(typ + payload)))
-
+    chunk = _png_chunk
     raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
     return (_PNG_SIG
             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
@@ -123,11 +119,7 @@ def encode_png_palette(px: np.ndarray, palette: np.ndarray,
         raise ValueError("palette must be (n, 3) uint8")
     if px.max(initial=0) >= (1 << bit):
         raise ValueError(f"palette index >= 2^{bit}")
-
-    def chunk(typ: bytes, payload: bytes) -> bytes:
-        return (struct.pack(">I", len(payload)) + typ + payload
-                + struct.pack(">I", zlib.crc32(typ + payload)))
-
+    chunk = _png_chunk
     lines = []
     for y in range(h):
         if bit == 8:
@@ -151,11 +143,7 @@ def _encode_png_8bit(arr: np.ndarray, color: int) -> bytes:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-
-    def chunk(typ: bytes, payload: bytes) -> bytes:
-        return (struct.pack(">I", len(payload)) + typ + payload
-                + struct.pack(">I", zlib.crc32(typ + payload)))
-
+    chunk = _png_chunk
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (_PNG_SIG
             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color,
@@ -254,8 +242,10 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     (bit 1/2/4/8, PLTE lookup), non-interlaced, all five scanline
     filters. RGB — including palette entries — folds to BT.601 luma;
     alpha (channel or tRNS) is dropped; sub-byte grayscale rescales to
-    the full 8-bit range (spec 12.5 sample depth scaling). Raises
-    NotImplementedError on 16-bit / interlaced images."""
+    the full 8-bit range (spec 12.5 sample depth scaling); 16-bit
+    samples reduce by the exact round(v/257); Adam7 interlace is
+    reassembled. Unsupported combinations (sub-byte RGB, 16-bit
+    palette, unknown color types) raise NotImplementedError."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -319,9 +309,7 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     else:  # Adam7: 7 sub-images, each filtered independently
         samples = np.zeros((h, w, channels), np.uint8)
         off = 0
-        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
-                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
-                               (0, 1, 1, 2)):
+        for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:

@@ -21,19 +21,15 @@ number of DISTINCT VALUES, not the corpus:
    rank selection keeps the histogram in the object store and the
    driver never sees the (group, value) rows themselves:
 
-   a. an ADAPTIVE coarse bucketing — bucket = (value - min) >> shift
-      with shift chosen from the observed [min, max] span so at most
-      ~2^15 buckets exist — folds the histogram into per-(group,
-      bucket) totals; the driver collects those (<= |groups| x 2^16
-      rows REGARDLESS of how many distinct values exist), computes
-      each group's exclusive prefix over buckets, and locates for
-      every quantile the bucket holding its rank plus the residual
-      rank within that bucket;
-   b. one filtered pass over the histogram keeps only targeted
-      (group, bucket) rows; a per-(group, bucket) ``map_groups`` sorts
-      that bucket's values on a worker and reads the answers off the
-      local cumulative sum. Only |groups| x |qs| result rows reach the
-      driver.
+   a RADIX DESCENT: each level folds every outstanding target's value
+   window into <= 2^12 sub-buckets (one filtered pass over the
+   materialized histogram + a tiny groupby), the driver locates the
+   sub-bucket holding the rank and narrows the window by that fixed
+   2^12 factor — <= 6 levels over the full 64-bit domain, IMMUNE to
+   outliers (a one-shot global-span bucketing would let one extreme
+   value collapse all dense values into a single bucket). Driver state
+   per level is <= |groups| x |qs| x 2^12 sub-bucket totals; no worker
+   ever sees more than one window's slice of the histogram.
 
    The discrete quantile is ``q_disc(q) = smallest v with cum_count >=
    max(1, ceil(q * n))`` — bit-identical to DuckDB's ``quantile_disc``
@@ -67,7 +63,7 @@ import pyarrow as pa
 DEFAULT_QS = (Fraction(1, 4), Fraction(1, 2), Fraction(3, 4),
               Fraction(9, 10), Fraction(99, 100))
 
-MAX_COARSE_BITS = 15  # target <= ~2^15 coarse buckets over the span
+LEVEL_BITS = 12  # sub-buckets per descent level (<= 6 levels over 64 bits)
 SMALL_HIST_ROWS = 200_000  # driver-collect threshold (~5 MB table)
 
 _SIGN = np.uint64(1 << 63)
@@ -76,6 +72,11 @@ _SIGN = np.uint64(1 << 63)
 def _to_u(v: np.ndarray) -> np.ndarray:
     """Order-preserving int64 -> uint64 view (x + 2^63 mod 2^64)."""
     return v.astype(np.uint64) + _SIGN
+
+
+def _from_u(u: int) -> int:
+    """Inverse of ``_to_u`` for a scalar key."""
+    return int((np.uint64(u) + _SIGN).astype(np.int64))
 
 
 def _hist_partials(batch: pa.Table, group_col: str,
@@ -151,109 +152,128 @@ def group_quantiles(ds, group_col: str, value_col: str,
             "quantile": pa.array([r[2] for r in rows], pa.int64()),
         })
 
-    # adaptive coarse granularity from the observed span: shift such
-    # that (max - min) >> shift < 2^MAX_COARSE_BITS
+    # RADIX DESCENT (round-5 review fix): narrow every target's value
+    # window level by level, <= 2^LEVEL_BITS sub-buckets per level. The
+    # earlier one-shot coarse bucketing derived its granularity from
+    # the GLOBAL [min, max] span, so a single extreme outlier collapsed
+    # all dense values into one bucket and the final pick had to sort a
+    # group's whole distinct-value histogram on one worker; the descent
+    # narrows by a fixed 2^LEVEL_BITS factor per level REGARDLESS of
+    # value distribution — <= ceil(64/LEVEL_BITS) = 6 bounded passes
+    # over the materialized histogram, never a corpus-scale or
+    # histogram-scale group on any single worker. Driver state per
+    # level: <= |groups| x |qs| x 2^LEVEL_BITS sub-bucket totals.
     mm = hist.aggregate(Min(value_col), Max(value_col))
-    vmin = np.int64(mm[f"min({value_col})"])
-    span = int(_to_u(np.asarray([mm[f"max({value_col})"]],
-                                np.int64))[0]) \
-        - int(_to_u(np.asarray([vmin], np.int64))[0])
-    shift = np.uint64(max(0, span.bit_length() - MAX_COARSE_BITS))
-    uvmin = _to_u(np.asarray([vmin], np.int64))[0]
+    ulo0 = int(_to_u(np.asarray([mm[f"min({value_col})"]],
+                                np.int64))[0])
+    uhi0 = int(_to_u(np.asarray([mm[f"max({value_col})"]],
+                                np.int64))[0]) + 1
 
-    def vbucket_of(v: np.ndarray) -> np.ndarray:
-        return ((_to_u(v) - uvmin) >> shift).astype(np.int64)
-
-    def coarse_part(b: pa.Table) -> pa.Table:
-        v = b.column(value_col).to_numpy().astype(np.int64)
-        return pa.table({
-            group_col: b.column(group_col),
-            "vbucket": pa.array(vbucket_of(v)),
-            "cnt_part": b.column("cnt"),
-        })
-
-    ct = hist.map_batches(coarse_part, batch_format="pyarrow") \
-        .groupby([group_col, "vbucket"]) \
-        .aggregate(Sum("cnt_part", alias_name="cnt")) \
-        .sort([group_col, "vbucket"]).to_pandas()
-
-    # driver: per group, exclusive prefix over <=2^16 coarse buckets;
-    # locate each quantile's bucket + residual in-bucket rank
-    targets: dict[tuple[str, int], list[tuple[float, int]]] = {}
-    for grp, sub in ct.groupby(group_col, sort=True):
-        vb = sub["vbucket"].to_numpy(np.int64)
-        c = sub["cnt"].to_numpy(np.int64)
-        cum = np.cumsum(c)
-        below = cum - c
-        n = int(cum[-1])
+    # per-group totals (|groups| rows) -> initial ranks
+    gt = hist.groupby(group_col) \
+        .aggregate(Sum("cnt", alias_name="n")).take_all()
+    live = []  # (tid, grp, label, lo_u, hi_u, rank)
+    answers = {}
+    tid = 0
+    for r in sorted(gt, key=lambda r: r[group_col]):
+        grp, n = str(r[group_col]), int(r["n"])
         for lbl, rank in _ranks_for(n, qs, k):
-            i = int(np.searchsorted(cum, rank, side="left"))
-            targets.setdefault((str(grp), int(vb[i])), []).append(
-                (lbl, int(rank - below[i])))
-    buckets_by_group = {}
-    for (grp, vb) in targets:
-        buckets_by_group.setdefault(grp, []).append(vb)
-    buckets_by_group = {g: np.asarray(sorted(bs), np.int64)
-                        for g, bs in buckets_by_group.items()}
-    targets_ref = ray.put((targets, buckets_by_group))
+            live.append([tid, grp, lbl, ulo0, uhi0, rank])
+            tid += 1
 
-    def keep_targeted(b: pa.Table) -> pa.Table:
-        _, by_group = ray.get(targets_ref)
-        g = np.asarray(b.column(group_col).to_pylist(), object)
-        v = b.column(value_col).to_numpy().astype(np.int64)
-        vb = vbucket_of(v)
-        keep = np.zeros(len(v), bool)
-        codes, inv = np.unique(g, return_inverse=True)
-        for ci, gg in enumerate(codes):
-            tb = by_group.get(gg)
-            if tb is not None:
+    while live:
+        # windows of width 1 resolve directly
+        still = []
+        for t in live:
+            if t[4] - t[3] == 1:
+                answers[(t[1], t[2])] = _from_u(t[3])
+            else:
+                still.append(t)
+        live = still
+        if not live:
+            break
+        shifts = {t[0]: max(0, (t[4] - t[3] - 1).bit_length()
+                            - LEVEL_BITS) for t in live}
+        by_grp = {}
+        for t in live:
+            by_grp.setdefault(t[1], []).append(
+                (t[0], t[3], t[4], shifts[t[0]]))
+        win_ref = ray.put(by_grp)
+
+        def level_part(b: pa.Table) -> pa.Table:
+            wins = ray.get(win_ref)
+            g = np.asarray(b.column(group_col).to_pylist(), object)
+            u = _to_u(b.column(value_col).to_numpy().astype(np.int64))
+            c = b.column("cnt").to_numpy().astype(np.int64)
+            tids, subs, cnts = [], [], []
+            codes, inv = np.unique(g, return_inverse=True)
+            for ci, gg in enumerate(codes):
+                ws = wins.get(gg)
+                if not ws:
+                    continue
                 sel = inv == ci
-                keep[sel] = np.isin(vb[sel], tb)
-        out = b.filter(pa.array(keep))
-        ov = out.column(value_col).to_numpy().astype(np.int64)
-        return out.append_column("vbucket", pa.array(vbucket_of(ov)))
+                uu, cc = u[sel], c[sel]
+                for wtid, lo, hi, sh in ws:
+                    m = (uu >= np.uint64(lo)) & (uu < np.uint64(hi))
+                    if not m.any():
+                        continue
+                    sub = ((uu[m] - np.uint64(lo))
+                           >> np.uint64(sh)).astype(np.int64)
+                    us, si = np.unique(sub, return_inverse=True)
+                    sc = np.zeros(len(us), np.int64)
+                    np.add.at(sc, si, cc[m])
+                    tids.append(np.full(len(us), wtid, np.int64))
+                    subs.append(us)
+                    cnts.append(sc)
+            if not tids:
+                return pa.table({"tid": pa.array([], pa.int64()),
+                                 "sub": pa.array([], pa.int64()),
+                                 "cnt_part": pa.array([], pa.int64())})
+            return pa.table({"tid": pa.array(np.concatenate(tids)),
+                             "sub": pa.array(np.concatenate(subs)),
+                             "cnt_part": pa.array(np.concatenate(cnts))})
 
-    empty = pa.schema([(group_col, pa.string()), ("q", pa.float64()),
-                       ("quantile", pa.int64())]).empty_table()
+        lvl = hist.map_batches(level_part, batch_format="pyarrow") \
+            .groupby(["tid", "sub"]) \
+            .aggregate(Sum("cnt_part", alias_name="cnt")).take_all()
+        per_tid: dict[int, list] = {}
+        for r in lvl:
+            per_tid.setdefault(int(r["tid"]), []).append(
+                (int(r["sub"]), int(r["cnt"])))
+        nxt = []
+        for t in live:
+            wtid, grp, lbl, lo, hi, rank = t
+            rows_t = sorted(per_tid.get(wtid, []))
+            if not rows_t:
+                raise RuntimeError(
+                    f"quantile descent lost target {grp}/{lbl}")
+            subs_a = np.asarray([s for s, _ in rows_t], np.int64)
+            cum = np.cumsum([c for _, c in rows_t])
+            i = int(np.searchsorted(cum, rank, side="left"))
+            sub = int(subs_a[i])
+            below = int(cum[i - 1]) if i else 0
+            sh = shifts[wtid]
+            nlo = lo + (sub << sh)
+            nhi = min(hi, nlo + (1 << sh))
+            if sh == 0:  # sub IS the value offset: resolved
+                answers[(grp, lbl)] = _from_u(nlo)
+            else:
+                nxt.append([wtid, grp, lbl, nlo, nhi, rank - below])
+        live = nxt
 
-    def pick(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return empty
-        tg, _ = ray.get(targets_ref)
-        grp = group.column(group_col)[0].as_py()
-        vb = int(group.column("vbucket")[0].as_py())
-        wanted = tg.get((grp, vb))
-        if not wanted:
-            return empty
-        v = group.column(value_col).to_numpy().astype(np.int64)
-        c = group.column("cnt").to_numpy().astype(np.int64)
-        order = np.argsort(_to_u(v))  # unsigned == value order
-        v, c = v[order], c[order]
-        cum = np.cumsum(c)
-        ranks = np.asarray([r for _, r in wanted], np.int64)
-        idx = np.searchsorted(cum, ranks, side="left")
-        return pa.table({
-            group_col: pa.array([grp] * len(wanted), pa.string()),
-            "q": pa.array([q for q, _ in wanted], pa.float64()),
-            "quantile": pa.array(v[idx], pa.int64()),
-        })
-
-    got = hist.map_batches(keep_targeted, batch_format="pyarrow") \
-        .groupby([group_col, "vbucket"]) \
-        .map_groups(pick, batch_format="pyarrow") \
-        .take_all()  # |groups| x |qs| rows
-
-    # deterministic output order: groups sorted, qs in caller order
-    qpos = {}
-    for i, q in enumerate(qs):
-        qpos.setdefault(float(q), i)
-    rows = sorted(((r[group_col], float(r["q"]), int(r["quantile"]))
-                   for r in got),
-                  key=lambda r: (r[0], qpos.get(r[1], len(qs)), r[1]))
+    # deterministic output order: groups sorted, labels in caller order
+    labels = [float(k)] if k is not None else [float(q) for q in qs]
+    lpos = {}
+    for i, lb in enumerate(labels):
+        lpos.setdefault(lb, i)
+    rows = sorted(answers.items(),
+                  key=lambda kv: (kv[0][0], lpos.get(kv[0][1],
+                                                     len(labels)),
+                                  kv[0][1]))
     return pa.table({
-        group_col: pa.array([r[0] for r in rows], pa.string()),
-        "q": pa.array([r[1] for r in rows], pa.float64()),
-        "quantile": pa.array([r[2] for r in rows], pa.int64()),
+        group_col: pa.array([g for (g, _), _ in rows], pa.string()),
+        "q": pa.array([lb for (_, lb), _ in rows], pa.float64()),
+        "quantile": pa.array([v for _, v in rows], pa.int64()),
     })
 
 

@@ -214,3 +214,31 @@ def test_base_checkpoint_truncated_sidecar_regenerates(ray_session,
 
     meta = json.load(open(sp))
     assert meta["n_docs"] == 12
+
+
+def test_base_checkpoint_rejects_compensating_edit(ray_session,
+                                                   tmp_path):
+    """A base edit that preserves count and RAW id sum below the
+    checkpointed max (delete {1, 4}, add {2, 3}) must still be
+    rejected — the fingerprint sums HASHED ids, which such edits do
+    not preserve."""
+    import ray.data
+
+    texts = [f"alpha beta gamma delta epsilon doc{i}" for i in range(8)]
+
+    def ds_ids(ids):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)),
+            "text": pa.array([texts[i % len(texts)] for i in ids]),
+        })).repartition(2)
+
+    new = _mk_ds(["totally fresh text here"], 500)
+    kw = dict(threshold=0.5, num_hashes=64, bands=32, collect=True)
+    ck = str(tmp_path / "sigck")
+    incremental_minhash_pairs(ds_ids([0, 1, 4, 10]), new,
+                              base_sigs_dir=ck, **kw)
+    # edited base: same count, same raw id sum (1+4 == 2+3), same max,
+    # plus an appended doc — the old raw-sum check called this "grown"
+    with pytest.raises(ValueError, match="append-only"):
+        incremental_minhash_pairs(ds_ids([0, 2, 3, 10, 11]), new,
+                                  base_sigs_dir=ck, **kw)

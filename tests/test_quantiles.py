@@ -96,7 +96,7 @@ def test_driver_state_bounded_by_coarse_buckets(ray_session,
     the driver while answers stay exact."""
     import markdown_query_ray.pipelines.quantiles as qmod
 
-    monkeypatch.setattr(qmod, "MAX_COARSE_BITS", 2)
+    monkeypatch.setattr(qmod, "LEVEL_BITS", 2)
     monkeypatch.setattr(qmod, "SMALL_HIST_ROWS", 0)
     rng = np.random.default_rng(3)
     groups = ["a"] * 5000 + ["b"] * 5000
@@ -188,3 +188,18 @@ def test_rank_select_mode(ray_session, monkeypatch):
                 "OVER (PARTITION BY g ORDER BY v) rn FROM t) "
                 "WHERE rn <= ? GROUP BY g", [k]).fetchall())
             assert got == want, (force_dist, k)
+
+
+def test_outlier_does_not_collapse_descent(ray_session, monkeypatch):
+    """Round-5 review scenario: dense values plus one extreme outlier.
+    A global-span one-shot bucketing would fold every dense value into
+    a single bucket; the radix descent must still answer exactly."""
+    import markdown_query_ray.pipelines.quantiles as qmod
+
+    monkeypatch.setattr(qmod, "SMALL_HIST_ROWS", 0)
+    rng = np.random.default_rng(41)
+    groups = ["a"] * 3000 + ["b"] * 1000
+    values = rng.integers(0, 100_000, 4000).astype(np.int64).tolist()
+    values[0] = 1 << 62          # the outlier
+    values[-1] = -(1 << 62)      # and a negative one
+    assert _run(groups, values, QS) == _duck(groups, values, QS)
